@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational query surface of the reference (PostgreSQL CRUD + agent tools:
+  * reference backend/src/api/services/db_service.py, tools.py, routers).
+  *
+  * Design notes (100 TB):
+  *  - Money/quantity aggregates are computed over DECIMAL(18,6) and only the
+  *    final result is cast to double: decimal sums are exact and therefore
+  *    independent of partitioning/combine order — the same answer on 1
+  *    thread or 1000 executors (and bit-equal to the DuckDB oracle).
+  *  - Dimension tables (part, customer, nation, region, supplier) are
+  *    broadcast; only fact-fact joins shuffle.
+  *  - Top-k uses orderBy().limit(k) so Spark plans TakeOrderedAndProject
+  *    (per-partition heaps, no global sort).
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double expression: cast each value to
+    * DECIMAL(18,6) (deterministic, ties unrepresentable in binary doubles),
+    * sum exactly, surface as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** avg as round(exact_sum / count, 4): deterministic on both engines. */
+  def davg(sumCol: Column, cntCol: Column): Column =
+    round(sumCol / cntCol.cast("double"), 4)
+
+  // R1 — pricing summary (TPC-H Q1 shape): the baseline scan+aggregate.
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", davg($"sum_qty", $"count_order"))
+      .withColumn("avg_price", davg($"sum_base_price", $"count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // R2 — fuzzy full-text product search with a relevance score
+  // (reference neo4j_service.py:76 fulltext queryNodes + tools.py search).
+  def productSearch(s: SparkSession, dir: String, terms: Seq[String] = Seq("red", "bolt")): DataFrame = {
+    import s.implicits._
+    val score = terms
+      .map(t => when(lower($"p_name").contains(t), 1).otherwise(0))
+      .reduce(_ + _)
+    Tables.part(s, dir)
+      .withColumn("score", score)
+      .filter($"score" >= 1)
+      .select($"p_partkey", $"p_name", $"p_retailprice", $"score")
+      .orderBy($"score".desc, $"p_partkey")
+      .limit(10)
+  }
+
+  // R3 — category containment search (neo4j_service.py:77: Category name
+  // CONTAINS keyword → products). Category dimension here is p_type.
+  def categorySearch(s: SparkSession, dir: String, keyword: String = "small"): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter(lower($"p_type").contains(keyword))
+      .select($"p_partkey", $"p_name", $"p_type", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
+  // R4 — broad listing (neo4j_service.py:79: MATCH (p:Product) ... LIMIT 10).
+  def broadSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey", $"p_name", $"p_retailprice")
+      .orderBy($"p_partkey")
+      .limit(10)
+  }
+
+  // R5 — stock lookup with cascading fuzzy fallback (tools.py:37-92:
+  // exact phrase → first-2-words → first-word). Stage = strongest match
+  // tier present anywhere in the catalog; returns the first match there.
+  def checkStock(s: SparkSession, dir: String, query: String = "red bolt turbo"): DataFrame = {
+    import s.implicits._
+    val words = query.toLowerCase.split("\\s+").toSeq
+    val nm = lower($"p_name")
+    val stage = when(nm.contains(query.toLowerCase), 1)
+      .when(if (words.length >= 2) nm.contains(words(0)) && nm.contains(words(1)) else lit(false), 2)
+      .when(nm.contains(words(0)), 3)
+    val matches = Tables.part(s, dir)
+      .withColumn("stage", stage)
+      .filter($"stage".isNotNull)
+    // global min stage: single-row broadcast join, no full shuffle
+    val best = matches.agg(min($"stage").as("best_stage"))
+    matches.join(broadcast(best), $"stage" === $"best_stage")
+      .select($"stage", $"p_partkey", $"p_name", ($"p_size" * 10).as("stock_qty"))
+      .orderBy($"p_partkey")
+      .limit(1)
+  }
+
+  // R6 — per-user order history with items, newest first
+  // (db_service.py:155 get_user_orders + joinedload(items)).
+  def userOrders(s: SparkSession, dir: String, custkey: Long = 42L): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).filter($"o_custkey" === custkey)
+    val li = Tables.lineitem(s, dir)
+    // orders side is tiny after the filter → broadcast it into the fact scan
+    li.join(broadcast(o), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice",
+        $"l_linenumber", $"l_partkey", $"l_quantity", $"l_extendedprice")
+      .orderBy($"o_orderdate".desc, $"o_orderkey", $"l_linenumber")
+  }
+
+  // R7 — order status counts (admin oversight, routers/admin.py:267).
+  def orderStatusCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_amount"))
+      .orderBy($"o_orderstatus")
+  }
+
+  // R8 — cancel-eligible orders: only open statuses may be cancelled
+  // (db_service.py:168 cancel_user_order: PENDING|PROCESSING ≈ 'O'|'P').
+  def cancelEligible(s: SparkSession, dir: String, custkey: Long = 42L): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_custkey" === custkey && $"o_orderstatus".isin("O", "P"))
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_orderkey")
+  }
+
+  // R9 — top customers by lifetime revenue (admin customer oversight).
+  def topCustomers(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.groupBy($"o_custkey")
+      .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"revenue", $"n_orders")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(k)
+  }
+
+  // R10 — revenue by category (category rollup over the product dim).
+  def revenueByCategory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type")
+      .agg(
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        dsum($"l_quantity").as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_type")
+  }
+
+  // R11 — best-selling products.
+  def topProducts(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.groupBy($"l_partkey")
+      .agg(dsum($"l_quantity").as("total_qty"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .select($"p_partkey", $"p_name", $"total_qty", $"revenue")
+      .orderBy($"total_qty".desc, $"p_partkey")
+      .limit(k)
+  }
+
+  // R12 — revenue rolled up the customer geo hierarchy (TPC-H Q5 shape;
+  // the supplier/nation/region graph treated relationally).
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    // one fact-fact shuffle join (lineitem ⋈ orders on orderkey);
+    // every dimension hop is broadcast.
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name")
+  }
+
+  // R13 — customer segment stats.
+  def segmentStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_acctbal"))
+      .withColumn("avg_acctbal", davg($"sum_acctbal", $"n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  // R14 — order priority distribution over a date window (partition-prunable
+  // filter reaches the scan).
+  def orderPriorityDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+}
