@@ -38,6 +38,29 @@ object SparkEntry {
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // Vector (SURVEY §2 V1–V6)
+    "v_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
+    "v_semantic_cache" -> ((s, d) => VectorOps.semanticCache(s, d)),
+    "v_knn_per_label" -> ((s, d) => VectorOps.knnPerLabel(s, d)),
+    "v_lsh_ann" -> ((s, d) => VectorOps.lshAnn(s, d)),
+    "v_chunk_text" -> ((s, d) => VectorOps.chunkText(s, d)),
+    "v_dedup_chunks" -> ((s, d) => VectorOps.dedupChunks(s, d)),
+    // Multimodal (SURVEY §2 M1–M2)
+    "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "m_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // Graph (SURVEY §2 G1–G7)
+    "g_copurchase_edges" -> ((s, d) => GraphOps.copurchaseEdges(s, d)),
+    "g_degree" -> ((s, d) => GraphOps.degree(s, d)),
+    "g_two_hop" -> ((s, d) => GraphOps.twoHop(s, d)),
+    "g_cat_hierarchy_rollup" -> ((s, d) => GraphOps.hierarchyRollup(s, d)),
+    "g_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
+    "g_connected_components" -> ((s, d) => GraphOps.connectedComponents(s, d)),
+    "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
+    // Streaming batch-equivalents (SURVEY §2 S1–S4)
+    "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
+    "s_sessionize" -> ((s, d) => streaming.EventOps.sessionizeQuery(s, d)),
+    "s_funnel" -> ((s, d) => streaming.EventOps.funnelQuery(s, d)),
+    "s_event_dedup" -> ((s, d) => streaming.EventOps.eventDedupQuery(s, d)),
   )
 
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
@@ -210,5 +233,117 @@ object SparkEntry {
         |   ROUND(list_sum(list_transform(range(1,len(a.v)+1), i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm), 6) sim
         | FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT va AS vec_a, vb AS vec_b, sim FROM p WHERE sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    "v_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x->x*x))) nrm FROM e),
+        |q AS (SELECT v qv, nrm qnrm FROM n WHERE vec_id=0)
+        |SELECT vec_id,
+        | ROUND(list_sum(list_transform(range(1,len(v)+1), i->v[i]*qv[i]))/(nrm*qnrm),6) AS sim
+        |FROM n, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "v_semantic_cache" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x->x*x))) nrm FROM e),
+        |q AS (SELECT vec_id query_id, v qv, nrm qnrm FROM n WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 5),
+        |sim AS (SELECT q.query_id, c.vec_id,
+        |  ROUND(list_sum(list_transform(range(1,len(c.v)+1), i->c.v[i]*q.qv[i]))/(c.nrm*q.qnrm),6) sim
+        | FROM c, q),
+        |r AS (SELECT query_id, vec_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn FROM sim)
+        |SELECT query_id, vec_id AS cache_id, sim FROM r WHERE rn=1 AND sim >= 0.25
+        |ORDER BY query_id""".stripMargin,
+    "v_knn_per_label" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x->CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x->x*x))) nrm FROM e),
+        |q AS (SELECT vec_id query_id, v qv, nrm qnrm FROM n WHERE vec_id < 10),
+        |c AS (SELECT vec_id, label, v, nrm FROM n WHERE vec_id >= 10),
+        |sim AS (SELECT q.query_id, c.label, c.vec_id,
+        |  ROUND(list_sum(list_transform(range(1,len(c.v)+1), i->c.v[i]*q.qv[i]))/(c.nrm*q.qnrm),6) sim
+        | FROM c, q),
+        |r AS (SELECT query_id, label, vec_id, sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id, label ORDER BY sim DESC, vec_id) AS BIGINT) rn
+        | FROM sim)
+        |SELECT query_id, label, vec_id, sim, rn FROM r WHERE rn <= 3
+        |ORDER BY query_id, label, rn""".stripMargin,
+    "v_chunk_text" ->
+      """SELECT doc_id, chunk_id,
+        | substr(text, CAST(chunk_id*150+1 AS INTEGER), 200) AS chunk_text
+        |FROM (
+        | SELECT doc_id, text, unnest(range(0, (length(text)-1)//150 + 1)) AS chunk_id
+        | FROM documents) t
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "v_dedup_chunks" ->
+      """SELECT md5(lower(trim(text))) AS norm_h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "m_binary_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id%2=0 THEN 'image' ELSE 'audio' END AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 1280 + 1 AS width,
+        | CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 720 + 1 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "g_copurchase_edges" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem)
+        |SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS weight
+        |FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk
+        |GROUP BY a.pk, b.pk ORDER BY src, dst""".stripMargin,
+    "g_degree" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2)
+        |SELECT part, COUNT(*) AS degree
+        |FROM (SELECT src AS part FROM e UNION ALL SELECT dst FROM e) u
+        |GROUP BY part ORDER BY part""".stripMargin,
+    "g_two_hop" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |nb AS (SELECT DISTINCT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<>b.pk),
+        |seed AS (SELECT p_partkey FROM part WHERE p_type='PROMO')
+        |SELECT x.part, p2.p_name, p2.p_type FROM (
+        | SELECT DISTINCT nb.dst AS part FROM nb JOIN seed ON nb.src=seed.p_partkey
+        | WHERE nb.dst NOT IN (SELECT p_partkey FROM seed)) x
+        |JOIN part p2 ON x.part = p2.p_partkey
+        |ORDER BY part""".stripMargin,
+    "g_cat_hierarchy_rollup" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+        | JOIN nation ON s_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "s_window_agg" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS win_start,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "s_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+        |l AS (SELECT user_id, event_id, ts,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) pts FROM e),
+        |n AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN pts IS NULL OR epoch_us(ts)-epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END ns FROM l),
+        |ss AS (SELECT user_id, ts,
+        |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) sess_id
+        | FROM n)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+        |FROM ss GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    "s_funnel" ->
+      """SELECT funnel_stage, COUNT(*) AS n_users FROM (
+        | SELECT user_id,
+        |  CASE WHEN mv IS NOT NULL AND mc > mv AND mp > mc THEN 3
+        |       WHEN mv IS NOT NULL AND mc > mv THEN 2
+        |       WHEN mv IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+        | FROM (
+        |  SELECT user_id,
+        |   MIN(CASE WHEN event_type='view' THEN ts END) mv,
+        |   MIN(CASE WHEN event_type='click' THEN ts END) mc,
+        |   MIN(CASE WHEN event_type='purchase' THEN ts END) mp
+        |  FROM events GROUP BY user_id) t) t2
+        |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin,
+    "s_event_dedup" ->
+      """SELECT user_id, event_type,
+        | date_trunc('minute', CAST(ts AS TIMESTAMP)) AS win_minute,
+        | MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
+        |FROM events GROUP BY 1,2,3 ORDER BY user_id, event_type, win_minute""".stripMargin,
   )
 }

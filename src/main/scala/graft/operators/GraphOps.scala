@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Graph surface of the reference's Neo4j product/category graph
+  * (backend/src/api/services/neo4j_service.py: IN_CATEGORY traversals,
+  * MERGE-built product graph).
+  *
+  * Two graphs over the test schema:
+  *  - co-purchase: nodes = parts, edge (a,b) iff both appear in one order,
+  *    weight = #co-occurring orders — built as a DataFrame self-join on
+  *    the order key. Per-order part lists are bounded (≤ ~13), so the
+  *    self-join fanout per key is bounded and the shuffle stays linear in
+  *    row count at any scale (SURVEY §5).
+  *  - hierarchy: supplier → nation → region (IN_CATEGORY rollup shape).
+  *
+  * Traversal-shaped queries (edges, degree, 2-hop) stay in DataFrames —
+  * Catalyst plans them better than Pregel for bounded hops. Whole-graph
+  * analytics (PageRank, components, triangles) hand the pre-aggregated
+  * edge list to GraphX.
+  */
+object GraphOps {
+
+  /** Distinct (order, part) pairs — the bipartite projection input. */
+  private def orderParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .distinct()
+  }
+
+  // G1 — co-purchase edge construction (canonical src < dst).
+  def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lp = orderParts(s, dir)
+    lp.as("a").join(lp.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("src"), $"b.pk".as("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .orderBy($"src", $"dst")
+  }
+
+  // G2 — node degree profile (GraphX `degrees` semantics, computed as a
+  // DataFrame aggregation over the canonical edge list).
+  def degree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = copurchaseEdges(s, dir)
+    e.select($"src".as("part")).unionAll(e.select($"dst"))
+      .groupBy($"part")
+      .agg(count(lit(1)).as("degree"))
+      .orderBy($"part")
+  }
+
+  // G3 — 2-hop traversal: category → its products → co-purchased products
+  // outside the category (the Cypher MATCH (c)<-[:IN_CATEGORY]-(p)…
+  // neighbourhood shape).
+  def twoHop(s: SparkSession, dir: String, category: String = "PROMO"): DataFrame = {
+    import s.implicits._
+    val lp = orderParts(s, dir)
+    // both directions: neighbour sets are symmetric
+    val nbrs = lp.as("a").join(lp.as("b"), $"a.ok" === $"b.ok" && $"a.pk" =!= $"b.pk")
+      .select($"a.pk".as("src"), $"b.pk".as("dst"))
+      .distinct()
+    val p = Tables.part(s, dir)
+    val seeds = p.filter($"p_type" === category).select($"p_partkey")
+    nbrs
+      .join(broadcast(seeds), $"src" === $"p_partkey")
+      .select($"dst".as("part"))
+      .distinct()
+      .join(broadcast(seeds).withColumnRenamed("p_partkey", "part"), Seq("part"), "left_anti")
+      .join(broadcast(p), $"part" === $"p_partkey")
+      .select($"part", $"p_name", $"p_type")
+      .orderBy($"part")
+  }
+
+  // G4 — hierarchy rollup: revenue up supplier → nation → region.
+  def hierarchyRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(Relational.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Co-purchase graph for GraphX analytics: undirected = both arcs. */
+  private def copurchaseGraph(s: SparkSession, dir: String): Graph[Int, Long] = {
+    val e = copurchaseEdges(s, dir)
+    val edges = e.rdd.flatMap { r =>
+      val (src, dst, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      Iterator(Edge(src, dst, w), Edge(dst, src, w))
+    }
+    Graph.fromEdges(edges, 0, StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+  }
+
+  // G5 — PageRank centrality over the co-purchase graph (GraphX;
+  // rows-only check — iterative fixpoint isn't oracle-SQL-expressible).
+  def pageRank(s: SparkSession, dir: String, iters: Int = 10, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val ranks = copurchaseGraph(s, dir).staticPageRank(iters).vertices
+    s.createDataFrame(ranks).toDF("part", "rank_raw")
+      .select($"part", round($"rank_raw", 6).as("rank"))
+      .orderBy($"rank".desc, $"part")
+      .limit(k)
+  }
+
+  // G6 — product communities: connected components + size (GraphX).
+  def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = copurchaseGraph(s, dir).connectedComponents().vertices
+    s.createDataFrame(cc).toDF("part", "component")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("size"))
+      .orderBy($"size".desc, $"component")
+  }
+
+  // G7 — per-node triangle counts (GraphX; clustering structure).
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tc = copurchaseGraph(s, dir)
+      .partitionBy(PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices
+    s.createDataFrame(tc).toDF("part", "triangles")
+      .orderBy($"part")
+  }
+}

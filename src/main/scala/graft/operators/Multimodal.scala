@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps.h64
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata. The container has no image/audio codecs, so the *decode* step
+  * is a clearly-marked deterministic stub — the Spark-side shape (schema,
+  * typed Dataset, mapPartitions batching, partition-parallel decode) is the
+  * real, tested part, and a codec drops into `FakeDecoder` unchanged.
+  */
+object Multimodal {
+
+  // M1 — binary payload + typed metadata extraction, all in codegen'd
+  // expressions (payload synthesized from text; metadata derived via md5
+  // so the oracle reproduces it).
+  def binaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("payload", encode($"text", "UTF-8")) // the opaque media column
+      .withColumn("kind", when($"doc_id" % 2 === 0, "image").otherwise("audio"))
+      .withColumn("byte_len", octet_length($"text").cast("long"))
+      .withColumn("width", (h64($"text") % 1280 + 1).cast("long"))
+      .withColumn("height", (h64($"text") % 720 + 1).cast("long"))
+      .select($"doc_id", $"kind", $"byte_len", $"width", $"height")
+      .orderBy($"doc_id")
+  }
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame_md5: String)
+
+  /** STUB decoder — stands in for an image/video codec (none in this
+    * container). Deterministic: "frames" are 100-byte slices, ≤4 per doc.
+    * A real decoder replaces only this function; the distributed plumbing
+    * around it (typed rows, per-partition batching) stays identical. */
+  private[graft] def fakeDecode(m: MediaRow): Iterator[Frame] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nFrames = math.min(4, (m.payload.length + 99) / 100)
+    (0 until nFrames).iterator.map { k =>
+      val slice = m.payload.slice(k * 100, math.min((k + 1) * 100, m.payload.length))
+      Frame(m.doc_id, k, k * 100, md.digest(slice).map("%02x".format(_)).mkString)
+    }
+  }
+
+  // M2 — frame sampling over binary media via typed mapPartitions: the
+  // decoder is instantiated once per partition (how a real codec handle
+  // would be held), frames stream out without materializing a partition.
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(s, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[MediaRow]
+    media
+      .mapPartitions(rows => rows.flatMap(fakeDecode))
+      .toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+}

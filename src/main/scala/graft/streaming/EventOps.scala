@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Relational.dsum
+
+/** Event-stream operators over `events` (reference analogue: the ingest /
+  * order-event flow the agent reacts to).
+  *
+  * Each transform is written against a plain DataFrame so the SAME function
+  * serves the batch query (what Verify checks) and the Structured Streaming
+  * job (`readStream` source — see EventStreamSpec): windowed aggregation and
+  * watermarked dedup run unchanged under `writeStream`; sessionization has a
+  * `flatMapGroupsWithState` streaming twin sketched in the spec.
+  */
+object EventOps {
+
+  // S1 — tumbling 5-minute activity aggregation. Under streaming, add
+  // `.withWatermark("ts", "10 minutes")` and the same groupBy runs
+  // incrementally with bounded state.
+  def windowAgg(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("win_start"), $"event_type", $"n_events", $"sum_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  def windowAggQuery(s: SparkSession, dir: String): DataFrame =
+    windowAgg(Tables.events(s, dir))
+
+  // S2 — gap-based sessionization (30-min inactivity closes a session).
+  // Batch form uses lag/running-sum windows partitioned by user_id (high
+  // cardinality → scales out); the streaming twin is
+  // flatMapGroupsWithState with a session timeout.
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("sess_start"), max($"ts").as("sess_end"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  def sessionizeQuery(s: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(s, dir))
+
+  // S3 — view → click → purchase funnel: per-user first-touch timestamps,
+  // strict temporal ordering between stages.
+  def funnel(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("mv"),
+        min(when($"event_type" === "click", $"ts")).as("mc"),
+        min(when($"event_type" === "purchase", $"ts")).as("mp"))
+      .withColumn("funnel_stage",
+        when($"mv".isNotNull && $"mc" > $"mv" && $"mp" > $"mc", 3)
+          .when($"mv".isNotNull && $"mc" > $"mv", 2)
+          .when($"mv".isNotNull, 1)
+          .otherwise(0))
+      .groupBy($"funnel_stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_stage")
+  }
+
+  def funnelQuery(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir))
+
+  // S4 — at-least-once → exactly-once reduction: collapse duplicate
+  // deliveries within a minute per (user, type). Streaming twin:
+  // `.withWatermark("ts","10 minutes").dropDuplicates(...)`.
+  def eventDedup(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupBy($"user_id", $"event_type", date_trunc("minute", $"ts").as("win_minute"))
+      .agg(min($"event_id").as("first_event_id"), count(lit(1)).as("n_dups"))
+      .orderBy($"user_id", $"event_type", $"win_minute")
+  }
+
+  def eventDedupQuery(s: SparkSession, dir: String): DataFrame =
+    eventDedup(Tables.events(s, dir))
+}
