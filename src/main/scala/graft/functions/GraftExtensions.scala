@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumn, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Column API for graft's native expressions + optional SQL registration.
+  *
+  * Use `vecDot(a, b)` from the DataFrame API, or install the extension
+  * (`.withExtensions(new GraftExtensions)` / spark.sql.extensions) to call
+  * `vec_dot(a, b)` from SQL.
+  */
+object GraftFunctions {
+  def vecDot(a: Column, b: Column): Column = GraftColumn.of(VecDot(GraftColumn.exprOf(a), GraftColumn.exprOf(b)))
+
+  /** sqrt(v·v) via the same codegen'd kernel. */
+  def vecNorm(v: Column): Column =
+    org.apache.spark.sql.functions.sqrt(vecDot(v, v))
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+  }
+}

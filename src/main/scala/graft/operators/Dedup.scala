@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.TextOps.h64
+import graft.functions.GraftFunctions.{vecDot, vecNorm}
 
 /** Deduplication operators for LLM-pipeline data prep, over `documents`
   * (reference analogue: the retrieval dedup in db_service.get_formatted_chunks
@@ -124,13 +125,11 @@ object Dedup {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", vecNorm($"v"))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, $"a.vec_id" < $"b.vec_id")
-      .withColumn("sim",
-        aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-          / ($"a.nrm" * $"b.nrm"))
+      .withColumn("sim", vecDot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
       .withColumn("sim_r", round($"sim", 6))
       .filter($"sim_r" >= 0.35)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"sim_r".as("sim"))

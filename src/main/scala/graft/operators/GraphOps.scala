@@ -33,21 +33,25 @@ object GraphOps {
       .distinct()
   }
 
-  // G1 — co-purchase edge construction (canonical src < dst).
-  def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private def edgesUnsorted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lp = orderParts(s, dir)
     lp.as("a").join(lp.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .groupBy($"a.pk".as("src"), $"b.pk".as("dst"))
       .agg(count(lit(1)).as("weight"))
-      .orderBy($"src", $"dst")
+  }
+
+  // G1 — co-purchase edge construction (canonical src < dst).
+  def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    edgesUnsorted(s, dir).orderBy($"src", $"dst")
   }
 
   // G2 — node degree profile (GraphX `degrees` semantics, computed as a
   // DataFrame aggregation over the canonical edge list).
   def degree(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = copurchaseEdges(s, dir)
+    val e = edgesUnsorted(s, dir)
     e.select($"src".as("part")).unionAll(e.select($"dst"))
       .groupBy($"part")
       .agg(count(lit(1)).as("degree"))
@@ -89,9 +93,10 @@ object GraphOps {
       .orderBy($"r_name", $"n_name")
   }
 
-  /** Co-purchase graph for GraphX analytics: undirected = both arcs. */
+  /** Co-purchase graph for GraphX analytics: undirected = both arcs
+    * (edge list unsorted — GraphX repartitions anyway). */
   private def copurchaseGraph(s: SparkSession, dir: String): Graph[Int, Long] = {
-    val e = copurchaseEdges(s, dir)
+    val e = edgesUnsorted(s, dir)
     val edges = e.rdd.flatMap { r =>
       val (src, dst, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
       Iterator(Edge(src, dst, w), Edge(dst, src, w))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions.{vecDot, vecNorm}
 
 /** Vector-retrieval surface of the reference's Chroma collections
   * (backend/src/api/services/db_service.py: enterprise_data top-k=5
@@ -23,12 +24,10 @@ object VectorOps {
     Tables.embeddings(s, dir)
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", vecNorm($"v"))
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   // V1 — brute-force cosine top-k against a query vector (Chroma
   // similarity retrieval, k=5). Query row is broadcast; ranking happens

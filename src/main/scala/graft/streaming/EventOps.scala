@@ -27,11 +27,12 @@ object EventOps {
       .groupBy(window($"ts", "5 minutes"), $"event_type")
       .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
       .select($"window.start".as("win_start"), $"event_type", $"n_events", $"sum_value")
-      .orderBy($"win_start", $"event_type")
   }
 
-  def windowAggQuery(s: SparkSession, dir: String): DataFrame =
-    windowAgg(Tables.events(s, dir))
+  def windowAggQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    windowAgg(Tables.events(s, dir)).orderBy($"win_start", $"event_type")
+  }
 
   // S2 — gap-based sessionization (30-min inactivity closes a session).
   // Batch form uses lag/running-sum windows partitioned by user_id (high

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Semantic invariants per operator family (the DuckDB oracle checks
+  * value-equality; these check meaning). */
+class OperatorSpec extends SparkSpecBase {
+  import org.apache.spark.sql.Row
+
+  test("q1 pricing summary: one row per (returnflag, linestatus), positive sums") {
+    val df = Relational.q1PricingSummary(spark, sfDir).cache()
+    val n = df.count()
+    assert(n == df.select("l_returnflag", "l_linestatus").distinct().count())
+    assert(df.filter(col("sum_qty") <= 0 || col("sum_charge") <= 0).count() == 0)
+  }
+
+  test("check stock: single deterministic match at the strongest stage") {
+    val rows = Relational.checkStock(spark, sfDir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Int]("stage") == 2) // 'red bolt turbo' absent, 'red'+'bolt' present
+  }
+
+  test("top customers: revenue ordering is non-increasing") {
+    val rev = Relational.topCustomers(spark, sfDir).select("revenue")
+      .collect().map(_.getDouble(0))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("exact dedup partitions the corpus: group sizes sum to row count") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val total = Dedup.exactDedup(spark, sfDir).agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == docs)
+  }
+
+  test("minhash LSH finds every Jaccard>=0.5 pair (recall 1.0 on planted dups)") {
+    val jacc = Dedup.ngramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc.nonEmpty)
+    assert(jacc.subsetOf(mh), s"missed: ${jacc -- mh}")
+  }
+
+  test("simhash near-dup pairs have symmetric, bounded hamming") {
+    val rows = Dedup.simhash(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("hamming") <= 4))
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("cosine topk: sims within [-1,1], descending, k rows") {
+    val rows = VectorOps.cosineTopK(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val sims = rows.map(_.getAs[Double]("sim"))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH ANN returns only vectors from the query's bucket, ranked") {
+    val rows = VectorOps.lshAnn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("bucket")).distinct.length == 1)
+  }
+
+  test("chunking covers every document: chunks reassemble to the original") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val chunks = VectorOps.chunkText(spark, sfDir)
+      .select($"doc_id", $"chunk_id", $"chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    chunks.foreach { case (id, cs) =>
+      // stride 150, window 200: drop the 50-char overlap from every chunk
+      // after the first to reconstruct the source text
+      val rebuilt = cs.head + cs.tail.map(c => c.drop(50)).mkString
+      assert(rebuilt == docs(id), s"doc $id")
+    }
+  }
+
+  test("co-purchase graph: degree sums to 2x edge count; canonical edges") {
+    val edges = GraphOps.copurchaseEdges(spark, sfDir).cache()
+    val degSum = GraphOps.degree(spark, sfDir).agg(sum("degree")).collect()(0).getLong(0)
+    assert(degSum == 2 * edges.count())
+    assert(edges.filter(col("src") >= col("dst")).count() == 0)
+  }
+
+  test("connected components cover every part that has an edge") {
+    val nodes = GraphOps.degree(spark, sfDir).count()
+    val covered = GraphOps.connectedComponents(spark, sfDir)
+      .agg(sum("size")).collect()(0).getLong(0)
+    assert(covered == nodes)
+  }
+
+  test("funnel stages partition the user base") {
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val staged = streaming.EventOps.funnelQuery(spark, sfDir)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    assert(staged == users)
+  }
+
+  test("sessionize: gaps inside a session never exceed the threshold") {
+    import spark.implicits._
+    // max(sess_end - sess_start) must be < n_events * gap
+    val bad = streaming.EventOps.sessionizeQuery(spark, sfDir)
+      .withColumn("span_us", unix_micros($"sess_end") - unix_micros($"sess_start"))
+      .filter($"span_us" > ($"n_events" - 1) * 1800L * 1000000L)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("frame sampling: <=4 frames per doc, offsets stride 100") {
+    val rows = Multimodal.frameSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 4))
+    assert(rows.forall(r => r.getAs[Int]("offset") == r.getAs[Int]("frame_idx") * 100))
+  }
+}

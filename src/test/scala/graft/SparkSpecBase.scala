@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local session for specs; sf0.001 keeps suites fast. */
+trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSpecBase.session
+
+  override def afterAll(): Unit = () // session shared across suites
+}
+
+object SparkSpecBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** The streaming forms of EventOps: same transform, readStream source. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ev(id: Long, sec: Long, user: Long, typ: String, v: Double) =
+    Ev(id, new Timestamp((1704067200L + sec) * 1000L), user, typ, v) // base 2024-01-01: epoch-0 events are below Spark's initial watermark
+
+  test("windowAgg under Structured Streaming equals the batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val data = Seq(
+      ev(1, 0, 1, "view", 1.0), ev(2, 60, 1, "click", 2.0),
+      ev(3, 301, 2, "view", 3.0), ev(4, 302, 2, "purchase", 4.0),
+      ev(5, 900, 1, "view", 5.0))
+
+    val mem = MemoryStream[Ev]
+    mem.addData(data: _*)
+    val q = EventOps.windowAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("win_out")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = EventOps.windowAgg(data.toDF())
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.length == 5) // 3 windows, two split by type
+  }
+
+  test("streaming dedup drops replayed events exactly-once") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(ev(1, 0, 1, "view", 1.0), ev(2, 10, 1, "view", 1.0))
+    mem.addData(ev(1, 0, 1, "view", 1.0)) // at-least-once replay
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(s.table("dedup_out").count() == 2)
+  }
+
+  test("windowed agg with watermark runs in append mode (bounded state)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(ev(1, 0, 1, "view", 1.0), ev(2, 30, 1, "view", 2.0))
+    // events far past the first window advance the watermark and close it
+    mem.addData(ev(3, 4000, 1, "view", 3.0))
+    val q = EventOps.windowAgg(mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("wm_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = s.table("wm_out").collect()
+    assert(closed.length == 1) // only the sealed first window is emitted
+    assert(closed(0).getAs[Long]("n_events") == 2)
+  }
+}
