@@ -43,6 +43,7 @@ object SparkEntry {
     "v_semantic_cache" -> ((s, d) => VectorOps.semanticCache(s, d)),
     "v_knn_per_label" -> ((s, d) => VectorOps.knnPerLabel(s, d)),
     "v_lsh_ann" -> ((s, d) => VectorOps.lshAnn(s, d)),
+    "v_ivf_ann" -> ((s, d) => VectorOps.ivfAnn(s, d)),
     "v_chunk_text" -> ((s, d) => VectorOps.chunkText(s, d)),
     "v_dedup_chunks" -> ((s, d) => VectorOps.dedupChunks(s, d)),
     // Multimodal (SURVEY §2 M1–M2)

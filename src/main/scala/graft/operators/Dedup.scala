@@ -58,9 +58,12 @@ object Dedup {
       .groupBy($"doc_id", $"j")
       .agg(min(((lit(2) * $"j" + 1) * $"hv" + lit(17) * $"j" + 3) % M).as("m"))
     def slot(k: Int): Column = max(when($"j" % 4 === k, $"m")).cast("string")
+    // persisted: the self-join below would otherwise recompute the whole
+    // shingle->minhash->band pipeline for each side
     val bands = mh
       .groupBy($"doc_id", expr("j div 4").as("band"))
       .agg(concat_ws(",", slot(0), slot(1), slot(2), slot(3)).as("sig"))
+      .persist()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
@@ -87,6 +90,7 @@ object Dedup {
     val banded = fp.select($"doc_id", $"fp",
       explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("bv", expr("(fp div shiftleft(1L, 8*k)) % 256"))
+      .persist() // self-joined below
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, $"a.k" === $"b.k" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
@@ -102,7 +106,7 @@ object Dedup {
   // baseline for D2 (at 100 TB: df-capped token list before the join).
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir, 2)
+    val sh = shingles(s, dir, 2).persist() // read 3x: both join sides + sizes
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -126,6 +130,7 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", vecNorm($"v"))
+      .persist() // self-joined below
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, $"a.vec_id" < $"b.vec_id")

@@ -31,6 +31,7 @@ object GraphOps {
     Tables.lineitem(s, dir)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
       .distinct()
+      .persist() // every use self-joins it
   }
 
   private def edgesUnsorted(s: SparkSession, dir: String): DataFrame = {

@@ -25,6 +25,7 @@ object VectorOps {
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", vecNorm($"v"))
+      .persist() // each operator reads it twice (query side + candidate side)
   }
 
   private def dot(a: Column, b: Column): Column = vecDot(a, b)
@@ -109,6 +110,38 @@ object VectorOps {
       .join(broadcast(q), $"bucket" === $"qbucket")
       .withColumn("sim", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
       .select($"vec_id", $"bucket", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+
+  // V4b — IVF ANN (the other scale path): coarse-quantize every vector to
+  // its nearest centroid cell; the query probes only the nProbe nearest
+  // cells and re-ranks exactly inside them. Centroids here are a fixed
+  // deterministic subset (a k-means fit would drop in unchanged).
+  def ivfAnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import s.implicits._
+    val e = normed(s, dir)
+    val cents = e.filter($"vec_id" < nCells)
+      .select($"vec_id".as("cell"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val wA = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", dot($"v", $"cv") / ($"nrm" * $"cnrm"))
+      .withColumn("arn", row_number().over(wA))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val q = e.filter($"vec_id" === queryId)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    val probeCells = cents.crossJoin(broadcast(q))
+      .withColumn("csim", dot($"cv", $"qv") / ($"cnrm" * $"qnrm"))
+      .orderBy($"csim".desc, $"cell")
+      .limit(nProbe)
+      .select($"cell")
+    assigned.filter($"vec_id" =!= queryId)
+      .join(broadcast(probeCells), "cell")
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
+      .select($"vec_id", $"cell", $"sim")
       .orderBy($"sim".desc, $"vec_id")
       .limit(k)
   }

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.TableWriter
+import graft.operators.VectorOps
+
+class SinksSpec extends SparkSpecBase {
+
+  test("partitioned write: a partition filter prunes to one directory") {
+    val out = Files.createTempDirectory("partw").toString + "/li"
+    val li = Tables.lineitem(spark, sfDir)
+    TableWriter.writePartitioned(li, out, Seq("l_returnflag"), Seq("l_shipdate"))
+    val back = spark.read.parquet(out).filter(col("l_returnflag") === "R")
+    // inputFiles is pre-pruning; the physical scan's PartitionFilters is
+    // what proves the filter became directory pruning
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("(l_returnflag"),
+      s"partition filter not pushed:\n$scan")
+    assert(back.count() == li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    TableWriter.writeBucketed(o, "orders_b", "o_orderkey", 4)
+    TableWriter.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4)
+    // small inputs would be broadcast, which bypasses bucketing — force the
+    // shuffle-join path to observe bucket co-location
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF ANN: k results, all drawn from probed cells, ranked descending") {
+    val rows = VectorOps.ivfAnn(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val sims = rows.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length <= 4) // nProbe cells
+  }
+}
