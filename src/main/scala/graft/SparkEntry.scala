@@ -57,6 +57,7 @@ object SparkEntry {
     "g_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
     "g_connected_components" -> ((s, d) => GraphOps.connectedComponents(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
+    "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
     "s_sessionize" -> ((s, d) => streaming.EventOps.sessionizeQuery(s, d)),

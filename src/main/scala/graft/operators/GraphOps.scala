@@ -126,6 +126,18 @@ object GraphOps {
       .orderBy($"size".desc, $"component")
   }
 
+  // G8 — hop distances to landmark products (GraphX Pregel ShortestPaths —
+  // the Cypher shortestPath((a)-[*]-(b)) shape, batched over all nodes).
+  def shortestPaths(s: SparkSession, dir: String, nLandmarks: Int = 3): DataFrame = {
+    import s.implicits._
+    val g = copurchaseGraph(s, dir)
+    val landmarks = g.vertices.map(_._1).takeOrdered(nLandmarks).toSeq
+    val res = org.apache.spark.graphx.lib.ShortestPaths.run(g, landmarks).vertices
+      .flatMap { case (v, spmap) => spmap.map { case (lm, d) => (v, lm, d) } }
+    s.createDataFrame(res).toDF("part", "landmark", "hops")
+      .orderBy($"part", $"landmark")
+  }
+
   // G7 — per-node triangle counts (GraphX; clustering structure).
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -93,10 +93,13 @@ object VectorOps {
     }
   }
 
-  // V4 — LSH ANN (the scale path for V1): 4 sign-bit hyperplane buckets →
-  // candidates are only the query's bucket; exact cosine re-rank inside.
-  // Rows-only check; its recall vs V1 is asserted in the ScalaTest spec.
-  def lshAnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5): DataFrame = {
+  // V4 — LSH ANN (the scale path for V1): 4 sign-bit hyperplane buckets;
+  // multi-probe widens candidates to buckets within Hamming distance
+  // `probeRadius` of the query's bucket (radius 1 ≈ 5× candidates, large
+  // recall gain on near-uniform corpora). Rows-only check; recall vs V1
+  // asserted in the ScalaTest spec.
+  def lshAnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
+      probeRadius: Int = 1): DataFrame = {
     import s.implicits._
     val planes = hyperplanes(4, 64)
     val e = normed(s, dir)
@@ -107,7 +110,8 @@ object VectorOps {
     val q = bucketed.filter($"vec_id" === queryId)
       .select($"v".as("qv"), $"nrm".as("qnrm"), $"bucket".as("qbucket"))
     bucketed.filter($"vec_id" =!= queryId)
-      .join(broadcast(q), $"bucket" === $"qbucket")
+      .join(broadcast(q),
+        expr(s"bit_count(bucket ^ qbucket) <= $probeRadius"))
       .withColumn("sim", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
       .select($"vec_id", $"bucket", $"sim")
       .orderBy($"sim".desc, $"vec_id")

@@ -57,10 +57,28 @@ class OperatorSpec extends SparkSpecBase {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
-  test("LSH ANN returns only vectors from the query's bucket, ranked") {
-    val rows = VectorOps.lshAnn(spark, sfDir).collect()
-    assert(rows.nonEmpty)
-    assert(rows.map(_.getAs[Int]("bucket")).distinct.length == 1)
+  test("LSH ANN: multi-probe beats single-bucket recall vs exact top-5") {
+    val brute = VectorOps.cosineTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    def recall(radius: Int) = {
+      val got = VectorOps.lshAnn(spark, sfDir, probeRadius = radius).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      (brute & got).size / 5.0
+    }
+    // the corpus is near-uniform random (no cluster structure), so absolute
+    // recall at small radius is data-limited; what LSH guarantees is
+    // monotone recall in probe radius, and exactness at full radius
+    val rs = Seq(0, 1, 2, 4).map(recall)
+    assert(rs.zip(rs.tail).forall { case (a, b) => b >= a }, s"not monotone: $rs")
+    assert(rs.last == 1.0, s"full-radius probe must equal brute force: $rs")
+  }
+
+  test("shortest paths: landmarks are at distance 0 from themselves") {
+    val df = GraphOps.shortestPaths(spark, sfDir)
+    val self = df.filter(col("part") === col("landmark"))
+    assert(self.count() == 3)
+    assert(self.filter(col("hops") =!= 0).count() == 0)
+    assert(df.filter(col("hops") < 0).count() == 0)
   }
 
   test("chunking covers every document: chunks reassemble to the original") {
