@@ -27,6 +27,9 @@ object SparkEntry {
     "q_region_revenue" -> ((s, d) => Relational.regionRevenue(s, d)),
     "q_segment_stats" -> ((s, d) => Relational.segmentStats(s, d)),
     "q_order_priority_dist" -> ((s, d) => Relational.orderPriorityDist(s, d)),
+    "q_running_revenue" -> ((s, d) => Relational.runningRevenue(s, d)),
+    "q_top_per_category" -> ((s, d) => Relational.topPerCategory(s, d)),
+    "q_cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
     // Text analysis (SURVEY §2 T1–T4)
     "t_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "t_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -155,6 +158,29 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 20
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_top_per_category" ->
+      """SELECT p_type, rn, p_partkey, p_name, total_qty FROM (
+        | SELECT p_type, p_partkey, p_name, total_qty,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY total_qty DESC, p_partkey) AS BIGINT) rn
+        | FROM (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) total_qty
+        |       FROM lineitem GROUP BY l_partkey) a
+        | JOIN part ON l_partkey = p_partkey) t
+        |WHERE rn <= 3 ORDER BY p_type, rn""".stripMargin,
+    "q_cohort_retention" ->
+      """SELECT cohort_month, order_month, COUNT(DISTINCT o_custkey) AS n_active FROM (
+        | SELECT o.o_custkey, f.cohort_month, date_trunc('month', o.o_orderdate) AS order_month
+        | FROM orders o JOIN (
+        |   SELECT o_custkey ck, date_trunc('month', MIN(o_orderdate)) cohort_month
+        |   FROM orders GROUP BY o_custkey) f
+        | ON o.o_custkey = f.ck) t
+        |GROUP BY cohort_month, order_month ORDER BY cohort_month, order_month""".stripMargin,
     "t_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, fr_hits,
         | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'

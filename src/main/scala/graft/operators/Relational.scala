@@ -205,6 +205,49 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  // R15 — per-customer running revenue (window aggregation; partitions by
+  // the high-cardinality customer key so it scales out).
+  def runningRevenue(s: SparkSession, dir: String, maxCust: Long = 20L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < maxCust)
+      .withColumn("running_total",
+        sum($"o_totalprice".cast(DecimalType(18, 6))).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice", $"running_total")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  // R16 — top-3 products per category (ranked window over a pre-aggregate).
+  def topPerCategory(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val agg = li.groupBy($"l_partkey").agg(dsum($"l_quantity").as("total_qty"))
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+    val w = Window.partitionBy($"p_type").orderBy($"total_qty".desc, $"p_partkey")
+    agg.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"p_type", $"rn", $"p_partkey", $"p_name", $"total_qty")
+      .orderBy($"p_type", $"rn")
+  }
+
+  // R17 — monthly cohort retention: customers grouped by first-order month,
+  // counted in each month they return.
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val firsts = o.groupBy($"o_custkey".as("ck"))
+      .agg(date_trunc("month", min($"o_orderdate")).as("cohort_month"))
+    o.join(firsts, $"o_custkey" === $"ck")
+      .groupBy($"cohort_month", date_trunc("month", $"o_orderdate").as("order_month"))
+      .agg(countDistinct($"o_custkey").as("n_active"))
+      .orderBy($"cohort_month", $"order_month")
+  }
+
   // R14 — order priority distribution over a date window (partition-prunable
   // filter reaches the scan).
   def orderPriorityDist(s: SparkSession, dir: String): DataFrame = {
