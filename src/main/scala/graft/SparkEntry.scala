@@ -246,8 +246,11 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
         |       FROM d WHERE len(w) >= 2),
+        |rare AS (SELECT s FROM sh0 GROUP BY s
+        |         HAVING COUNT(*) <= 0.2 * (SELECT COUNT(*) FROM documents)),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
         |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
         |pr AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ni
         |       FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)

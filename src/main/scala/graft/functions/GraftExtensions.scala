@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    // HOF dot products written by users get the codegen kernel automatically
+    ext.injectOptimizerRule(_ => VecDotRewrite)
   }
 }

@@ -102,11 +102,19 @@ object Dedup {
   }
 
   // D4 — n-gram Jaccard near-dup: word-bigram sets, inverted-index join
-  // for |∩|, Jaccard ≥ 0.5. The quadratic fallback MinHash avoids; exact
-  // baseline for D2 (at 100 TB: df-capped token list before the join).
+  // for |∩|, Jaccard ≥ 0.5 — the exact baseline MinHash (D2) approximates.
+  // Shingles present in > 20% of documents are stop-shingles: they carry no
+  // near-dup signal but dominate the inverted index's pair fanout (the
+  // quadratic term), so they are dropped from the shingle sets on BOTH
+  // engines — at 100 TB this cap is what keeps the join near-linear.
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir, 2).persist() // read 3x: both join sides + sizes
+    val all = shingles(s, dir, 2)
+    val nDocs = Tables.documents(s, dir).count().toDouble
+    val rare = all.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= nDocs * 0.2)
+      .select($"s")
+    val sh = all.join(rare, "s").persist() // read 3x: both join sides + sizes
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
