@@ -66,6 +66,7 @@ object SparkEntry {
     "s_sessionize" -> ((s, d) => streaming.EventOps.sessionizeQuery(s, d)),
     "s_funnel" -> ((s, d) => streaming.EventOps.funnelQuery(s, d)),
     "s_event_dedup" -> ((s, d) => streaming.EventOps.eventDedupQuery(s, d)),
+    "s_recent_history" -> ((s, d) => streaming.EventOps.recentHistoryQuery(s, d)),
   )
 
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
@@ -232,17 +233,17 @@ object SparkEntry {
         |FROM bands a JOIN bands b ON a.band=b.band AND a.sig=b.sig AND a.doc_id<b.doc_id
         |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
     "d_simhash" ->
-      """WITH wd AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text),' '))) wrd FROM documents),
-        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(wrd),1,8)) AS BIGINT) h FROM wd),
+      """WITH wd AS (SELECT doc_id, unnest(string_split(lower(text),' ')) wrd FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(wrd),1,12)) AS BIGINT) h FROM wd),
         |v AS (SELECT doc_id, i, SUM(CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END) vote
-        |      FROM h CROSS JOIN (SELECT unnest(range(0,32)) i) t GROUP BY doc_id, i),
+        |      FROM h CROSS JOIN (SELECT unnest(range(0,48)) i) t GROUP BY doc_id, i),
         |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) fp
         |       FROM v GROUP BY doc_id),
-        |bd AS (SELECT doc_id, fp, k, (fp // (1::BIGINT << CAST(8*k AS INTEGER))) % 256 bv
+        |bd AS (SELECT doc_id, fp, k, (fp // (1::BIGINT << CAST(12*k AS INTEGER))) % 4096 bv
         |       FROM fp CROSS JOIN (SELECT unnest(range(0,4)) k) t)
         |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) hamming
         |FROM bd a JOIN bd b ON a.k=b.k AND a.bv=b.bv AND a.doc_id<b.doc_id
-        |WHERE bit_count(xor(a.fp,b.fp)) <= 4
+        |WHERE bit_count(xor(a.fp,b.fp)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
@@ -376,5 +377,14 @@ object SparkEntry {
         | date_trunc('minute', CAST(ts AS TIMESTAMP)) AS win_minute,
         | MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
         |FROM events GROUP BY 1,2,3 ORDER BY user_id, event_type, win_minute""".stripMargin,
+    "s_recent_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) ts FROM events),
+        |mx AS (SELECT MAX(epoch_us(ts)) max_us FROM e),
+        |live AS (SELECT e.* FROM e, mx WHERE epoch_us(ts) >= max_us - 86400000000),
+        |r AS (SELECT user_id, event_id, event_type, ts,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS BIGINT) rn
+        | FROM live)
+        |SELECT user_id, rn, event_id, ts, event_type FROM r WHERE rn <= 10
+        |ORDER BY user_id, rn""".stripMargin,
   )
 }

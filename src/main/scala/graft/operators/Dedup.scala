@@ -73,15 +73,18 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  // D3 — SimHash near-dup: 32-bit fingerprint from per-word hash bit votes;
-  // candidates via 4 8-bit bands; emit pairs with Hamming distance ≤ 4.
+  // D3 — SimHash near-dup: 48-bit tf-weighted fingerprint (classical
+  // Charikar simhash: every word OCCURRENCE votes, so documents sharing a
+  // vocabulary but differing in frequencies still separate — distinct-set
+  // voting collapsed this corpus's fingerprints to hamming 0);
+  // candidates via 4 12-bit bands; emit pairs with Hamming distance ≤ 6.
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wd = Tables.documents(s, dir)
-      .select($"doc_id", explode(array_distinct(wordsOf($"text"))).as("wrd"))
-      .withColumn("h", conv(substring(md5($"wrd"), 1, 8), 16, 10).cast("long"))
+      .select($"doc_id", explode(wordsOf($"text")).as("wrd"))
+      .withColumn("h", conv(substring(md5($"wrd"), 1, 12), 16, 10).cast("long"))
     val votes = wd
-      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("i"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(47))).as("i"))
       .groupBy($"doc_id", $"i")
       .agg(sum(when(expr("(h div shiftleft(1L, i)) % 2") === 1, 1).otherwise(-1)).as("vote"))
     val fp = votes
@@ -89,7 +92,7 @@ object Dedup {
       .agg(sum(when($"vote" > 0, expr("shiftleft(1L, i)")).otherwise(0L)).as("fp"))
     val banded = fp.select($"doc_id", $"fp",
       explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("bv", expr("(fp div shiftleft(1L, 8*k)) % 256"))
+      .withColumn("bv", expr("(fp div shiftleft(1L, 12*k)) % 4096"))
       .persist() // self-joined below
     val a = banded.as("a")
     val b = banded.as("b")
@@ -97,7 +100,7 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
       .distinct()
-      .filter($"hamming" <= 4)
+      .filter($"hamming" <= 6)
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -81,6 +81,26 @@ object EventOps {
   def funnelQuery(s: SparkSession, dir: String): DataFrame =
     funnel(Tables.events(s, dir))
 
+  // S5 — per-user recent interaction history: the reference's Redis chat
+  // history shape (chat_service.get_redis_history — session-scoped
+  // retrieval with a 24 h TTL), as a TTL window + last-k per user.
+  def recentHistory(events: DataFrame, ttlHours: Int = 24, lastK: Int = 10): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val maxTs = events.agg(max(unix_micros($"ts")).as("max_us"))
+    val live = events.crossJoin(broadcast(maxTs))
+      .filter(unix_micros($"ts") >= $"max_us" - ttlHours * 3600L * 1000000L)
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts").desc, $"event_id".desc)
+    live.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= lastK)
+      .select($"user_id", $"rn", $"event_id", $"ts", $"event_type")
+      .orderBy($"user_id", $"rn")
+  }
+
+  def recentHistoryQuery(s: SparkSession, dir: String): DataFrame =
+    recentHistory(Tables.events(s, dir))
+
   // S4 — at-least-once → exactly-once reduction: collapse duplicate
   // deliveries within a minute per (user, type). Streaming twin:
   // `.withWatermark("ts","10 minutes").dropDuplicates(...)`.

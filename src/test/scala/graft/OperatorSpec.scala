@@ -45,7 +45,7 @@ class OperatorSpec extends SparkSpecBase {
   test("simhash near-dup pairs have symmetric, bounded hamming") {
     val rows = Dedup.simhash(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getAs[Long]("hamming") <= 4))
+    assert(rows.forall(r => r.getAs[Long]("hamming") <= 6))
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
