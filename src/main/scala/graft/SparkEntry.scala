@@ -30,6 +30,8 @@ object SparkEntry {
     "q_running_revenue" -> ((s, d) => Relational.runningRevenue(s, d)),
     "q_top_per_category" -> ((s, d) => Relational.topPerCategory(s, d)),
     "q_cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
+    "q_order_percentiles" -> ((s, d) => Relational.orderPercentiles(s, d)),
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     // Text analysis (SURVEY §2 T1–T4)
     "t_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "t_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -182,6 +184,14 @@ object SparkEntry {
         |   FROM orders GROUP BY o_custkey) f
         | ON o.o_custkey = f.ck) t
         |GROUP BY cohort_month, order_month ORDER BY cohort_month, order_month""".stripMargin,
+    "q_order_percentiles" ->
+      """SELECT c_mktsegment,
+        | ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "t_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, fr_hits,
         | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'

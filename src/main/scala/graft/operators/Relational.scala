@@ -248,6 +248,42 @@ object Relational {
       .orderBy($"cohort_month", $"order_month")
   }
 
+  // R18 — exact order-value percentiles per segment (sort-based exact
+  // percentile; both engines interpolate linearly — rounded to absorb
+  // formula-order float diff). At 100 TB the approx sketch (R19) is the path.
+  def orderPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.9D))").as("ps"),
+        count(lit(1)).as("n_orders"))
+      .select($"c_mktsegment",
+        round(element_at($"ps", 1), 4).as("p25"),
+        round(element_at($"ps", 2), 4).as("p50"),
+        round(element_at($"ps", 3), 4).as("p90"),
+        $"n_orders")
+      .orderBy($"c_mktsegment")
+  }
+
+  // R19 — sketch-based distinct counting (HyperLogLog++): the 100 TB
+  // answer to COUNT(DISTINCT) — constant memory, mergeable across
+  // partitions. Rows-only (sketch estimates are engine-specific); the
+  // exact count rides along so the error is visible.
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"o_custkey").as("n_exact"),
+        approx_count_distinct($"o_custkey", 0.02).as("n_approx"))
+      .withColumn("rel_err",
+        round(abs($"n_approx" - $"n_exact").cast("double") / $"n_exact", 4))
+      .orderBy($"c_mktsegment")
+  }
+
   // R14 — order priority distribution over a date window (partition-prunable
   // filter reaches the scan).
   def orderPriorityDist(s: SparkSession, dir: String): DataFrame = {
