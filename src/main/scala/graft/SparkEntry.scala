@@ -63,6 +63,8 @@ object SparkEntry {
     "g_connected_components" -> ((s, d) => GraphOps.connectedComponents(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
+    // Pipeline composition (SURVEY §2 P1)
+    "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
     "s_sessionize" -> ((s, d) => streaming.EventOps.sessionizeQuery(s, d)),
@@ -353,6 +355,30 @@ object SparkEntry {
         | JOIN nation ON s_nationkey=n_nationkey
         | JOIN region ON n_regionkey=r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "p_corpus_clean" ->
+      """WITH d AS (SELECT doc_id, text, string_split(lower(text),' ') w FROM documents),
+        |keep_exact AS (SELECT MIN(doc_id) doc_id FROM documents GROUP BY md5(text)),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
+        |        FROM d WHERE len(w) >= 2),
+        |rare AS (SELECT s FROM sh0 GROUP BY s
+        |         HAVING COUNT(*) <= 0.2 * (SELECT COUNT(*) FROM documents)),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ni
+        |       FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |losers AS (SELECT DISTINCT db AS doc_id
+        |  FROM pr JOIN sz sa ON da=sa.doc_id JOIN sz sb ON db=sb.doc_id
+        |  WHERE CAST(ni AS DOUBLE)/(sa.n+sb.n-ni) >= 0.5),
+        |quality AS (SELECT doc_id, text FROM d
+        |  WHERE CAST(len(list_filter(w, x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(w) >= 0.05),
+        |survivors AS (SELECT q.doc_id, q.text FROM quality q
+        |  JOIN keep_exact k ON q.doc_id = k.doc_id
+        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM losers))
+        |SELECT doc_id, chunk_id,
+        | substr(text, CAST(chunk_id*150+1 AS INTEGER), 200) AS chunk_text
+        |FROM (SELECT doc_id, text, unnest(range(0, (length(text)-1)//150 + 1)) AS chunk_id
+        |      FROM survivors) t
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "s_window_agg" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS win_start,
         | event_type, COUNT(*) AS n_events,

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** The end-to-end LLM training-data prep flow, composed from the §2
+  * operators: exact dedup → near-dup removal → quality filter → chunking.
+  *
+  * Every stage is the already-oracle-verified operator logic, so the whole
+  * pipeline has an exact DuckDB oracle too. At 100 TB each stage is a
+  * shuffle on a high-cardinality key (hash, pair, doc) — no stage collects
+  * or broadcasts the corpus.
+  */
+object CorpusPipeline {
+
+  /** Cleaned chunk table: doc_id, chunk_id, chunk_text. */
+  def corpusClean(s: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+
+    // 1. exact dedup: keep the smallest doc_id of each identical text
+    val keepExact = docs
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+
+    // 2. near-dup removal: Jaccard >= 0.5 pairs (df-capped shingles);
+    //    the higher doc_id of every pair is dropped
+    val dupLosers = Dedup.ngramJaccard(s, dir).select($"doc_b".as("doc_id")).distinct()
+
+    // 3. quality floor: stopword density (same scoring family as T2)
+    val quality = docs
+      .withColumn("n_words", size(split(lower($"text"), " ")).cast("long"))
+      .withColumn("stop_hits",
+        size(filter(split(lower($"text"), " "),
+          w => w.isInCollection(Seq("the", "a", "of", "and")))).cast("long"))
+      .filter($"stop_hits".cast("double") / $"n_words" >= minQuality / 10.0)
+      .select($"doc_id", $"text")
+
+    // 4. chunk the survivors (200-char window, 150 stride)
+    quality
+      .join(keepExact, "doc_id")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .withColumn("chunk_id", explode(expr("sequence(0, (length(text) - 1) div 150)")))
+      .withColumn("chunk_text", expr("substring(text, chunk_id * 150 + 1, 200)"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"), $"chunk_text")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+}
