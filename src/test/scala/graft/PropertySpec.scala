@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.EventOps
+import java.sql.Timestamp
+
+/** Property-based invariants over randomized inputs (ScalaCheck
+  * generators, fixed seeds): the operators' guarantees must hold for ANY
+  * data, not just the test corpus. */
+class PropertySpec extends SparkSpecBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val eventsGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(n, for {
+      user <- Gen.choose(1L, 3L)
+      offSec <- Gen.choose(0L, 7200L)
+    } yield (user, offSec))
+  } yield evs.zipWithIndex.map { case ((u, o), i) => (i.toLong, o, u) }
+
+  test("sessionize: event count conserved, spans bounded, ids contiguous (random streams)") {
+    val s = spark
+    import s.implicits._
+    samples(eventsGen, 5).foreach { evs =>
+      val df = evs.map { case (id, off, u) =>
+        (id, new Timestamp((1704067200L + off) * 1000L), u)
+      }.toDF("event_id", "ts", "user_id")
+      val sess = EventOps.sessionize(df).collect()
+      assert(sess.map(_.getAs[Long]("n_events")).sum == evs.length)
+      sess.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+        val ids = rows.map(_.getAs[Long]("sess_id")).sorted
+        assert(ids.toSeq == (1L to ids.length).toSeq)
+      }
+      sess.foreach { r =>
+        val span = r.getAs[Timestamp]("sess_end").getTime - r.getAs[Timestamp]("sess_start").getTime
+        assert(span <= (r.getAs[Long]("n_events") - 1) * 1800L * 1000L)
+      }
+    }
+  }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(1, 50)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2"))
+  } yield ws.mkString(" ")
+
+  test("fingerprint: invariant to word order and repetition (random texts)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    samples(textGen, 5).foreach { text =>
+      val shuffled = new scala.util.Random(7).shuffle(text.split(" ").toList).mkString(" ")
+      val doubled = text + " " + text
+      val fps = Seq((0L, text), (1L, shuffled), (2L, doubled))
+        .toDF("doc_id", "text")
+        .select(md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))
+        .collect().map(_.getString(0))
+      assert(fps.distinct.length == 1, s"fingerprint not canonical for: $text")
+    }
+  }
+
+  test("salted join equals plain join on random key distributions") {
+    val s = spark
+    import s.implicits._
+    val skewGen = for {
+      n <- Gen.choose(10, 200)
+      keys <- Gen.listOfN(n, Gen.frequency(8 -> Gen.const(1L), 2 -> Gen.choose(2L, 5L)))
+    } yield keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    samples(skewGen, 3).foreach { rows =>
+      val fact = rows.toDF("k", "payload")
+      val dim = Seq((1L, "hot"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "name")
+      val plain = fact.join(dim, "k").orderBy("k", "payload").collect().toSeq
+      val salted = graft.operators.SkewJoin.salted(fact, dim, "k", 4)
+        .select("k", "payload", "name").orderBy("k", "payload").collect().toSeq
+      assert(salted == plain)
+    }
+  }
+}
