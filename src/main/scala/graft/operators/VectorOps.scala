@@ -11,10 +11,11 @@ import graft.functions.GraftFunctions.{vecDot, vecNorm}
   * retrieval + chunking + content dedup; semantic_cache.py: top-1 cosine
   * with threshold).
   *
-  * Cosine is composed from `zip_with`/`aggregate` built-ins — codegen'd,
-  * no UDF. Exact top-k is the correctness baseline; `lshAnn` is the
-  * 100 TB path (sign-bit bucketing on fixed hyperplanes → candidates are
-  * a bucket, not the corpus).
+  * Cosine runs on the native `vec_dot` codegen kernel (graft.functions.
+  * VecDot) — no UDFs, no interpreted lambdas. Exact top-k is the
+  * correctness baseline; `lshAnn` (multi-probe sign-bit buckets) and
+  * `ivfAnn` (centroid cells) are the 100 TB paths: candidates are a
+  * bucket, not the corpus.
   */
 object VectorOps {
 
