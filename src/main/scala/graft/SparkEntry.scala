@@ -32,6 +32,8 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
     "q_order_percentiles" -> ((s, d) => Relational.orderPercentiles(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    "q_nation_trade" -> ((s, d) => Relational.nationTrade(s, d)),
+    "q_market_share" -> ((s, d) => Relational.marketShare(s, d)),
     // Text analysis (SURVEY §2 T1–T4)
     "t_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "t_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -194,6 +196,39 @@ object SparkEntry {
         | COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_nation_trade" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM (
+        | SELECT n1.n_name supp_nation, n2.n_name cust_nation,
+        |        CAST(year(l_shipdate) AS INTEGER) l_year, l_extendedprice, l_discount
+        | FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |  JOIN supplier ON l_suppkey=s_suppkey
+        |  JOIN nation n1 ON s_nationkey=n1.n_nationkey
+        |  JOIN customer ON o_custkey=c_custkey
+        |  JOIN nation n2 ON c_nationkey=n2.n_nationkey
+        | WHERE (n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+        |    OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1')) t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_market_share" ->
+      """SELECT o_year, nation_revenue, total_revenue,
+        | ROUND(nation_revenue/total_revenue, 6) AS mkt_share
+        |FROM (
+        | SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN sn='NATION_3' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS nation_revenue,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        | FROM (
+        |  SELECT n1.n_name sn, o_orderdate, l_extendedprice, l_discount
+        |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |   JOIN supplier ON l_suppkey=s_suppkey
+        |   JOIN nation n1 ON s_nationkey=n1.n_nationkey
+        |   JOIN customer ON o_custkey=c_custkey
+        |   JOIN nation n2 ON c_nationkey=n2.n_nationkey
+        |   JOIN region ON n2.n_regionkey=r_regionkey
+        |  WHERE r_name='ASIA') t
+        | GROUP BY 1) t2 ORDER BY o_year""".stripMargin,
     "t_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, fr_hits,
         | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'

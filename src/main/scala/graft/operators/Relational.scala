@@ -248,6 +248,59 @@ object Relational {
       .orderBy($"cohort_month", $"order_month")
   }
 
+  // R20 — bilateral trade volume (TPC-H Q7 shape): revenue shipped between
+  // two nations, by direction and year. Exercises the double dimension-hop
+  // join with a cross-pair filter.
+  def nationTrade(s: SparkSession, dir: String,
+      n1: String = "NATION_1", n2: String = "NATION_2"): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val custN = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(custN), $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === n1 && $"cust_nation" === n2) ||
+        ($"supp_nation" === n2 && $"cust_nation" === n1))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  // R21 — market share (TPC-H Q8 shape): one nation's share of revenue
+  // within a customer region, per year — conditional aggregation over a
+  // multi-hop join.
+  def marketShare(s: SparkSession, dir: String,
+      nation: String = "NATION_3", region: String = "ASIA"): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val custR = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"r_name")
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(custR), $"o_custkey" === $"c_custkey")
+      .filter($"r_name" === region)
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        dsum(when($"supp_nation" === nation, vol).otherwise(0.0)).as("nation_revenue"),
+        dsum(vol).as("total_revenue"))
+      .withColumn("mkt_share",
+        round($"nation_revenue" / $"total_revenue", 6))
+      .orderBy($"o_year")
+  }
+
   // R18 — exact order-value percentiles per segment (sort-based exact
   // percentile; both engines interpolate linearly — rounded to absorb
   // formula-order float diff). At 100 TB the approx sketch (R19) is the path.
