@@ -73,6 +73,7 @@ object SparkEntry {
     "s_funnel" -> ((s, d) => streaming.EventOps.funnelQuery(s, d)),
     "s_event_dedup" -> ((s, d) => streaming.EventOps.eventDedupQuery(s, d)),
     "s_recent_history" -> ((s, d) => streaming.EventOps.recentHistoryQuery(s, d)),
+    "s_props_stats" -> ((s, d) => streaming.EventOps.propsStatsQuery(s, d)),
   )
 
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
@@ -457,5 +458,11 @@ object SparkEntry {
         | FROM live)
         |SELECT user_id, rn, event_id, ts, event_type FROM r WHERE rn <= 10
         |ORDER BY user_id, rn""".stripMargin,
+    "s_props_stats" ->
+      """SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+        | MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type, TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -81,6 +81,23 @@ object EventOps {
   def funnelQuery(s: SparkSession, dir: String): DataFrame =
     funnel(Tables.events(s, dir))
 
+  // S7 — semi-structured payload extraction: the `props` JSON column
+  // parsed in-flight (get_json_object) and aggregated — the scraped-JSON
+  // payload shape (db_service.ingest_data) handled without a schema pass.
+  def propsStats(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS long)")) // ANSI mode: a bad value must yield null, not kill the job
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  def propsStatsQuery(s: SparkSession, dir: String): DataFrame =
+    propsStats(Tables.events(s, dir))
+
   // S5 — per-user recent interaction history: the reference's Redis chat
   // history shape (chat_service.get_redis_history — session-scoped
   // retrieval with a 24 h TTL), as a TTL window + last-k per user.
