@@ -31,17 +31,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
+      finally Caches.clearAll() // scoped persists don't leak into the next run
       (System.nanoTime() - t0) / 1e9
     }
 
-    run("q1_pricing_summary") // warm-up: JIT, codegen, FS metadata
+    // min-of-3: the host has noisy co-tenants (r1→r2 showed ±60% on identical
+    // binaries); the per-query minimum is the stable structural signal
+    def run(name: String): Double = {
+      val ts = Seq.fill(3)(runOnce(name))
+      if (ts.exists(_ < 0)) -1.0 else ts.min
+    }
+
+    runOnce("q1_pricing_summary") // warm-up: JIT, codegen, FS metadata
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -45,6 +45,7 @@ object SparkEntry {
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "d_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     // Vector (SURVEY §2 V1–V6)
     "v_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "v_semantic_cache" -> ((s, d) => VectorOps.semanticCache(s, d)),
@@ -74,6 +75,8 @@ object SparkEntry {
     "s_event_dedup" -> ((s, d) => streaming.EventOps.eventDedupQuery(s, d)),
     "s_recent_history" -> ((s, d) => streaming.EventOps.recentHistoryQuery(s, d)),
     "s_props_stats" -> ((s, d) => streaming.EventOps.propsStatsQuery(s, d)),
+    // Transactional write-path folds (SURVEY §2 / VERDICT r2 missing #1)
+    "s_place_order" -> ((s, d) => streaming.OrderFold.placeOrderQuery(s, d)),
   )
 
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
@@ -282,16 +285,25 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
     "d_simhash" ->
       """WITH wd AS (SELECT doc_id, unnest(string_split(lower(text),' ')) wrd FROM documents),
-        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(wrd),1,12)) AS BIGINT) h FROM wd),
-        |v AS (SELECT doc_id, i, SUM(CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END) vote
-        |      FROM h CROSS JOIN (SELECT unnest(range(0,48)) i) t GROUP BY doc_id, i),
-        |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) fp
+        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(wrd),1,8)) AS BIGINT) h_lo,
+        |             CAST(('0x'||substr(md5(wrd),9,8)) AS BIGINT) h_hi FROM wd),
+        |v AS (SELECT doc_id, i, SUM(CASE WHEN
+        |        (CASE WHEN i < 32 THEN h_lo // (1::BIGINT << i)
+        |              ELSE h_hi // (1::BIGINT << (i - 32)) END) % 2 = 1
+        |        THEN 1 ELSE -1 END) vote
+        |      FROM h CROSS JOIN (SELECT unnest(range(0,64)) i) t GROUP BY doc_id, i),
+        |fp AS (SELECT doc_id,
+        |        CAST(SUM(CASE WHEN vote > 0 AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) fp_lo,
+        |        CAST(SUM(CASE WHEN vote > 0 AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) fp_hi
         |       FROM v GROUP BY doc_id),
-        |bd AS (SELECT doc_id, fp, k, (fp // (1::BIGINT << CAST(12*k AS INTEGER))) % 4096 bv
+        |bd AS (SELECT doc_id, fp_lo, fp_hi, k,
+        |        CASE WHEN k < 2 THEN (fp_lo // (1::BIGINT << CAST(16*k AS INTEGER))) % 65536
+        |             ELSE (fp_hi // (1::BIGINT << CAST(16*(k-2) AS INTEGER))) % 65536 END bv
         |       FROM fp CROSS JOIN (SELECT unnest(range(0,4)) k) t)
-        |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) hamming
+        |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
+        | CAST(bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT) hamming
         |FROM bd a JOIN bd b ON a.k=b.k AND a.bv=b.bv AND a.doc_id<b.doc_id
-        |WHERE bit_count(xor(a.fp,b.fp)) <= 6
+        |WHERE bit_count(xor(a.fp_lo,b.fp_lo)) + bit_count(xor(a.fp_hi,b.fp_hi)) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
@@ -464,5 +476,29 @@ object SparkEntry {
         |FROM (SELECT event_type, TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) k
         |      FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The place_order greedy fold (accept iff qty fits remaining stock,
+    // rejects consume nothing) is a per-key recursion — expressed in
+    // DuckDB as a recursive CTE stepping through each part's request log.
+    "s_place_order" ->
+      """WITH RECURSIVE
+        |req AS (SELECT l_partkey pk, l_quantity qty,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) AS BIGINT) rn
+        |        FROM lineitem),
+        |st AS (
+        |  SELECT p_partkey pk, CAST(0 AS BIGINT) rn, CAST(p_size*10 AS DOUBLE) avail,
+        |         CAST(0 AS DOUBLE) qty, FALSE acc
+        |  FROM part
+        |  UNION ALL
+        |  SELECT r.pk, r.rn,
+        |    CASE WHEN r.qty <= st.avail THEN st.avail - r.qty ELSE st.avail END,
+        |    r.qty, r.qty <= st.avail
+        |  FROM st JOIN req r ON r.pk = st.pk AND r.rn = st.rn + 1
+        |)
+        |SELECT pk AS part, COUNT(*) AS n_requests,
+        |  CAST(COUNT(*) FILTER (WHERE acc) AS BIGINT) AS n_accepted,
+        |  CAST(COUNT(*) FILTER (WHERE NOT acc) AS BIGINT) AS n_rejected,
+        |  CAST(SUM(CAST(CASE WHEN acc THEN qty ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS qty_accepted,
+        |  CAST(MIN(avail) AS DOUBLE) AS stock_left
+        |FROM st WHERE rn > 0 GROUP BY pk ORDER BY part""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.Tables
+import graft.{Caches, Tables}
 
 /** Graph surface of the reference's Neo4j product/category graph
   * (backend/src/api/services/neo4j_service.py: IN_CATEGORY traversals,
@@ -26,13 +26,13 @@ import graft.Tables
 object GraphOps {
 
   /** Distinct (order, part) pairs — the bipartite projection input. */
-  private def orderParts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .distinct()
-      .persist() // every use self-joins it
-  }
+  private def orderParts(s: SparkSession, dir: String): DataFrame =
+    Caches.cached(s"orderparts:$dir") { // every use self-joins it
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        .distinct()
+    }
 
   private def edgesUnsorted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -94,24 +94,36 @@ object GraphOps {
       .orderBy($"r_name", $"n_name")
   }
 
-  /** Co-purchase graph for GraphX analytics: undirected = both arcs
-    * (edge list unsorted — GraphX repartitions anyway). */
-  private def copurchaseGraph(s: SparkSession, dir: String): Graph[Int, Long] = {
-    val e = edgesUnsorted(s, dir)
-    val edges = e.rdd.flatMap { r =>
+  /** Undirected GraphX graph from a canonical (src, dst, weight) edge
+    * frame: both arcs materialized (GraphX repartitions anyway).
+    * Parameterized so the fixture specs can run the same analytics on
+    * planted graphs with known ranks/triangles. */
+  private[graft] def graphOf(edges: DataFrame): Graph[Int, Long] = {
+    val arcs = edges.rdd.flatMap { r =>
       val (src, dst, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
       Iterator(Edge(src, dst, w), Edge(dst, src, w))
     }
-    Graph.fromEdges(edges, 0, StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    Graph.fromEdges(arcs, 0, StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def copurchaseGraph(s: SparkSession, dir: String): Graph[Int, Long] =
+    graphOf(edgesUnsorted(s, dir))
+
+  /** Static PageRank ranks for an arbitrary canonical edge frame. */
+  private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val ranks = graphOf(edges).staticPageRank(iters).vertices
+    s.createDataFrame(ranks).toDF("part", "rank_raw")
+      .select($"part", round($"rank_raw", 6).as("rank"))
   }
 
   // G5 — PageRank centrality over the co-purchase graph (GraphX;
-  // rows-only check — iterative fixpoint isn't oracle-SQL-expressible).
+  // rows-only check — iterative fixpoint isn't oracle-SQL-expressible;
+  // GraphSpec asserts exact fixpoint values on planted fixture graphs).
   def pageRank(s: SparkSession, dir: String, iters: Int = 10, k: Int = 20): DataFrame = {
     import s.implicits._
-    val ranks = copurchaseGraph(s, dir).staticPageRank(iters).vertices
-    s.createDataFrame(ranks).toDF("part", "rank_raw")
-      .select($"part", round($"rank_raw", 6).as("rank"))
+    pageRankOf(edgesUnsorted(s, dir), iters)
       .orderBy($"rank".desc, $"part")
       .limit(k)
   }
@@ -138,13 +150,19 @@ object GraphOps {
       .orderBy($"part", $"landmark")
   }
 
-  // G7 — per-node triangle counts (GraphX; clustering structure).
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+  /** Per-node triangle counts for an arbitrary canonical edge frame. */
+  private[graft] def triangleCountOf(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
     import s.implicits._
-    val tc = copurchaseGraph(s, dir)
+    val tc = graphOf(edges)
       .partitionBy(PartitionStrategy.RandomVertexCut)
       .triangleCount().vertices
     s.createDataFrame(tc).toDF("part", "triangles")
       .orderBy($"part")
   }
+
+  // G7 — per-node triangle counts (GraphX; clustering structure;
+  // GraphSpec asserts exact counts on a planted fixture graph).
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleCountOf(edgesUnsorted(s, dir))
 }

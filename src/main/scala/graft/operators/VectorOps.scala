@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Caches, Tables}
 import graft.functions.GraftFunctions.{vecDot, vecNorm}
 
 /** Vector-retrieval surface of the reference's Chroma collections
@@ -13,21 +13,24 @@ import graft.functions.GraftFunctions.{vecDot, vecNorm}
   *
   * Cosine runs on the native `vec_dot` codegen kernel (graft.functions.
   * VecDot) — no UDFs, no interpreted lambdas. Exact top-k is the
-  * correctness baseline; `lshAnn` (multi-probe sign-bit buckets) and
-  * `ivfAnn` (centroid cells) are the 100 TB paths: candidates are a
-  * bucket, not the corpus.
+  * correctness baseline; `lshAnn` (banded sign-bit LSH, multi-probe) and
+  * `ivfAnn` (k-means cells) are the 100 TB paths: candidates are a few
+  * buckets, not the corpus.
   */
 object VectorOps {
 
-  /** embedding → double vector + its L2 norm, computed once per row. */
-  private def normed(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.embeddings(s, dir)
-      .select($"vec_id", $"label",
-        transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", vecNorm($"v"))
-      .persist() // each operator reads it twice (query side + candidate side)
-  }
+  /** embedding → double vector, L2 norm, and unit vector, computed once
+    * per row; memoized per (dir) so every vector operator in a session
+    * shares one cached materialization (no duplicate persists). */
+  private[graft] def normed(s: SparkSession, dir: String): DataFrame =
+    Caches.cached(s"vec-normed:$dir") {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"label",
+          transform($"embedding", x => x.cast("double")).as("v"))
+        .withColumn("nrm", vecNorm($"v"))
+        .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    }
 
   private def dot(a: Column, b: Column): Column = vecDot(a, b)
 
@@ -94,51 +97,91 @@ object VectorOps {
     }
   }
 
-  // V4 — LSH ANN (the scale path for V1): 4 sign-bit hyperplane buckets;
-  // multi-probe widens candidates to buckets within Hamming distance
-  // `probeRadius` of the query's bucket (radius 1 ≈ 5× candidates, large
-  // recall gain on near-uniform corpora). Rows-only check; recall vs V1
-  // asserted in the ScalaTest spec.
-  def lshAnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
-      probeRadius: Int = 1): DataFrame = {
+  /** Banded sign-bit LSH signatures (LSH amplification): `bands` bands of
+    * `bits` hyperplane sign bits each, exploded to one (vec_id, k, bv) row
+    * per band. Two vectors are candidates when some band matches (exactly,
+    * or within a small in-band Hamming radius for multi-probe). With r
+    * bits per band and b bands, a pair at cosine angle θ collides with
+    * probability 1-(1-(1-θ/π)^r)^b — the classic S-curve: steep for true
+    * near-dups, flat for random pairs, tunable via (b, r) per workload.
+    * Bucket count per band is 2^bits ≫ executor count, so the band-bucket
+    * join shuffles on high-cardinality keys. */
+  private[graft] def bandSigs(df: DataFrame, bands: Int, bits: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    require(bits <= 30, "band value must fit an int")
+    val planes = hyperplanes(bands * bits, 64)
+    val sigs = array((0 until bands).map { k =>
+      val bv = (0 until bits).map { t =>
+        when(vecDot($"u", typedLit(planes(k * bits + t).toSeq)) >= 0, 1 << t).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(k).as("k"), bv.as("bv"))
+    }: _*)
+    df.withColumn("sig", explode(sigs))
+      .withColumn("k", $"sig.k").withColumn("bv", $"sig.bv")
+      .drop("sig")
+  }
+
+  /** Candidate vec_ids for a query under banded LSH: vectors sharing a
+    * band bucket with the query within `probeRadius` in-band Hamming bits
+    * (multi-probe). Exposed for the candidate-fraction spec. */
+  private[graft] def lshCandidates(s: SparkSession, dir: String, queryId: Long,
+      probeRadius: Int, bands: Int, bits: Int): DataFrame = {
     import s.implicits._
-    val planes = hyperplanes(4, 64)
+    val sigs = bandSigs(normed(s, dir).select($"vec_id", $"u"), bands, bits)
+      .select($"vec_id", $"k", $"bv")
+    val q = sigs.filter($"vec_id" === queryId).select($"k", $"bv".as("qbv"))
+    sigs.filter($"vec_id" =!= queryId)
+      .join(broadcast(q), Seq("k"))
+      .filter(expr(s"bit_count(bv ^ qbv) <= $probeRadius"))
+      .select($"vec_id")
+      .distinct()
+  }
+
+  // V4 — LSH ANN (the scale path for V1): banded sign-bit LSH (16 bands ×
+  // 8 bits = 128 planes), multi-probe within each band; candidates are
+  // exact-reranked. Rows-only check; recall monotonicity in probe radius,
+  // full-radius exactness, and the candidate-set fraction are asserted in
+  // the ScalaTest spec (this corpus has no planted high-sim neighbours, so
+  // absolute recall at tight radius is data-limited; the planted-fixture
+  // spec shows the ≥0.95-cosine regime: recall 1.0 from a few % of the
+  // corpus).
+  def lshAnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
+      probeRadius: Int = 1, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    import s.implicits._
     val e = normed(s, dir)
-    val bucketed = e.withColumn("bucket",
-      planes.zipWithIndex.map { case (hp, p) =>
-        when(dot($"v", typedLit(hp.toSeq)) >= 0, 1 << p).otherwise(0)
-      }.reduce(_ + _))
-    val q = bucketed.filter($"vec_id" === queryId)
-      .select($"v".as("qv"), $"nrm".as("qnrm"), $"bucket".as("qbucket"))
-    bucketed.filter($"vec_id" =!= queryId)
-      .join(broadcast(q),
-        expr(s"bit_count(bucket ^ qbucket) <= $probeRadius"))
+    val cands = lshCandidates(s, dir, queryId, probeRadius, bands, bitsPerBand)
+    val q = e.filter($"vec_id" === queryId)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    e.join(cands, "vec_id")
+      .crossJoin(broadcast(q))
       .withColumn("sim", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
-      .select($"vec_id", $"bucket", $"sim")
+      .select($"vec_id", $"sim")
       .orderBy($"sim".desc, $"vec_id")
       .limit(k)
   }
 
-  // V4b — IVF ANN (the other scale path): coarse-quantize every vector to
-  // its nearest centroid cell; the query probes only the nProbe nearest
-  // cells and re-ranks exactly inside them. Centroids here are a fixed
-  // deterministic subset (a k-means fit would drop in unchanged).
+  // V4b — IVF ANN (the other scale path): k-means coarse quantizer
+  // (VecCluster, Lloyd in DataFrames); every vector sits in its nearest
+  // centroid cell, the query probes only the nProbe nearest cells and
+  // re-ranks exactly inside them. Candidate cost ≈ nProbe/nCells of the
+  // corpus; recall vs brute force is asserted in the spec.
   def ivfAnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame =
+    ivfAnnOn(normed(s, dir), queryId, k, nCells, nProbe, iters)
+
+  /** IVF core on any normed frame (vec_id, v, nrm, u) — fixture-testable. */
+  private[graft] def ivfAnnOn(e: DataFrame, queryId: Long, k: Int,
+      nCells: Int, nProbe: Int, iters: Int): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = normed(s, dir)
-    val cents = e.filter($"vec_id" < nCells)
-      .select($"vec_id".as("cell"), $"v".as("cv"), $"nrm".as("cnrm"))
-    val wA = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", dot($"v", $"cv") / ($"nrm" * $"cnrm"))
-      .withColumn("arn", row_number().over(wA))
-      .filter($"arn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cell")
+    val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, iters)
+    val assigned = e.withColumn("cell", VecCluster.cellOf($"u", cents))
     val q = e.filter($"vec_id" === queryId)
-      .select($"v".as("qv"), $"nrm".as("qnrm"))
-    val probeCells = cents.crossJoin(broadcast(q))
-      .withColumn("csim", dot($"cv", $"qv") / ($"cnrm" * $"qnrm"))
+      .select($"v".as("qv"), $"nrm".as("qnrm"), $"u".as("qu"))
+    val centsDf = s.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }).toDF("cell", "cv")
+    val probeCells = centsDf.crossJoin(broadcast(q))
+      .withColumn("csim", dot($"cv", $"qu")) // both unit vectors
       .orderBy($"csim".desc, $"cell")
       .limit(nProbe)
       .select($"cell")

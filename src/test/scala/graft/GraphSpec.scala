@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.GraphOps
+
+/** Fixture-graph assertions for the GraphX analytics that have no SQL
+  * oracle (VERDICT r2 item 7): planted graphs with hand-computable
+  * PageRank fixpoints and triangle counts.
+  */
+class GraphSpec extends SparkSpecBase {
+
+  private def edges(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    pairs.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "weight")
+  }
+
+  test("pagerank: K4 fixpoint is rank 1.0 everywhere") {
+    // regular graph: r = 0.15 + 0.85 * (3 * r/3) = r has fixpoint 1.0,
+    // and the iteration starts there — exact at any iteration count
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val ranks = GraphOps.pageRankOf(k4, iters = 10).collect()
+    assert(ranks.length == 4)
+    ranks.foreach(r => assert(math.abs(r.getAs[Double]("rank") - 1.0) < 1e-6,
+      s"vertex ${r.getLong(0)} rank ${r.getDouble(1)}"))
+  }
+
+  test("pagerank: star graph fixpoint — centre 2.378, leaves 0.655") {
+    // star S4 (centre 0, leaves 1..4), undirected:
+    //   r_c = 0.15 + 0.85 * 4 * (r_l / 1),  r_l = 0.15 + 0.85 * (r_c / 4)
+    // solving: r_c = 0.66 / 0.2775 ≈ 2.37838, r_l ≈ 0.65540; the coupled
+    // centre↔leaf map contracts by 0.7225 per TWO sync iterations, so
+    // 60 iters ≈ 0.7225^30 ≈ 6e-5 residual
+    val star = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val ranks = GraphOps.pageRankOf(star, iters = 60).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks(0L) - 2.37838) < 1e-3, s"centre ${ranks(0L)}")
+    (1L to 4L).foreach(l =>
+      assert(math.abs(ranks(l) - 0.65540) < 1e-3, s"leaf $l ${ranks(l)}"))
+    assert(ranks(0L) > ranks(1L), "centre must outrank leaves")
+  }
+
+  test("triangle count: planted K3 + pendant edge has exact counts") {
+    // K3 {1,2,3} (one triangle each) + edge {4,5} (zero), bridge 3-4
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val tc = GraphOps.triangleCountOf(g).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tc == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0), s"got $tc")
+  }
+
+  test("pagerank on the corpus: positive ranks, top-k size, deterministic order") {
+    val rows = GraphOps.pageRank(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+}

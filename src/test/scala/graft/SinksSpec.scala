@@ -43,6 +43,6 @@ class SinksSpec extends SparkSpecBase {
     assert(rows.length == 5)
     val sims = rows.map(_.getAs[Double]("sim"))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
-    assert(rows.map(_.getAs[Long]("cell")).distinct.length <= 4) // nProbe cells
+    assert(rows.map(_.getAs[Int]("cell")).distinct.length <= 4) // nProbe cells
   }
 }

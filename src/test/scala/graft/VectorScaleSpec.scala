@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, VecCluster, VectorOps}
+
+/** Scale-design assertions for the vector operators (VERDICT r2 items
+  * 2–4): the exact near-dup join must carry no all-pairs operator in its
+  * physical plan, banded LSH must reach recall 1.0 on planted near-dups
+  * from a small candidate fraction, and k-means IVF must beat a trivial
+  * quantizer's recall at the same probe budget.
+  */
+class VectorScaleSpec extends SparkSpecBase {
+
+  /** Deterministic planted corpus: `nBase` seed vectors, each with one
+    * near-dup at cosine ≥ 0.97 (tiny perturbation), plus isotropic noise
+    * vectors. Returns a normed frame (vec_id, v, nrm, u) like
+    * VectorOps.normed. */
+  private def plantedCorpus(nBase: Int, nNoise: Int, dim: Int): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    def randVec() = Array.fill(dim)(rnd.nextGaussian())
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Array.fill(nBase)(unit(randVec()))
+    val dups = bases.map { b =>
+      unit(b.zip(unit(randVec())).map { case (x, e) => x + 0.15 * e })
+    }
+    val noise = Array.fill(nNoise)(unit(randVec()))
+    val all = (bases ++ dups ++ noise).zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toSeq)
+    }
+    val s = spark
+    import s.implicits._
+    s.createDataFrame(all.toSeq).toDF("vec_id", "v")
+      .withColumn("nrm", lit(1.0))
+      .withColumn("u", col("v"))
+  }
+
+  test("exact near-dup: cell-pruned join ≡ all-pairs baseline, plan has no nested-loop") {
+    val pruned = Dedup.embeddingNearDup(spark, sfDir)
+    val baseline = Dedup.embeddingNearDupAllPairs(spark, sfDir)
+    val got = pruned.collect().map(_.toString).toSet
+    val want = baseline.collect().map(_.toString).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "all-pairs join in plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian in plan")
+  }
+
+  test("LSH near-dup: recall 1.0 on planted >=0.95-cosine pairs from a small candidate fraction") {
+    val nBase = 20
+    val e = plantedCorpus(nBase, nNoise = 160, dim = 64).cache()
+    val n = e.count()
+    // planted pair (i, i+nBase) for each base i
+    val planted = (0 until nBase).map(i => (i.toLong, (i + nBase).toLong)).toSet
+    val found = Dedup.embeddingNearDupLshOn(e, tau = 0.9, bands = 16, bitsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(found), s"missed planted pairs: ${planted -- found}")
+    // the S-curve cut: candidates are a few % of the N*(N-1)/2 pair space
+    val candidates = Dedup.lshPairCandidates(e, bands = 16, bitsPerBand = 8).count()
+    val allPairs = n * (n - 1) / 2.0
+    assert(candidates / allPairs <= 0.15,
+      s"candidate fraction ${candidates / allPairs} not a cut")
+    e.unpersist()
+  }
+
+  test("banded LSH ANN: recall monotone in probe radius, exact at full radius") {
+    val brute = VectorOps.cosineTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    def recall(radius: Int) = {
+      val got = VectorOps.lshAnn(spark, sfDir, probeRadius = radius).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      (brute & got).size / 5.0
+    }
+    // this corpus is near-uniform random (no planted neighbours), so
+    // absolute recall at tight radius is data-limited; the guarantees are
+    // monotone recall in probe radius and exactness at full radius
+    val rs = Seq(0, 1, 2, 8).map(recall)
+    assert(rs.zip(rs.tail).forall { case (a, b) => b >= a }, s"not monotone: $rs")
+    assert(rs.last == 1.0, s"full-radius probe must equal brute force: $rs")
+  }
+
+  test("banded LSH ANN: multi-probe candidates are a strict subset of the corpus") {
+    val n = Tables.embeddings(spark, sfDir).count() - 1
+    val cands = VectorOps.lshCandidates(spark, sfDir, queryId = 0L,
+      probeRadius = 1, bands = 16, bits = 8).count()
+    assert(cands < n * 0.6, s"radius-1 candidates $cands of $n is not a cut")
+    assert(cands >= 5, "too few candidates to rank top-5")
+  }
+
+  test("IVF ANN: k-means cells + nProbe probing recall beats probing budget share") {
+    val brute = VectorOps.cosineTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = VectorOps.ivfAnn(spark, sfDir, nCells = 16, nProbe = 4).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = (brute & ivf).size / 5.0
+    // probing 4/16 cells scans ~25% of the corpus; a quantizer that carried
+    // no signal would land recall ≈ budget share. This corpus is isotropic
+    // (nearest neighbours sit at cosine 0.3–0.45, barely above random), so
+    // the measurable bar here is "above budget share"; the clustered-data
+    // regime where IVF actually shines is the planted-fixture test below.
+    assert(recall > 0.25, s"IVF recall $recall no better than probe budget share")
+  }
+
+  test("IVF ANN on clustered data: planted near-dup recovered from nProbe=2 of 16 cells") {
+    val e = plantedCorpus(nBase = 20, nNoise = 160, dim = 64).cache()
+    // query vector 0 is a base; vector 20 is its planted ≥0.97-cosine dup —
+    // k-means must co-locate them (or place the dup in the next-nearest
+    // cell), so a 2-cell probe of 16 finds it at rank 1
+    val top = VectorOps.ivfAnnOn(e, queryId = 0L, k = 5, nCells = 16,
+      nProbe = 2, iters = 5).collect()
+    assert(top.head.getAs[Long]("vec_id") == 20L,
+      s"planted dup not top-1: ${top.map(_.getAs[Long]("vec_id")).toSeq}")
+    e.unpersist()
+  }
+
+  test("k-means: cells partition the corpus and tighten the quantizer") {
+    val s = spark
+    import s.implicits._
+    val e = VectorOps.normed(s, sfDir).select($"vec_id", $"u").cache()
+    val n = e.count()
+    val k1 = VecCluster.kmeans(e, k = 16, iters = 1)
+    val k5 = VecCluster.kmeans(e, k = 16, iters = 5)
+    def cost(cents: Array[Array[Double]]): Double =
+      e.select(VecCluster.cellSimOf($"u", cents).as("cs"))
+        .agg(sum($"cs")).collect()(0).getDouble(0) / n
+    // mean cosine-to-assigned-centroid must improve with Lloyd iterations
+    // (monotone non-decreasing objective is Lloyd's invariant)
+    val (c1, c5) = (cost(k1), cost(k5))
+    assert(c5 >= c1 - 1e-9, s"Lloyd objective decreased: $c1 -> $c5")
+    val cells = e.select(VecCluster.cellOf($"u", k5).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(cells.map(_.getLong(1)).sum == n)
+    assert(cells.length > 1, "k-means collapsed to one cell")
+    e.unpersist()
+  }
+}
