@@ -7,7 +7,10 @@ object PlanProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q_region_revenue", "q_user_orders", "q_revenue_by_category", "q_top_customers", "d_minhash_lsh", "s_sessionize")) {
+    for (q <- Seq("q_region_revenue", "q_user_orders", "q_revenue_by_category",
+        "q_top_customers", "d_minhash_lsh", "s_sessionize",
+        "g_copurchase_edges", "d_embedding_neardup", "d_embedding_neardup_lsh",
+        "s_place_order", "v_lsh_ann", "v_ivf_ann")) {
       println(s"===== $q")
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       val lines = plan.split("\n")
