@@ -77,6 +77,9 @@ object SparkEntry {
     "s_props_stats" -> ((s, d) => streaming.EventOps.propsStatsQuery(s, d)),
     // Transactional write-path folds (SURVEY §2 / VERDICT r2 missing #1)
     "s_place_order" -> ((s, d) => streaming.OrderFold.placeOrderQuery(s, d)),
+    // Temporal joins (SURVEY §2 J1–J2)
+    "j_asof_attribution" -> ((s, d) => TemporalJoins.asofAttribution(s, d)),
+    "j_range_promo" -> ((s, d) => TemporalJoins.promoRangeJoin(s, d)),
   )
 
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
@@ -500,5 +503,36 @@ object SparkEntry {
         |  CAST(SUM(CAST(CASE WHEN acc THEN qty ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS qty_accepted,
         |  CAST(MIN(avail) AS DOUBLE) AS stock_left
         |FROM st WHERE rn > 0 GROUP BY pk ORDER BY part""".stripMargin,
+    // As-of join expressed as the same carry-forward window on both
+    // engines (portable; DuckDB's ASOF JOIN keyword would match too).
+    "j_asof_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts,
+        |             CASE WHEN event_type='view' THEN 0 ELSE 1 END tag
+        |           FROM events WHERE event_type IN ('view','purchase')),
+        |w AS (SELECT *,
+        |  LAST_VALUE(CASE WHEN tag=0 THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_id,
+        |  LAST_VALUE(CASE WHEN tag=0 THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_ts
+        | FROM e)
+        |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, view_id, view_ts,
+        |  epoch_us(ts) - epoch_us(view_ts) AS lag_us
+        |FROM w WHERE tag=1 ORDER BY user_id, purchase_ts, purchase_id""".stripMargin,
+    // Range join: the oracle states the interval condition directly; the
+    // Spark side proves the bucketed equi-join computes the same relation.
+    "j_range_promo" ->
+      """WITH promos(promo_id, start_ts, end_ts) AS (VALUES
+        |  (1, TIMESTAMP '1995-02-01', TIMESTAMP '1995-07-01'),
+        |  (2, TIMESTAMP '1996-11-15', TIMESTAMP '1997-02-15'),
+        |  (3, TIMESTAMP '1997-01-01', TIMESTAMP '1998-01-01'),
+        |  (4, TIMESTAMP '1997-06-10', TIMESTAMP '1997-06-20'),
+        |  (5, TIMESTAMP '1999-12-01', TIMESTAMP '2000-03-01'))
+        |SELECT promo_id, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN promos
+        |  ON l_shipdate >= start_ts AND l_shipdate < end_ts
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
   )
 }
