@@ -1,0 +1,107 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.{CacheSync, OrderFold}
+import graft.streaming.CacheSync.CacheEvent
+import graft.streaming.OrderFold.{StatusEvent, StockRequest}
+
+/** Property-based invariants for the transactional folds: the distributed
+  * Dataset folds must equal independent plain-Scala replays of the same
+  * log, for ANY randomized log — not just the fixtures. */
+class FoldPropertySpec extends SparkSpecBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1234L + i)))
+
+  private val orderLogGen: Gen[List[StockRequest]] = for {
+    n <- Gen.choose(1, 60)
+    stocks <- Gen.listOfN(3, Gen.choose(10, 60))
+    reqs <- Gen.listOfN(n, for {
+      pk <- Gen.choose(0, 2)
+      qty <- Gen.choose(1, 20)
+    } yield (pk, qty))
+  } yield reqs.zipWithIndex.map { case ((pk, qty), i) =>
+    StockRequest(pk.toLong, i.toLong, 1, qty.toDouble, stocks(pk).toDouble)
+  }
+
+  test("place_order fold equals a plain-Scala replay; stock never oversold (random logs)") {
+    val s = spark
+    import s.implicits._
+    samples(orderLogGen, 5).foreach { log =>
+      val got = OrderFold.decisionsOf(log.toDS()).collect()
+        .sortBy(d => (d.part, d.okey))
+      // independent replay
+      val want = log.groupBy(_.pk).toSeq.flatMap { case (pk, rs) =>
+        var avail = rs.head.stock
+        rs.sortBy(_.okey).map { r =>
+          val acc = r.qty <= avail
+          if (acc) avail -= r.qty
+          (pk, r.okey, acc, avail)
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got.map(d => (d.part, d.okey, d.accepted, d.stock_after)).toSeq == want)
+      // conservation: per part, accepted quantity never exceeds stock
+      got.groupBy(_.part).foreach { case (pk, ds) =>
+        val stock = log.find(_.pk == pk).get.stock
+        val accQty = ds.filter(_.accepted).map(_.qty).sum
+        assert(accQty <= stock + 1e-9)
+        assert(ds.map(_.stock_after).min >= -1e-9)
+      }
+    }
+  }
+
+  private val statusLogGen: Gen[List[StatusEvent]] = for {
+    n <- Gen.choose(1, 30)
+    evs <- Gen.listOfN(n, for {
+      id <- Gen.choose(1L, 4L)
+      st <- Gen.oneOf("O", "P", "F", "C")
+    } yield (id, st))
+  } yield evs.zipWithIndex.map { case ((id, st), i) => StatusEvent(id, st, i.toLong) }
+
+  test("status fold equals a plain-Scala replay; terminal states absorb (random logs)") {
+    val s = spark
+    import s.implicits._
+    samples(statusLogGen, 5).foreach { log =>
+      val got = OrderFold.statusSnapshot(log.toDS()).collect()
+        .map(st => st.order_id -> st).toMap
+      log.groupBy(_.order_id).foreach { case (id, evs) =>
+        var cur = "O"; var app = 0L; var rej = 0L
+        evs.sortBy(_.seq).foreach { e =>
+          if (cur == "O" || cur == "P") { cur = e.to_status; app += 1 } else rej += 1
+        }
+        assert(got(id).status == cur && got(id).n_applied == app && got(id).n_rejected == rej)
+        // absorption: everything after the first terminal transition is rejected
+        assert(got(id).n_applied + got(id).n_rejected == evs.length)
+      }
+    }
+  }
+
+  private val cacheLogGen: Gen[List[CacheEvent]] = for {
+    n <- Gen.choose(1, 30)
+    evs <- Gen.listOfN(n, for {
+      key <- Gen.oneOf("a", "b", "c")
+      op <- Gen.frequency(6 -> Gen.const("put"), 2 -> Gen.const("evict"), 1 -> Gen.const("clear"))
+    } yield (key, op))
+  } yield evs.zipWithIndex.map { case ((k, op), i) =>
+    CacheEvent(if (op == "clear") "" else k, s"r$i", i.toLong, op)
+  }
+
+  test("cache fold: live set equals a plain-Scala replay with global clears (random logs)") {
+    val s = spark
+    import s.implicits._
+    samples(cacheLogGen, 5).foreach { log =>
+      val live = CacheSync.liveSnapshot(log.toDF())
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      var ref = Map.empty[String, String]
+      log.sortBy(_.seq).foreach { e =>
+        e.op match {
+          case "put"   => ref += (e.key -> e.response)
+          case "evict" => ref -= e.key
+          case "clear" => ref = Map.empty
+        }
+      }
+      assert(live == ref, s"log=$log")
+    }
+  }
+}
