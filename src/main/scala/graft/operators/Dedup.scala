@@ -167,8 +167,11 @@ object Dedup {
   // (k centroids + k radii), shuffle keyed by cell, AQE-skew-tolerant.
   // The probabilistic sub-quadratic path for true near-dup thresholds
   // (τ ≥ 0.8) is `embeddingNearDupLsh` below.
+  // iters default is low: pruning is conservative for ANY centroids, so
+  // extra Lloyd passes only sharpen the cut (worth it on clusterable
+  // corpora, pure fixed cost here); exactness never depends on it.
   def embeddingNearDup(s: SparkSession, dir: String, tau: Double = 0.35,
-      nCells: Int = 8, iters: Int = 4): DataFrame = {
+      nCells: Int = 8, iters: Int = 2): DataFrame = {
     import s.implicits._
     val e = VectorOps.normed(s, dir)
     val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, iters)
