@@ -54,6 +54,7 @@ object SparkEntry {
     "v_ivf_ann" -> ((s, d) => VectorOps.ivfAnn(s, d)),
     "v_chunk_text" -> ((s, d) => VectorOps.chunkText(s, d)),
     "v_dedup_chunks" -> ((s, d) => VectorOps.dedupChunks(s, d)),
+    "v_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(s, d)),
     // Multimodal (SURVEY §2 M1–M2)
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -371,6 +372,14 @@ object SparkEntry {
     "v_dedup_chunks" ->
       """SELECT md5(lower(trim(text))) AS norm_h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "v_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) mx FROM e),
+        |q AS (SELECT vec_id, mx, list_transform(v, x -> CAST(round(x * 127.0 / mx) AS INTEGER)) q FROM m)
+        |SELECT vec_id, ROUND(mx, 6) AS scale,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_self_dot
+        |FROM q ORDER BY vec_id""".stripMargin,
     "m_binary_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id%2=0 THEN 'image' ELSE 'audio' END AS kind,

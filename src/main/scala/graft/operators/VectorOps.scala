@@ -207,6 +207,46 @@ object VectorOps {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  // V7 — int8 scalar quantization of the embedding column: per-vector
+  // symmetric scale (max-abs / 127), q_i = round(x_i / scale). At 100 TB
+  // the embedding store is memory/IO-bound — int8 quarters the footprint
+  // and the quantized dot product stays in integer SIMD. Outputs are
+  // integer aggregates of the quantized vector (plus the rounded scale),
+  // so the DuckDB oracle is bit-exact; the recall cost of quantized
+  // cosine is asserted in the spec (top-k on int8 ≈ exact top-k).
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("mx", array_max(transform($"v", x => abs(x))))
+      .withColumn("q", expr("transform(v, x -> cast(round(x * 127.0 / mx) AS int))"))
+      .select($"vec_id", round($"mx", 6).as("scale"),
+        expr("cast(aggregate(q, 0L, (a, x) -> a + abs(x)) AS bigint)").as("q_l1"),
+        expr("cast(aggregate(q, 0L, (a, x) -> a + cast(x AS bigint) * x) AS bigint)").as("q_self_dot"))
+      .orderBy($"vec_id")
+  }
+
+  /** Quantized-cosine top-k (same shape as V1 but over int8 codes scaled
+    * back) — the spec compares its top-k against the exact V1 ranking. */
+  private[graft] def int8TopK(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("mx", array_max(transform($"v", x => abs(x))))
+      .withColumn("dq", expr(
+        "transform(v, x -> cast(cast(round(x * 127.0 / mx) AS int) AS double) * mx / 127.0)"))
+      .withColumn("nrm", vecNorm($"dq"))
+    val q = e.filter($"vec_id" === queryId)
+      .select($"dq".as("qv"), $"nrm".as("qnrm"))
+    e.filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(dot($"dq", $"qv") / ($"nrm" * $"qnrm"), 6))
+      .select($"vec_id", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+
   // V6 — retrieval dedup by normalized content (db_service.py:371
   // get_formatted_chunks: seen_contents keyed on content.strip().lower()).
   def dedupChunks(s: SparkSession, dir: String): DataFrame = {

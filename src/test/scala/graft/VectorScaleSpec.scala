@@ -116,6 +116,16 @@ class VectorScaleSpec extends SparkSpecBase {
     e.unpersist()
   }
 
+  test("int8 quantization: top-k on quantized codes matches the exact ranking") {
+    val exact = VectorOps.cosineTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val quant = VectorOps.int8TopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    // int8 symmetric quantization keeps ~0.3% relative error per
+    // component; top-5 may swap at most one borderline neighbour
+    assert((exact & quant).size >= 4, s"int8 recall too low: $quant vs $exact")
+  }
+
   test("k-means: cells partition the corpus and tighten the quantizer") {
     val s = spark
     import s.implicits._
