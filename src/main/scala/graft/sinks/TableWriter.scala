@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Parquet layout writers for downstream scale:
@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions.col
   *  - `writeBucketed`: pre-shuffled bucket layout → joins/aggregations on
   *    the bucket key read co-located data and skip the shuffle entirely
   *    (SortMergeJoin with zero Exchange — the 100 TB repeated-join answer).
+  *  - `compact`: small-file compaction — streaming/incremental ingestion
+  *    leaves thousands of KB-sized files per partition; re-reading them
+  *    dominates task-scheduling overhead at scale. Rewrites a directory
+  *    to ~`targetRowsPerFile` rows per file with an optional locality
+  *    sort (row-group min/max skipping survives compaction).
   */
 object TableWriter {
 
@@ -21,6 +26,20 @@ object TableWriter {
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Rewrite `inPath` (parquet, possibly thousands of small files) to
+    * `outPath` with files of ~targetRowsPerFile rows. Row count, not
+    * bytes, keys the split so the file count is deterministic; a byte
+    * target divides by the table's average row width upstream. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetRowsPerFile: Long, sortCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val re = df.repartition(files)
+    (if (sortCols.nonEmpty) re.sortWithinPartitions(sortCols.map(col): _*) else re)
+      .write.mode("overwrite").parquet(outPath)
+  }
 
   /** Requires a session with a warehouse dir; registers `table`. */
   def writeBucketed(df: DataFrame, table: String,

@@ -38,6 +38,22 @@ class SinksSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction: thousands of tiny files collapse to the target count, content intact") {
+    val base = Files.createTempDirectory("compact").toString
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")
+    li.repartition(200).write.parquet(s"$base/small") // simulate ingest debris
+    assert(spark.read.parquet(s"$base/small").inputFiles.length >= 190)
+    TableWriter.compact(spark, s"$base/small", s"$base/big",
+      targetRowsPerFile = 2000, sortCols = Seq("l_orderkey"))
+    val out = spark.read.parquet(s"$base/big")
+    val expected = ((li.count() + 1999) / 2000).toInt
+    assert(out.inputFiles.length == expected,
+      s"got ${out.inputFiles.length} files, want $expected")
+    assert(out.count() == li.count())
+    assert(out.select(sum(col("l_quantity"))).collect()(0).getDouble(0)
+      == li.select(sum(col("l_quantity"))).collect()(0).getDouble(0))
+  }
+
   test("IVF ANN: k results, all drawn from probed cells, ranked descending") {
     val rows = VectorOps.ivfAnn(spark, sfDir).collect()
     assert(rows.length == 5)
