@@ -76,6 +76,7 @@ object SparkEntry {
     "s_event_dedup" -> ((s, d) => streaming.EventOps.eventDedupQuery(s, d)),
     "s_recent_history" -> ((s, d) => streaming.EventOps.recentHistoryQuery(s, d)),
     "s_props_stats" -> ((s, d) => streaming.EventOps.propsStatsQuery(s, d)),
+    "s_enrich" -> ((s, d) => streaming.EventOps.enrichQuery(s, d)),
     // Transactional write-path folds (SURVEY §2 / VERDICT r2 missing #1)
     "s_place_order" -> ((s, d) => streaming.OrderFold.placeOrderQuery(s, d)),
     // Temporal joins (SURVEY §2 J1–J2)
@@ -488,6 +489,11 @@ object SparkEntry {
         |FROM (SELECT event_type, TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) k
         |      FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s_enrich" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        | c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY user_id, event_id""".stripMargin,
     // The place_order greedy fold (accept iff qty fits remaining stock,
     // rejects consume nothing) is a per-key recursion — expressed in
     // DuckDB as a recursive CTE stepping through each part's request log.

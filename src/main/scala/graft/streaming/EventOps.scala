@@ -132,4 +132,25 @@ object EventOps {
 
   def eventDedupQuery(s: SparkSession, dir: String): DataFrame =
     eventDedup(Tables.events(s, dir))
+
+  // S11 — stream-static enrichment: attach the customer dimension to the
+  // event stream (user_id = c_custkey). The dim broadcasts, so under
+  // Structured Streaming every micro-batch joins against executor-local
+  // state with no shuffle of the stream — the standard streaming-enrich
+  // shape at any scale (dim refresh = re-broadcast, not a stream rewind).
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.join(
+        broadcast(customer.select($"c_custkey", $"c_name", $"c_mktsegment")),
+        $"user_id" === $"c_custkey")
+      .select($"user_id", $"event_id", $"ts", $"event_type",
+        $"c_name", $"c_mktsegment")
+  }
+
+  def enrichQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    enrich(Tables.events(s, dir), Tables.customer(s, dir))
+      .orderBy($"user_id", $"event_id")
+  }
 }

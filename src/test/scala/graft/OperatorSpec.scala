@@ -57,6 +57,15 @@ class OperatorSpec extends SparkSpecBase {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("approx distinct: HLL++ estimate within 5x the configured rsd of exact") {
+    val rows = Relational.approxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") <= 0.10, // rsd 0.02, generous 5σ bound
+        s"${r.getString(0)}: rel_err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
   test("shortest paths: landmarks are at distance 0 from themselves") {
     val df = GraphOps.shortestPaths(spark, sfDir)
     val self = df.filter(col("part") === col("landmark"))

@@ -53,6 +53,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(s.table("dedup_out").count() == 2)
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dim = Tables.customer(s, sfDir)
+    val data = Seq(ev(1, 0, 1, "view", 1.0), ev(2, 60, 2, "click", 2.0),
+      ev(3, 120, 1, "purchase", 3.0))
+    val mem = MemoryStream[Ev]
+    mem.addData(data.take(2): _*)
+    mem.addData(data.drop(2): _*)
+    val q = EventOps.enrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("enrich_out").orderBy("event_id").collect().map(_.toString).toSeq
+    val batch = EventOps.enrich(data.toDF(), dim).orderBy("event_id").collect().map(_.toString).toSeq
+    assert(streamed == batch && batch.length == 3)
+  }
+
   test("windowed agg with watermark runs in append mode (bounded state)") {
     val s = spark
     import s.implicits._
