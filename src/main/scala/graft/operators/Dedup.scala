@@ -125,9 +125,12 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = shingles(s, dir, 2)
-    val nDocs = Tables.documents(s, dir).count().toDouble
+    // corpus size enters as a broadcast single-row aggregate, not a
+    // driver-side count: the whole query stays one lazy plan
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("nd"))
     val rare = all.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" <= nDocs * 0.2)
+      .crossJoin(broadcast(nDocs))
+      .filter($"df" <= $"nd" * 0.2)
       .select($"s")
     val sh = Caches.cached(s"ngram-sh:$dir") {
       all.join(rare, "s")
