@@ -39,6 +39,8 @@ object SparkEntry {
     "t_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "t_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "t_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "t_hash_sample" -> ((s, d) => Sampling.hashSample(s, d)),
+    "t_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -286,6 +288,18 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_hash_sample" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE CAST(('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "t_stratified_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x'||substr(md5('strat:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT), doc_id)
+        |   AS BIGINT) rk
+        | FROM documents) t
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
