@@ -70,8 +70,9 @@ object SparkEntry {
     "g_connected_components" -> ((s, d) => GraphOps.connectedComponents(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
-    // Pipeline composition (SURVEY §2 P1)
+    // Pipeline composition (SURVEY §2 P1–P2)
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
+    "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
     "s_sessionize" -> ((s, d) => streaming.EventOps.sessionizeQuery(s, d)),
@@ -463,6 +464,30 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, unnest(range(0, (length(text)-1)//150 + 1)) AS chunk_id
         |      FROM survivors) t
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // Greedy sequence packing is a per-(lang, shard) fold — recursive CTE
+    // replay, the same oracle pattern as s_place_order.
+    "p_pack_tokens" ->
+      """WITH RECURSIVE
+        |d AS (SELECT lang,
+        |        CAST(CAST(('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 4 AS INTEGER) shard,
+        |        doc_id,
+        |        CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) tokens
+        |      FROM documents),
+        |r AS (SELECT lang, shard, doc_id, tokens,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) rn
+        |      FROM d),
+        |st AS (
+        |  SELECT lang, shard, CAST(0 AS BIGINT) rn, CAST(0 AS BIGINT) doc_id,
+        |         CAST(0 AS BIGINT) tokens, CAST(1 AS BIGINT) bin_id, CAST(0 AS BIGINT) fill
+        |  FROM (SELECT DISTINCT lang, shard FROM r) g
+        |  UNION ALL
+        |  SELECT r.lang, r.shard, r.rn, r.doc_id, r.tokens,
+        |    CASE WHEN st.fill > 0 AND st.fill + r.tokens > 200 THEN st.bin_id + 1 ELSE st.bin_id END,
+        |    CASE WHEN st.fill > 0 AND st.fill + r.tokens > 200 THEN r.tokens ELSE st.fill + r.tokens END
+        |  FROM st JOIN r ON r.lang = st.lang AND r.shard = st.shard AND r.rn = st.rn + 1
+        |)
+        |SELECT lang, shard, doc_id, tokens, bin_id, fill AS fill_after
+        |FROM st WHERE rn > 0 ORDER BY lang, shard, doc_id""".stripMargin,
     "s_window_agg" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS win_start,
         | event_type, COUNT(*) AS n_events,

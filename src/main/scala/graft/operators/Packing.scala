@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps.h64
+
+/** Sequence packing for training batches: greedily pack documents into
+  * token-budget bins (each training sequence concatenates whole documents
+  * up to the context size; an over-budget document opens its own bin).
+  *
+  * A global greedy fold is inherently sequential, so the corpus is first
+  * salted into (lang, shard) groups — shard = doc-hash % nShards keeps
+  * every group bounded no matter how large a language stratum grows —
+  * and packing runs as an independent in-memory fold per group (the same
+  * shuffle-by-key + bounded-group-fold shape as the place_order fold).
+  * Packing quality is unaffected by sharding beyond ≤1 partially-filled
+  * bin per shard, the usual distributed-packing trade.
+  */
+object Packing {
+
+  case class PackDoc(lang: String, shard: Int, doc_id: Long, tokens: Long)
+  case class PackedDoc(lang: String, shard: Int, doc_id: Long, tokens: Long,
+      bin_id: Long, fill_after: Long)
+
+  private def packGroup(key: (String, Int), docs: Iterator[PackDoc],
+      budget: Long): Iterator[PackedDoc] = {
+    val ds = docs.toArray.sortBy(_.doc_id)
+    var bin = 1L
+    var fill = 0L
+    ds.iterator.map { d =>
+      if (fill > 0 && fill + d.tokens > budget) { bin += 1; fill = 0L }
+      fill += d.tokens
+      PackedDoc(d.lang, d.shard, d.doc_id, d.tokens, bin, fill)
+    }
+  }
+
+  private[graft] def docsWithTokens(s: SparkSession, dir: String,
+      nShards: Int): Dataset[PackDoc] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", (h64(concat(lit("pack:"), $"doc_id")) % nShards).cast("int").as("shard"),
+        $"doc_id", size(split(trim($"text"), " +")).cast("long").as("tokens"))
+      .as[PackDoc]
+  }
+
+  /** queries entry `p_pack_tokens`: per-document bin assignment, hash-
+    * matched against a DuckDB recursive-CTE replay of the same greedy
+    * fold. */
+  def packTokens(s: SparkSession, dir: String, budget: Long = 200L,
+      nShards: Int = 4): DataFrame = {
+    import s.implicits._
+    docsWithTokens(s, dir, nShards)
+      .groupByKey(d => (d.lang, d.shard))
+      .flatMapGroups((k: (String, Int), it: Iterator[PackDoc]) => packGroup(k, it, budget))
+      .toDF()
+      .orderBy($"lang", $"shard", $"doc_id")
+  }
+}

@@ -57,6 +57,21 @@ class OperatorSpec extends SparkSpecBase {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("sequence packing: bins respect the budget, docs conserved, bin ids contiguous") {
+    import org.apache.spark.sql.Row
+    val rows = operators.Packing.packTokens(spark, sfDir, budget = 200L).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val byBin = rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"), r.getAs[Long]("bin_id")))
+    byBin.foreach { case (k, ds) =>
+      val total = ds.map(_.getAs[Long]("tokens")).sum
+      assert(total <= 200L || ds.length == 1, s"$k over budget with ${ds.length} docs")
+    }
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"))).foreach { case (k, ds) =>
+      val bins = ds.map(_.getAs[Long]("bin_id")).distinct.sorted
+      assert(bins.toSeq == (1L to bins.length).toSeq, s"$k bins not contiguous: ${bins.toSeq}")
+    }
+  }
+
   test("approx distinct: HLL++ estimate within 5x the configured rsd of exact") {
     val rows = Relational.approxDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
