@@ -75,6 +75,7 @@ object SparkEntry {
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
+    "s_sliding_agg" -> ((s, d) => streaming.EventOps.slidingAggQuery(s, d)),
     "s_sessionize" -> ((s, d) => streaming.EventOps.sessionizeQuery(s, d)),
     "s_funnel" -> ((s, d) => streaming.EventOps.funnelQuery(s, d)),
     "s_event_dedup" -> ((s, d) => streaming.EventOps.eventDedupQuery(s, d)),
@@ -493,6 +494,14 @@ object SparkEntry {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // sliding 10-min/5-min windows: every event belongs to exactly two
+    // windows, generated by the k∈{0,1} unnest
+    "s_sliding_agg" ->
+      """SELECT make_timestamp(CAST((floor(epoch(ts)/300) - k)*300*1000000 AS BIGINT)) AS win_start,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest(range(0,2)) AS k) t
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "s_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events),
         |l AS (SELECT user_id, event_id, ts,

@@ -34,6 +34,23 @@ object EventOps {
     windowAgg(Tables.events(s, dir)).orderBy($"win_start", $"event_type")
   }
 
+  // S1b — sliding 10-minute window every 5 minutes: each event lands in
+  // two overlapping windows (window() materializes the assignment list —
+  // no self-union). Streaming form is identical plus a watermark.
+  def slidingAgg(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("win_start"), $"event_type", $"n_events", $"sum_value")
+  }
+
+  def slidingAggQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    slidingAgg(Tables.events(s, dir)).orderBy($"win_start", $"event_type")
+  }
+
   // S2 — gap-based sessionization (30-min inactivity closes a session).
   // Batch form uses lag/running-sum windows partitioned by user_id (high
   // cardinality → scales out); the streaming twin is
