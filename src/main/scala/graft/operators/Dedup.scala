@@ -237,6 +237,9 @@ object Dedup {
     import s.implicits._
     val e = VectorOps.normed(s, dir)
     val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, iters)
+    if (cents.isEmpty) // empty corpus → no cells, no pairs
+      return e.select($"vec_id".as("vec_a"), $"vec_id".as("vec_b"),
+        lit(0.0).as("sim")).limit(0)
     val assigned = graft.Caches.cached(s"neardup-assigned:$dir") {
       e.select($"vec_id", $"v", $"nrm", $"u")
         .withColumn("cell", VecCluster.cellOf($"u", cents))

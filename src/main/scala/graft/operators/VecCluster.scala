@@ -47,7 +47,8 @@ object VecCluster {
       .orderBy($"h", $"vec_id")
       .limit(k)
       .select($"u").as[Seq[Double]].collect().map(_.toArray)
-    val dim = cents.headOption.map(_.length).getOrElse(0)
+    if (cents.isEmpty) return cents // empty corpus → nothing to iterate
+    val dim = cents.head.length
     for (_ <- 0 until iters) {
       val sums = unit
         .select(cellOf($"u", cents).as("cell"), posexplode($"u").as(Seq("pos", "x")))

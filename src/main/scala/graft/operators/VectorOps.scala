@@ -175,6 +175,8 @@ object VectorOps {
     val s = e.sparkSession
     import s.implicits._
     val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, iters)
+    if (cents.isEmpty) // empty corpus → no centroids, no candidates
+      return e.select($"vec_id", lit(0).as("cell"), lit(0.0).as("sim")).limit(0)
     val assigned = e.withColumn("cell", VecCluster.cellOf($"u", cents))
     val q = e.filter($"vec_id" === queryId)
       .select($"v".as("qv"), $"nrm".as("qnrm"), $"u".as("qu"))
