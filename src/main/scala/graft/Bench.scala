@@ -19,6 +19,12 @@ object Bench {
     "v_cosine_topk", "d_minhash_lsh", "d_embedding_neardup",
     "s_window_agg", "s_sessionize")
 
+  // r3+ additions, timed and reported per-query but excluded from `total`
+  // so the headline total stays comparable across rounds
+  private val extras = Seq(
+    "s_place_order", "d_ngram_jaccard_lsh", "p_pack_tokens",
+    "j_asof_attribution", "p_corpus_clean")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,8 +57,10 @@ object Bench {
 
     runOnce("q1_pricing_summary") // warm-up: JIT, codegen, FS metadata
     val results = headline.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val extraResults = extras.map(n => n -> run(n))
+    val qs = (results ++ extraResults)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum // headline only
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

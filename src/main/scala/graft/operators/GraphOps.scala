@@ -135,27 +135,39 @@ object GraphOps {
       .limit(k)
   }
 
-  // G6 — product communities: connected components + size (GraphX).
-  def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+  /** Component sizes for an arbitrary canonical edge frame. */
+  private[graft] def connectedComponentsOf(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
     import s.implicits._
-    val cc = copurchaseGraph(s, dir).connectedComponents().vertices
+    val cc = graphOf(edges).connectedComponents().vertices
     s.createDataFrame(cc).toDF("part", "component")
       .groupBy($"component")
       .agg(count(lit(1)).as("size"))
       .orderBy($"size".desc, $"component")
   }
 
-  // G8 — hop distances to landmark products (GraphX Pregel ShortestPaths —
-  // the Cypher shortestPath((a)-[*]-(b)) shape, batched over all nodes).
-  def shortestPaths(s: SparkSession, dir: String, nLandmarks: Int = 3): DataFrame = {
+  // G6 — product communities: connected components + size (GraphX).
+  def connectedComponents(s: SparkSession, dir: String): DataFrame =
+    connectedComponentsOf(edgesUnsorted(s, dir))
+
+  /** Hop distances to landmarks for an arbitrary canonical edge frame
+    * (vertices unreachable from a landmark carry no row for it — the
+    * Pregel ShortestPaths contract). */
+  private[graft] def shortestPathsOf(edges: DataFrame, nLandmarks: Int): DataFrame = {
+    val s = edges.sparkSession
     import s.implicits._
-    val g = copurchaseGraph(s, dir)
+    val g = graphOf(edges)
     val landmarks = g.vertices.map(_._1).takeOrdered(nLandmarks).toSeq
     val res = org.apache.spark.graphx.lib.ShortestPaths.run(g, landmarks).vertices
       .flatMap { case (v, spmap) => spmap.map { case (lm, d) => (v, lm, d) } }
     s.createDataFrame(res).toDF("part", "landmark", "hops")
       .orderBy($"part", $"landmark")
   }
+
+  // G8 — hop distances to landmark products (GraphX Pregel ShortestPaths —
+  // the Cypher shortestPath((a)-[*]-(b)) shape, batched over all nodes).
+  def shortestPaths(s: SparkSession, dir: String, nLandmarks: Int = 3): DataFrame =
+    shortestPathsOf(edgesUnsorted(s, dir), nLandmarks)
 
   /** Per-node triangle counts for an arbitrary canonical edge frame. */
   private[graft] def triangleCountOf(edges: DataFrame): DataFrame = {

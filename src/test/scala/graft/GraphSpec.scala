@@ -47,6 +47,28 @@ class GraphSpec extends SparkSpecBase {
     assert(tc == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0), s"got $tc")
   }
 
+  test("connected components: planted two-island graph has exact sizes") {
+    // island A = path 1-2-3 (3 nodes), island B = edge 10-11 (2 nodes)
+    val g = edges((1L, 2L), (2L, 3L), (10L, 11L))
+    val sizes = GraphOps.connectedComponentsOf(g).collect()
+      .map(_.getAs[Long]("size")).sorted.toSeq
+    assert(sizes == Seq(2L, 3L), s"got $sizes")
+  }
+
+  test("shortest paths: planted path graph has exact hop counts") {
+    // path 1-2-3-4 plus unreachable island 10-11; landmarks = 2 smallest
+    // vertex ids = {1, 2}
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val got = GraphOps.shortestPathsOf(g, nLandmarks = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1,
+      (2L, 1L) -> 1, (2L, 2L) -> 0,
+      (3L, 1L) -> 2, (3L, 2L) -> 1,
+      (4L, 1L) -> 3, (4L, 2L) -> 2)
+    assert(got == want, s"got $got") // islands carry no rows: unreachable
+  }
+
   test("pagerank on the corpus: positive ranks, top-k size, deterministic order") {
     val rows = GraphOps.pageRank(spark, sfDir).collect()
     assert(rows.length == 20)
