@@ -47,22 +47,27 @@ object Dedup {
 
   // D2 — MinHash + LSH near-dup: word-3-gram shingles → 16 minhash perms →
   // 4 bands of 4 → pairs sharing ≥1 band bucket. Output: candidate pair +
-  // how many of the 4 bands collided.
+  // how many of the 4 bands collided. All 16 permutation minima aggregate
+  // in ONE groupBy over the shingle rows (16 min() columns) — no ×16 row
+  // explosion ahead of the shuffle; map-side combine reduces each
+  // partition to one row per doc.
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = 1000000007L
     val h = shingles(s, dir, 3)
       .select($"doc_id", (h64($"s") % M).as("hv"))
-    val mh = h
-      .select($"doc_id", $"hv", explode(sequence(lit(0), lit(15))).as("j"))
-      .groupBy($"doc_id", $"j")
-      .agg(min(((lit(2) * $"j" + 1) * $"hv" + lit(17) * $"j" + 3) % M).as("m"))
-    def slot(k: Int): Column = max(when($"j" % 4 === k, $"m")).cast("string")
+    def perm(j: Int): Column =
+      min((lit(2L * j + 1) * $"hv" + lit(17L * j + 3)) % M).as(s"m$j")
+    val mh = h.groupBy($"doc_id").agg(perm(0), (1 until 16).map(perm): _*)
     // cached: the self-join below would otherwise recompute the whole
     // shingle->minhash->band pipeline for each side
     val bands = Caches.cached(s"minhash-bands:$dir") {
-      mh.groupBy($"doc_id", expr("j div 4").as("band"))
-        .agg(concat_ws(",", slot(0), slot(1), slot(2), slot(3)).as("sig"))
+      val bandStructs = array((0 until 4).map { b =>
+        struct(lit(b.toLong).as("band"),
+          concat_ws(",", (0 until 4).map(k => col(s"m${4 * b + k}").cast("string")): _*).as("sig"))
+      }: _*)
+      mh.select($"doc_id", explode(bandStructs).as("e"))
+        .select($"doc_id", $"e.band", $"e.sig")
     }
     val a = bands.as("a")
     val b = bands.as("b")
@@ -87,17 +92,20 @@ object Dedup {
       .select($"doc_id", explode(wordsOf($"text")).as("wrd"))
       .withColumn("h_lo", conv(substring(md5($"wrd"), 1, 8), 16, 10).cast("long"))
       .withColumn("h_hi", conv(substring(md5($"wrd"), 9, 8), 16, 10).cast("long"))
-    val votes = wd
-      .select($"doc_id", $"h_lo", $"h_hi", explode(sequence(lit(0), lit(63))).as("i"))
-      .groupBy($"doc_id", $"i")
-      .agg(sum(when(expr(
-        "(CASE WHEN i < 32 THEN h_lo div shiftleft(1L, i) ELSE h_hi div shiftleft(1L, i - 32) END) % 2"
-      ) === 1, 1).otherwise(-1)).as("vote"))
-    val fp = votes
-      .groupBy($"doc_id")
-      .agg(
-        sum(when($"vote" > 0 && $"i" < 32, expr("shiftleft(1L, i)")).otherwise(0L)).as("fp_lo"),
-        sum(when($"vote" > 0 && $"i" >= 32, expr("shiftleft(1L, i - 32)")).otherwise(0L)).as("fp_hi"))
+    // all 64 bit votes aggregate in ONE groupBy over the word rows (64
+    // sum() columns) — no ×64 row explosion ahead of the shuffle
+    def vote(i: Int): Column = {
+      val bit =
+        if (i < 32) expr(s"(h_lo div shiftleft(1L, $i)) % 2")
+        else expr(s"(h_hi div shiftleft(1L, ${i - 32})) % 2")
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val votes = wd.groupBy($"doc_id").agg(vote(0), (1 until 64).map(vote): _*)
+    val fp = votes.select($"doc_id",
+      (0 until 32).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))
+        .reduce(_ + _).as("fp_lo"),
+      (32 until 64).map(i => when(col(s"v$i") > 0, 1L << (i - 32)).otherwise(0L))
+        .reduce(_ + _).as("fp_hi"))
     val banded = Caches.cached(s"simhash-banded:$dir") {
       fp.select($"doc_id", $"fp_lo", $"fp_hi",
         explode(sequence(lit(0), lit(3))).as("k"))
@@ -171,19 +179,22 @@ object Dedup {
 
   /** MinHash band signatures over a (doc_id, s) shingle frame: nPerm
     * permutations in bands of bandSize; two docs are candidates iff some
-    * band signature matches. */
+    * band signature matches. One groupBy with nPerm min() columns — the
+    * shuffle carries one row per doc, never nPerm× the shingle rows. */
   private def minhashBandSigs(sh: DataFrame, nPerm: Int, bandSize: Int): DataFrame = {
     import sh.sparkSession.implicits._
     val M = 1000000007L
-    val mh = sh
-      .select($"doc_id", (h64($"s") % M).as("hv"),
-        explode(sequence(lit(0), lit(nPerm - 1))).as("j"))
-      .groupBy($"doc_id", $"j")
-      .agg(min(((lit(2) * $"j" + 1) * $"hv" + lit(17) * $"j" + 3) % M).as("m"))
-    val slots = (0 until bandSize).map(k =>
-      max(when($"j" % bandSize === k, $"m")).cast("string"))
-    mh.groupBy($"doc_id", expr(s"j div $bandSize").as("band"))
-      .agg(concat_ws(",", slots: _*).as("sig"))
+    val h = sh.select($"doc_id", (h64($"s") % M).as("hv"))
+    def perm(j: Int): Column =
+      min((lit(2L * j + 1) * $"hv" + lit(17L * j + 3)) % M).as(s"m$j")
+    val mh = h.groupBy($"doc_id").agg(perm(0), (1 until nPerm).map(perm): _*)
+    val bandStructs = array((0 until nPerm / bandSize).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat_ws(",", (0 until bandSize).map(k =>
+          col(s"m${bandSize * b + k}").cast("string")): _*).as("sig"))
+    }: _*)
+    mh.select($"doc_id", explode(bandStructs).as("e"))
+      .select($"doc_id", $"e.band", $"e.sig")
   }
 
   // D4b — the sub-quadratic path for D4: MinHash band-bucket candidates
