@@ -34,6 +34,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q_nation_trade" -> ((s, d) => Relational.nationTrade(s, d)),
     "q_market_share" -> ((s, d) => Relational.marketShare(s, d)),
+    "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
     // Text analysis (SURVEY §2 T1–T4)
     "t_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "t_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -260,6 +261,16 @@ object SparkEntry {
         |   JOIN region ON n2.n_regionkey=r_regionkey
         |  WHERE r_name='ASIA') t
         | GROUP BY 1) t2 ORDER BY o_year""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines,
+        | CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+        | JOIN nation ON s_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
     "t_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, fr_hits,
         | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'

@@ -337,6 +337,24 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  // R22 — hierarchical rollup (OLAP grouping sets): revenue at
+  // (region, nation), per-region subtotal, and grand total in one pass —
+  // Spark plans a single Expand + aggregation, no self-union of levels.
+  // grouping_id disambiguates subtotal rows from real NULL dims; ordering
+  // pins NULLS FIRST explicitly because engines disagree on the default.
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
   // R14 — order priority distribution over a date window (partition-prunable
   // filter reaches the scan).
   def orderPriorityDist(s: SparkSession, dir: String): DataFrame = {
