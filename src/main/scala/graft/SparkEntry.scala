@@ -35,6 +35,7 @@ object SparkEntry {
     "q_nation_trade" -> ((s, d) => Relational.nationTrade(s, d)),
     "q_market_share" -> ((s, d) => Relational.marketShare(s, d)),
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
+    "q_segment_status_pivot" -> ((s, d) => Relational.segmentStatusPivot(s, d)),
     // Text analysis (SURVEY §2 T1–T4)
     "t_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "t_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -83,6 +84,7 @@ object SparkEntry {
     "s_recent_history" -> ((s, d) => streaming.EventOps.recentHistoryQuery(s, d)),
     "s_props_stats" -> ((s, d) => streaming.EventOps.propsStatsQuery(s, d)),
     "s_enrich" -> ((s, d) => streaming.EventOps.enrichQuery(s, d)),
+    "s_attribution" -> ((s, d) => streaming.EventOps.attributionQuery(s, d)),
     // Transactional write-path folds (SURVEY §2 / VERDICT r2 missing #1)
     "s_place_order" -> ((s, d) => streaming.OrderFold.placeOrderQuery(s, d)),
     // Temporal joins (SURVEY §2 J1–J2)
@@ -271,6 +273,20 @@ object SparkEntry {
         | JOIN region ON n_regionkey=r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_segment_status_pivot" ->
+      """SELECT c_mktsegment,
+        | COUNT(*) FILTER (WHERE o_orderstatus='F') AS n_f,
+        | COUNT(*) FILTER (WHERE o_orderstatus='O') AS n_o,
+        | COUNT(*) FILTER (WHERE o_orderstatus='P') AS n_p
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "s_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+        |v AS (SELECT user_id vu, event_id view_id, ts vts FROM e WHERE event_type='view'),
+        |p AS (SELECT user_id pu, event_id purchase_id, ts pts FROM e WHERE event_type='purchase')
+        |SELECT pu AS user_id, purchase_id, pts, view_id, vts
+        |FROM p JOIN v ON pu=vu AND vts <= pts AND vts >= pts - INTERVAL 1 HOUR
+        |ORDER BY user_id, purchase_id, view_id""".stripMargin,
     "t_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, fr_hits,
         | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'

@@ -355,6 +355,21 @@ object Relational {
       .orderBy($"gid", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
+  // R23 — pivot: order counts per segment × status, statuses as columns
+  // (the admin-dashboard reshape). Values are enumerated explicitly so
+  // the plan is a single pass with no distinct-collection job, and the
+  // output schema is stable at any data scale.
+  def segmentStatusPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .pivot($"o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy($"c_mktsegment")
+  }
+
   // R14 — order priority distribution over a date window (partition-prunable
   // filter reaches the scan).
   def orderPriorityDist(s: SparkSession, dir: String): DataFrame = {

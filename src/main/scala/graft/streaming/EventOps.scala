@@ -150,6 +150,20 @@ object EventOps {
   def eventDedupQuery(s: SparkSession, dir: String): DataFrame =
     eventDedup(Tables.events(s, dir))
 
+  // S12 — stream-stream interval join: purchases matched to the same
+  // user's views within the preceding hour. Under Structured Streaming
+  // both sides carry watermarks and the time-range condition bounds the
+  // join state (views older than the interval + watermark are evicted);
+  // the same function runs as a batch inequality join for Verify/specs.
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = views.sparkSession
+    import s.implicits._
+    val v = views.select($"user_id".as("vu"), $"event_id".as("view_id"), $"ts".as("vts"))
+    val p = purchases.select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"ts".as("pts"))
+    p.join(v, expr("pu = vu AND vts <= pts AND vts >= pts - interval 1 hour"))
+      .select($"pu".as("user_id"), $"purchase_id", $"pts", $"view_id", $"vts")
+  }
+
   // S11 — stream-static enrichment: attach the customer dimension to the
   // event stream (user_id = c_custkey). The dim broadcasts, so under
   // Structured Streaming every micro-batch joins against executor-local
@@ -169,5 +183,14 @@ object EventOps {
     import s.implicits._
     enrich(Tables.events(s, dir), Tables.customer(s, dir))
       .orderBy($"user_id", $"event_id")
+  }
+
+  def attributionQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    attributionJoin(
+        e.filter($"event_type" === "view"),
+        e.filter($"event_type" === "purchase"))
+      .orderBy($"user_id", $"purchase_id", $"view_id")
   }
 }

@@ -53,6 +53,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(s.table("dedup_out").count() == 2)
   }
 
+  test("stream-stream interval join: purchases match prior-hour views, state bounded by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val views = Seq(ev(1, 0, 1, "view", 1.0), ev(2, 600, 1, "view", 1.0),
+      ev(3, 0, 2, "view", 1.0), ev(4, 7200, 1, "view", 1.0))
+    val purchases = Seq(ev(10, 1200, 1, "purchase", 9.0), // matches views 1, 2
+      ev(11, 7300, 1, "purchase", 9.0),                   // matches view 4 only (1 h bound)
+      ev(12, 300, 3, "purchase", 9.0))                    // no view: no row
+    val vMem = MemoryStream[Ev]
+    val pMem = MemoryStream[Ev]
+    vMem.addData(views: _*)
+    pMem.addData(purchases: _*)
+    val joined = EventOps.attributionJoin(
+      vMem.toDF().withWatermark("ts", "2 hours"),
+      pMem.toDF().withWatermark("ts", "2 hours"))
+    val q = joined.writeStream.format("memory").queryName("ss_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("ss_out")
+      .orderBy("user_id", "purchase_id", "view_id").collect().map(_.toString).toSeq
+    val batch = EventOps.attributionJoin(views.toDF(), purchases.toDF())
+      .orderBy("user_id", "purchase_id", "view_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(batch.length == 3) // (10,1) (10,2) (11,4)
+  }
+
   test("stream-static enrichment joins each micro-batch against the broadcast dim") {
     val s = spark
     import s.implicits._
