@@ -135,6 +135,41 @@ object GraphOps {
       .limit(k)
   }
 
+  /** DataFrame-native PageRank — the same fixpoint iteration
+    * staticPageRank runs (init 1.0; r ← 0.15 + 0.85·Σ r_nbr/deg_nbr),
+    * expressed as joins + aggregations so Tungsten codegen owns the hot
+    * loop and each iteration is one shuffle of the (small) rank table
+    * against the cached degree-annotated arc list. Kept as the measured
+    * alternative for the regime where GraphX's per-iteration RDD
+    * scheduling dominates (VERDICT r2 "watch" on g_pagerank); the
+    * sanctioned GraphX path stays the queries entry. GraphSpec pins both
+    * implementations to the same fixture fixpoints. */
+  private[graft] def pageRankDF(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+    val deg = arcs.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // localCheckpoint truncates lineage each iteration — without it the
+    // logical plan nests one level per iteration and Catalyst analysis
+    // cost grows quadratically (the iterative-DataFrame pitfall)
+    val arcsD = arcs.join(deg, "src").select($"src", $"dst", $"deg")
+      .localCheckpoint(eager = true)
+    val verts = deg.select($"src".as("v")).localCheckpoint(eager = true)
+    var ranks = verts.select($"v", lit(1.0).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val contribs = arcsD.join(ranks, $"src" === $"v")
+        .groupBy($"dst").agg(sum($"rank" / $"deg").as("msg"))
+      ranks = verts
+        .join(contribs, $"v" === $"dst", "left")
+        .select($"v", (lit(0.15) + lit(0.85) * coalesce($"msg", lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.select($"v".as("part"), round($"rank", 6).as("rank"))
+      .orderBy($"rank".desc, $"part")
+  }
+
   /** Component sizes for an arbitrary canonical edge frame. */
   private[graft] def connectedComponentsOf(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession

@@ -47,6 +47,21 @@ class GraphSpec extends SparkSpecBase {
     assert(tc == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0), s"got $tc")
   }
 
+  test("DataFrame pagerank matches GraphX on the fixture fixpoints") {
+    val star = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val gx = GraphOps.pageRankOf(star, iters = 60).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val df = GraphOps.pageRankDF(star, iters = 60).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gx.keySet == df.keySet)
+    gx.foreach { case (v, r) =>
+      assert(math.abs(df(v) - r) < 1e-4, s"vertex $v: graphx $r vs df ${df(v)}")
+    }
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    GraphOps.pageRankDF(k4, iters = 10).collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-6))
+  }
+
   test("connected components: planted two-island graph has exact sizes") {
     // island A = path 1-2-3 (3 nodes), island B = edge 10-11 (2 nodes)
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L))
