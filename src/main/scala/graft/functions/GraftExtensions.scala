@@ -16,6 +16,14 @@ object GraftFunctions {
   /** sqrt(v·v) via the same codegen'd kernel. */
   def vecNorm(v: Column): Column =
     org.apache.spark.sql.functions.sqrt(vecDot(v, v))
+
+  /** float[]/double[] → double[] without an interpreted transform lambda. */
+  def vecToDouble(v: Column): Column =
+    GraftColumn.of(VecToDouble(GraftColumn.exprOf(v)))
+
+  /** v / s elementwise, codegen'd (unit normalization). */
+  def vecScale(v: Column, s: Column): Column =
+    GraftColumn.of(VecScale(GraftColumn.exprOf(v), GraftColumn.exprOf(s)))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Caches, Tables}
-import graft.functions.GraftFunctions.{vecDot, vecNorm}
+import graft.functions.GraftFunctions.{vecDot, vecNorm, vecScale, vecToDouble}
 
 /** Vector-retrieval surface of the reference's Chroma collections
   * (backend/src/api/services/db_service.py: enterprise_data top-k=5
@@ -25,11 +25,12 @@ object VectorOps {
   private[graft] def normed(s: SparkSession, dir: String): DataFrame =
     Caches.cached(s"vec-normed:$dir") {
       import s.implicits._
+      // all three derivations are native codegen kernels — no interpreted
+      // transform() lambda anywhere embeddings flow
       Tables.embeddings(s, dir)
-        .select($"vec_id", $"label",
-          transform($"embedding", x => x.cast("double")).as("v"))
+        .select($"vec_id", $"label", vecToDouble($"embedding").as("v"))
         .withColumn("nrm", vecNorm($"v"))
-        .withColumn("u", expr("transform(v, x -> x / nrm)"))
+        .withColumn("u", vecScale($"v", $"nrm"))
     }
 
   private def dot(a: Column, b: Column): Column = vecDot(a, b)

@@ -54,6 +54,18 @@ class SinksSpec extends SparkSpecBase {
       == li.select(sum(col("l_quantity"))).collect()(0).getDouble(0))
   }
 
+  test("ORC round-trip: content survives and filters reach the ORC scan") {
+    val out = Files.createTempDirectory("orcw").toString + "/li"
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+    li.write.orc(out)
+    val back = spark.read.orc(out).filter(col("l_partkey") === 7L)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(l_partkey,7)"),
+      s"filter not pushed to ORC:\n$scan")
+    assert(back.count() == li.filter(col("l_partkey") === 7L).count())
+    assert(spark.read.orc(out).count() == li.count())
+  }
+
   test("IVF ANN: k results, all drawn from probed cells, ranked descending") {
     val rows = VectorOps.ivfAnn(spark, sfDir).collect()
     assert(rows.length == 5)

@@ -126,6 +126,21 @@ class VectorScaleSpec extends SparkSpecBase {
     assert((exact & quant).size >= 4, s"int8 recall too low: $quant vs $exact")
   }
 
+  test("vec kernels equal their HOF formulations bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.GraftFunctions.{vecScale, vecToDouble}
+    val e = Tables.embeddings(s, sfDir)
+      .select($"vec_id", $"embedding",
+        expr("transform(embedding, x -> cast(x AS double))").as("hof_v"))
+      .withColumn("hof_nrm", sqrt(expr(
+        "aggregate(zip_with(hof_v, hof_v, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)")))
+      .withColumn("hof_u", expr("transform(hof_v, x -> x / hof_nrm)"))
+      .withColumn("k_v", vecToDouble($"embedding"))
+      .withColumn("k_u", vecScale($"k_v", $"hof_nrm"))
+    assert(e.filter($"hof_v" =!= $"k_v" || $"hof_u" =!= $"k_u").count() == 0)
+  }
+
   test("k-means: cells partition the corpus and tighten the quantizer") {
     val s = spark
     import s.implicits._
