@@ -41,6 +41,16 @@ object TableWriter {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** Exactly-once streaming sink body for `writeStream.foreachBatch`:
+    * every micro-batch lands in its own `batch=<id>` directory with
+    * overwrite, so an at-least-once replay of a batch (post-crash
+    * recovery re-delivers the last uncommitted batch) rewrites the same
+    * path instead of appending duplicates — idempotence from layout, no
+    * transaction log needed. */
+  def idempotentBatchSink(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
   /** Requires a session with a warehouse dir; registers `table`. */
   def writeBucketed(df: DataFrame, table: String,
       bucketCol: String, nBuckets: Int): Unit =

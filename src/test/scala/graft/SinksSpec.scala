@@ -54,6 +54,21 @@ class SinksSpec extends SparkSpecBase {
       == li.select(sum(col("l_quantity"))).collect()(0).getDouble(0))
   }
 
+  test("idempotent batch sink: replaying a micro-batch does not duplicate rows") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("fbsink").toString + "/t"
+    val sink = TableWriter.idempotentBatchSink(out)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b1 = Seq((3L, "c")).toDF("k", "v")
+    sink(b0, 0L)
+    sink(b1, 1L)
+    sink(b1, 1L) // at-least-once replay of the same batch id
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("ORC round-trip: content survives and filters reach the ORC scan") {
     val out = Files.createTempDirectory("orcw").toString + "/li"
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
