@@ -44,15 +44,20 @@ object Packing {
       .as[PackDoc]
   }
 
+  /** Core fold on any PackDoc dataset — fixture/property-testable. */
+  private[graft] def packDocs(docs: Dataset[PackDoc], budget: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => (d.lang, d.shard))
+      .flatMapGroups((k: (String, Int), it: Iterator[PackDoc]) => packGroup(k, it, budget))
+  }
+
   /** queries entry `p_pack_tokens`: per-document bin assignment, hash-
     * matched against a DuckDB recursive-CTE replay of the same greedy
     * fold. */
   def packTokens(s: SparkSession, dir: String, budget: Long = 200L,
       nShards: Int = 4): DataFrame = {
     import s.implicits._
-    docsWithTokens(s, dir, nShards)
-      .groupByKey(d => (d.lang, d.shard))
-      .flatMapGroups((k: (String, Int), it: Iterator[PackDoc]) => packGroup(k, it, budget))
+    packDocs(docsWithTokens(s, dir, nShards), budget)
       .toDF()
       .orderBy($"lang", $"shard", $"doc_id")
   }

@@ -77,6 +77,43 @@ class FoldPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("sequence packing equals a plain-Scala greedy fold (random token lists)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing.{PackDoc, PackedDoc}
+    val packGen: Gen[List[PackDoc]] = for {
+      n <- Gen.choose(1, 50)
+      docs <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("en", "de")
+        tok <- Gen.choose(1L, 120L) // some docs alone exceed the budget of 100
+      } yield (lang, tok))
+    } yield docs.zipWithIndex.map { case ((l, t), i) => PackDoc(l, i % 2, i.toLong, t) }
+    samples(packGen, 5).foreach { docs =>
+      // reference replay
+      val want = docs.groupBy(d => (d.lang, d.shard)).toSeq.flatMap { case (_, ds) =>
+        var bin = 1L; var fill = 0L
+        ds.sortBy(_.doc_id).map { d =>
+          if (fill > 0 && fill + d.tokens > 100L) { bin += 1; fill = 0L }
+          fill += d.tokens
+          PackedDoc(d.lang, d.shard, d.doc_id, d.tokens, bin, fill)
+        }
+      }.sortBy(p => (p.lang, p.shard, p.doc_id))
+      val packed = graft.operators.Packing.packDocs(docs.toDS(), budget = 100L)
+        .collect().sortBy(p => (p.lang, p.shard, p.doc_id)).toSeq
+      assert(packed == want)
+      // invariant: nothing under-packed — consecutive bins imply the
+      // previous bin could not fit the first doc of the next
+      packed.groupBy(p => (p.lang, p.shard)).values.foreach { ps =>
+        val byBin = ps.groupBy(_.bin_id).toSeq.sortBy(_._1)
+        byBin.sliding(2).foreach {
+          case Seq((_, prev), (_, next)) =>
+            assert(prev.map(_.tokens).sum + next.minBy(_.doc_id).tokens > 100L)
+          case _ =>
+        }
+      }
+    }
+  }
+
   private val cacheLogGen: Gen[List[CacheEvent]] = for {
     n <- Gen.choose(1, 30)
     evs <- Gen.listOfN(n, for {
