@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract guards: a typo'd key in `oracleSql` would silently
+  * demote a query to the weaker rows-only check (the driver matches by
+  * key) — so the rows-only set is pinned to exactly the documented nine,
+  * and orphan oracles are an error. */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracle key names a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
+  test("the rows-only set is exactly the nine documented non-SQL-expressible ops") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      "d_embedding_neardup_lsh", // probabilistic candidates; exact twin is the oracle
+      "g_connected_components", "g_pagerank", "g_shortest_paths",
+      "g_triangle_count",        // iterative GraphX fixpoints; fixture specs instead
+      "m_frame_sample",          // decode stub, no SQL analogue
+      "q_approx_distinct",       // sketch; exact count + error bound specced
+      "v_ivf_ann", "v_lsh_ann")  // ANN; recall specs vs exact top-k
+    assert(rowsOnly == documented,
+      s"missing oracle: ${rowsOnly -- documented}; stale doc: ${documented -- rowsOnly}")
+  }
+}
