@@ -32,6 +32,7 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
     "q_order_percentiles" -> ((s, d) => Relational.orderPercentiles(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    "q_approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
     "q_nation_trade" -> ((s, d) => Relational.nationTrade(s, d)),
     "q_market_share" -> ((s, d) => Relational.marketShare(s, d)),
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),

@@ -337,6 +337,28 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  // R24 — approximate percentiles (Greenwald-Khanna sketch): the
+  // mergeable-sketch path for quantiles at 100 TB, where R18's exact
+  // sort-based percentiles would need a full shuffle of the column.
+  // Exact values ride along (same pattern as R19) so the error is
+  // self-reporting; the spec bounds it.
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)").as("approx"),
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.9))").as("exact"),
+        count(lit(1)).as("n_orders"))
+      .select($"c_mktsegment",
+        round($"approx"(0), 4).as("p25_approx"), round($"approx"(1), 4).as("p50_approx"),
+        round($"approx"(2), 4).as("p90_approx"),
+        round(abs($"approx"(1) - $"exact"(1)) / $"exact"(1), 6).as("p50_rel_err"),
+        $"n_orders")
+      .orderBy($"c_mktsegment")
+  }
+
   // R22 — hierarchical rollup (OLAP grouping sets): revenue at
   // (region, nation), per-region subtotal, and grand total in one pass —
   // Spark plans a single Expand + aggregation, no self-union of levels.

@@ -21,6 +21,7 @@ class ContractSpec extends AnyFunSuite {
       "g_triangle_count",        // iterative GraphX fixpoints; fixture specs instead
       "m_frame_sample",          // decode stub, no SQL analogue
       "q_approx_distinct",       // sketch; exact count + error bound specced
+      "q_approx_percentiles",    // sketch; exact quantiles ride along, error specced
       "v_ivf_ann", "v_lsh_ann")  // ANN; recall specs vs exact top-k
     assert(rowsOnly == documented,
       s"missing oracle: ${rowsOnly -- documented}; stale doc: ${documented -- rowsOnly}")

@@ -81,6 +81,13 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("approx percentiles: sketch median within 1% of exact") {
+    val rows = Relational.approxPercentiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("p50_rel_err") <= 0.01,
+      s"${r.getString(0)}: p50 rel err ${r.getAs[Double]("p50_rel_err")}"))
+  }
+
   test("shortest paths: landmarks are at distance 0 from themselves") {
     val df = GraphOps.shortestPaths(spark, sfDir)
     val self = df.filter(col("part") === col("landmark"))
