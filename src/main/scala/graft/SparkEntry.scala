@@ -44,6 +44,8 @@ object SparkEntry {
     "t_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "t_hash_sample" -> ((s, d) => Sampling.hashSample(s, d)),
     "t_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "t_repetition" -> ((s, d) => TextOps.repetition(s, d)),
+    "t_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -52,6 +54,7 @@ object SparkEntry {
     "d_ngram_jaccard_lsh" -> ((s, d) => Dedup.ngramJaccardLsh(s, d)),
     "d_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "d_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    "d_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     // Vector (SURVEY §2 V1–V6)
     "v_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "v_semantic_cache" -> ((s, d) => VectorOps.semanticCache(s, d)),
@@ -87,6 +90,7 @@ object SparkEntry {
     "s_props_stats" -> ((s, d) => streaming.EventOps.propsStatsQuery(s, d)),
     "s_enrich" -> ((s, d) => streaming.EventOps.enrichQuery(s, d)),
     "s_attribution" -> ((s, d) => streaming.EventOps.attributionQuery(s, d)),
+    "s_scd2_dim" -> ((s, d) => streaming.EventOps.scd2Query(s, d)),
     // Transactional write-path folds (SURVEY §2 / VERDICT r2 missing #1)
     "s_place_order" -> ((s, d) => streaming.OrderFold.placeOrderQuery(s, d)),
     // Temporal joins (SURVEY §2 J1–J2)
@@ -373,6 +377,40 @@ object SparkEntry {
         |FROM bd a JOIN bd b ON a.k=b.k AND a.bv=b.bv AND a.doc_id<b.doc_id
         |WHERE bit_count(xor(a.fp_lo,b.fp_lo)) + bit_count(xor(a.fp_hi,b.fp_hi)) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1,len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) s
+        | FROM d WHERE len(w) >= 5),
+        |bsh AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0),
+        |tsh AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT t.doc_id, CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs,
+        |       CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shingles_hit
+        |FROM tsh t JOIN bsh b ON t.s = b.s
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "t_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |wn AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_words,
+        |        CAST(len(list_distinct(w)) AS BIGINT) n_distinct FROM d),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
+        |       FROM d WHERE len(w) >= 2),
+        |bgc AS (SELECT doc_id, s, COUNT(*) c FROM bg GROUP BY 1,2),
+        |bgm AS (SELECT doc_id, MAX(c) max_bg, SUM(c) n_bg FROM bgc GROUP BY doc_id)
+        |SELECT w.doc_id AS doc_id, w.n_words,
+        |  ROUND(1.0 - CAST(n_distinct AS DOUBLE)/n_words, 6) AS dup_word_frac,
+        |  ROUND(CAST(max_bg AS DOUBLE)/n_bg, 6) AS top_bigram_frac
+        |FROM wn w JOIN bgm ON w.doc_id = bgm.doc_id ORDER BY w.doc_id""".stripMargin,
+    "t_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@shop.example.com for details.' ELSE '' END
+        |       || CASE WHEN doc_id % 4 = 0 THEN ' Call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.' ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_h
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> ngramJaccardOracle,
     // D4b produces the identical relation through MinHash band candidates
     // + exact re-rank, so the exact-definition SQL is its oracle too.
@@ -469,6 +507,39 @@ object SparkEntry {
         | WHERE nb.dst NOT IN (SELECT p_partkey FROM seed)) x
         |JOIN part p2 ON x.part = p2.p_partkey
         |ORDER BY part""".stripMargin,
+    // Triangle counting IS SQL-expressible on the canonical (src<dst) edge
+    // list: each triangle appears exactly once as a<b<c via the 3-way
+    // join; per-node counts credit all three corners. GraphX's
+    // triangleCount canonicalizes to the same orientation internally.
+    "g_triangle_count" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |tr AS (SELECT e1.src a, e1.dst b, e2.dst c
+        |       FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |pn AS (SELECT a AS part FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr),
+        |nodes AS (SELECT src part FROM e UNION SELECT dst FROM e)
+        |SELECT n.part, CAST(COALESCE(cnt, 0) AS BIGINT) AS triangles
+        |FROM nodes n LEFT JOIN (SELECT part, COUNT(*) cnt FROM pn GROUP BY part) c ON n.part = c.part
+        |ORDER BY n.part""".stripMargin,
+    // Landmark BFS as a bounded recursive CTE (hop cap 8 ≫ the graph's
+    // 3-hop landmark eccentricity; MIN(hops) collapses re-discoveries).
+    // Matches GraphX ShortestPaths: unreachable (landmark, node) pairs
+    // simply produce no row.
+    "g_shortest_paths" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT src part FROM arcs),
+        |lm AS (SELECT part FROM nodes ORDER BY part LIMIT 3),
+        |bfs AS (
+        |  SELECT part AS landmark, part, 0 AS hops FROM lm
+        |  UNION
+        |  SELECT b.landmark, a.dst, b.hops + 1 FROM bfs b JOIN arcs a ON a.src = b.part
+        |  WHERE b.hops < 8
+        |)
+        |SELECT part, landmark, CAST(MIN(hops) AS BIGINT) AS hops
+        |FROM bfs GROUP BY part, landmark ORDER BY part, landmark""".stripMargin,
     "g_cat_hierarchy_rollup" ->
       """SELECT r_name, n_name,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
@@ -587,6 +658,17 @@ object SparkEntry {
         | c_name, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY user_id, event_id""".stripMargin,
+    "s_scd2_dim" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+        |l AS (SELECT user_id, event_id, ts, event_type,
+        |       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM e),
+        |ch AS (SELECT user_id, ts, event_type AS state, event_id FROM l
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+        |  state, ts AS eff_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |FROM ch ORDER BY user_id, version""".stripMargin,
     // The place_order greedy fold (accept iff qty fits remaining stock,
     // rejects consume nothing) is a per-key recursion — expressed in
     // DuckDB as a recursive CTE stepping through each part's request log.

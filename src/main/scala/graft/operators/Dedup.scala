@@ -25,10 +25,14 @@ object Dedup {
   private def wordsOf(c: Column): Column = split(lower(c), " ")
 
   /** doc_id + distinct word-n-gram shingles, one row per (doc, shingle). */
-  private def shingles(s: SparkSession, dir: String, n: Int): DataFrame = {
-    import s.implicits._
+  private def shingles(s: SparkSession, dir: String, n: Int): DataFrame =
+    shinglesOf(Tables.documents(s, dir), n)
+
+  /** Same, over an arbitrary (doc_id, text) frame (fixture specs). */
+  private[graft] def shinglesOf(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
     val parts = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", wordsOf($"text").as("w"))
       .filter(size($"w") >= n) // sequence(1, size-k) descends when size < k
       .select($"doc_id", explode(expr(
@@ -218,6 +222,34 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     jaccardRerank(sh, sizes, cand)
+  }
+
+  // D6 — benchmark decontamination: a training document is contaminated
+  // iff it shares ≥1 word-5-gram with any held-out benchmark document
+  // (the n-gram-overlap decontamination every LLM training pipeline runs
+  // before training; 13-grams at real scale, 5 here to fit the 10–99-word
+  // corpus). The held-out set is the deterministic doc_id%10=0 slice.
+  // Shape: the same inverted-index equi-join as D4 — candidates come from
+  // a shared-shingle match (high-cardinality key, AQE-skew-tolerant), and
+  // the benchmark side of a decontamination run is ALWAYS small relative
+  // to the corpus, so at 100 TB the bench shingle set broadcasts.
+  def decontaminate(s: SparkSession, dir: String, n: Int = 5): DataFrame =
+    decontaminateOn(Tables.documents(s, dir), n, s"decon-sh:$dir:$n")
+
+  /** D6 core over an arbitrary (doc_id, text) frame. */
+  private[graft] def decontaminateOn(docs: DataFrame, n: Int,
+      cacheKey: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = Caches.cached(cacheKey) {
+      shinglesOf(docs, n)
+    } // the bench/train split reads it twice
+    val bench = sh.filter($"doc_id" % 10 === 0)
+    val train = sh.filter($"doc_id" % 10 =!= 0)
+    train.as("t").join(bench.as("b"), $"t.s" === $"b.s")
+      .groupBy($"t.doc_id".as("doc_id"))
+      .agg(countDistinct($"b.doc_id").as("n_bench_docs"),
+        countDistinct($"t.s").as("n_shingles_hit"))
+      .orderBy($"doc_id")
   }
 
   // D5 — embedding-cosine near-dup on `embeddings`, exact at threshold τ,

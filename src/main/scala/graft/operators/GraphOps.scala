@@ -194,7 +194,7 @@ object GraphOps {
     val g = graphOf(edges)
     val landmarks = g.vertices.map(_._1).takeOrdered(nLandmarks).toSeq
     val res = org.apache.spark.graphx.lib.ShortestPaths.run(g, landmarks).vertices
-      .flatMap { case (v, spmap) => spmap.map { case (lm, d) => (v, lm, d) } }
+      .flatMap { case (v, spmap) => spmap.map { case (lm, d) => (v, lm, d.toLong) } }
     s.createDataFrame(res).toDF("part", "landmark", "hops")
       .orderBy($"part", $"landmark")
   }
@@ -211,6 +211,7 @@ object GraphOps {
     val tc = graphOf(edges)
       .partitionBy(PartitionStrategy.RandomVertexCut)
       .triangleCount().vertices
+      .mapValues(_.toLong)
     s.createDataFrame(tc).toDF("part", "triangles")
       .orderBy($"part")
   }

@@ -79,4 +79,74 @@ object TextOps {
       .select($"doc_id", $"fp")
       .orderBy($"doc_id")
   }
+
+  // T6 — repetition signals (the Gopher-rule family): duplicate-word
+  // fraction and top-bigram mass. Word stats stay IN-ROW (array functions,
+  // no shuffle); only the bigram mode needs a per-doc aggregation — keyed
+  // by doc_id (high cardinality), so it scales out like any groupBy.
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOn(Tables.documents(s, dir))
+
+  /** T6 core over an arbitrary (doc_id, text) frame. */
+  private[graft] def repetitionOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val d = docs.select($"doc_id", split(lower($"text"), " ").as("w"))
+    val wn = d.select($"doc_id",
+      size($"w").cast("long").as("n_words"),
+      size(array_distinct($"w")).cast("long").as("n_distinct"))
+    val bg = d.filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")).as("s"))
+    val bgm = bg.groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("max_bg"), sum($"c").as("n_bg"))
+    wn.join(bgm, "doc_id")
+      .select($"doc_id", $"n_words",
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_words", 6).as("dup_word_frac"),
+        round($"max_bg".cast("double") / $"n_bg", 6).as("top_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Email/phone patterns shared by the redactor and its oracle — written
+    * in the Java-regex ∩ RE2 common dialect (char classes + bounded
+    * repetition only) so Spark and DuckDB match identical spans. */
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  // T7 — PII redaction: mask emails and phone numbers, report match
+  // counts. The corpus is synthetic, so deterministic PII is injected
+  // first (doc_id%3 gets an email, doc_id%4 a phone) — the redactor then
+  // provably strips it (spec) and the oracle hash-checks counts + the
+  // redacted text. Pure codegen'd regexp columns — no UDFs, no shuffle.
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactOn(Tables.documents(s, dir))
+
+  /** T7 core over an arbitrary (doc_id, text) frame. */
+  private[graft] def piiRedactOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("t", concat($"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit(" Contact user"), $"doc_id".cast("string"),
+            lit("@shop.example.com for details."))).otherwise(lit("")),
+        when($"doc_id" % 4 === 0,
+          concat(lit(" Call 555-"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" now."))).otherwise(lit(""))))
+      .select($"doc_id",
+        size(regexp_extract_all($"t", lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"t", lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace($"t", emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("red_h"))
+      .orderBy($"doc_id")
+  }
+
+  /** The redacted text itself (not hashed) — spec surface for asserting no
+    * PII survives redaction. */
+  private[graft] def redactText(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("redacted"))
+  }
 }

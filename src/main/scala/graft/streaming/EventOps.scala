@@ -185,6 +185,34 @@ object EventOps {
       .orderBy($"user_id", $"event_id")
   }
 
+  // S13 — SCD type-2 dimension build: fold each user's event stream into
+  // a versioned state history (state = event_type run; a row per change,
+  // effective_from/effective_to half-open, open-ended row = current).
+  // This is the CDC→dimension backfill shape: one shuffle keyed by the
+  // entity (high cardinality), windows do the rest — no state larger than
+  // a user's change list, so it scales like sessionize. The incremental
+  // twin is the ProductSync/OrderFold mapGroupsWithState family (latest
+  // state per key); this batch form is what rebuilds the full history.
+  def scd2(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(byUser))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .select($"user_id",
+        row_number().over(byUser).cast("long").as("version"),
+        $"event_type".as("state"),
+        $"ts".as("eff_from"),
+        lead($"ts", 1).over(byUser).as("eff_to"))
+  }
+
+  def scd2Query(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    scd2(Tables.events(s, dir)).orderBy($"user_id", $"version")
+  }
+
   def attributionQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.events(s, dir)

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+import graft.streaming.EventOps
+
+/** Planted-fixture semantics for the round-4 operators: benchmark
+  * decontamination, repetition signals, PII redaction, SCD2 history. */
+class Round4OpsSpec extends SparkSpecBase {
+
+  test("decontaminate: flags exactly the train docs sharing a 5-gram with the bench set") {
+    import spark.implicits._
+    // doc_id % 10 == 0 → benchmark. doc 11 copies bench doc 10's opening
+    // 5-gram; doc 12 shares nothing.
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20L, "one two three four five six seven eight"),
+      (11L, "alpha beta gamma delta epsilon completely different tail here"),
+      (12L, "red green blue cyan magenta yellow black white"),
+      (13L, "one two three four five nine ten eleven")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.decontaminateOn(docs, 5, s"decon-spec:${System.nanoTime()}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.clearAll()
+    assert(hits.keySet == Set(11L, 13L), s"got $hits")
+    assert(hits(11L) == 1L) // one benchmark doc matched
+    assert(hits(13L) == 1L) // 'one two three four five' from doc 20
+  }
+
+  test("repetition: a degenerate doc scores higher than a diverse one on both signals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "every word here is completely unique throughout")
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionOn(docs).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L)._1 > 0.8 && r(2L)._1 == 0.0) // dup_word_frac
+    assert(r(1L)._2 == 1.0)                   // one bigram carries all mass
+    assert(r(2L)._2 < 0.2)
+  }
+
+  test("pii redact: no email/phone pattern survives redaction; clean text unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org or 415-555-0137 thanks"),
+      (2L, "no pii in this row at all")
+    ).toDF("doc_id", "text")
+    val red = TextOps.redactText(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!red(1L).matches(s".*${TextOps.emailRe}.*"))
+    assert(!red(1L).matches(s".*${TextOps.phoneRe}.*"))
+    assert(red(1L).contains("<EMAIL>") && red(1L).contains("<PHONE>"))
+    assert(red(2L) == "no pii in this row at all")
+  }
+
+  test("pii redact query: counts follow the deterministic injection pattern") {
+    val rows = TextOps.piiRedact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 3 == 0) 1L else 0L), s"doc $id emails")
+      assert(r.getLong(2) == (if (id % 4 == 0) 1L else 0L), s"doc $id phones")
+    }
+  }
+
+  test("scd2: versions contiguous, intervals chain, exactly one open row per user") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val events = Seq(
+      (1L, 7L, t(0), "view"), (2L, 7L, t(1), "view"), (3L, 7L, t(2), "click"),
+      (4L, 7L, t(3), "view"), (5L, 9L, t(0), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val hist = EventOps.scd2(events).orderBy("user_id", "version").collect()
+    // user 7: view@0 → click@2 → view@3 (the consecutive-view run collapses)
+    val u7 = hist.filter(_.getLong(0) == 7L)
+    assert(u7.map(_.getString(2)).toSeq == Seq("view", "click", "view"))
+    assert(u7.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    // intervals chain: eff_to(v) == eff_from(v+1); last row open
+    u7.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(4) == b.getTimestamp(3))
+    }
+    assert(u7.last.isNullAt(4))
+    val u9 = hist.filter(_.getLong(0) == 9L)
+    assert(u9.length == 1 && u9.head.isNullAt(4))
+  }
+
+  test("scd2 on the corpus: per-user open-row uniqueness and chain invariant") {
+    val hist = EventOps.scd2Query(spark, sfDir).cache()
+    val users = hist.select("user_id").distinct().count()
+    assert(hist.filter(col("eff_to").isNull).count() == users)
+    // chaining: joining v with v+1 must reproduce every non-final row
+    val nonFinal = hist.filter(col("eff_to").isNotNull).count()
+    val chained = hist.as("a").join(hist.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.version") + 1 === col("b.version") &&
+        col("a.eff_to") === col("b.eff_from")).count()
+    assert(chained == nonFinal)
+    hist.unpersist()
+  }
+}
