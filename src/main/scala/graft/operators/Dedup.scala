@@ -215,7 +215,11 @@ object Dedup {
     import s.implicits._
     val sh = cappedShingles(s, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val sigs = minhashBandSigs(sh, nPerm, bandSize)
+    // cached: the self-join below reads the signature frame twice, and
+    // Catalyst does not reuse the minhash groupBy across join sides
+    val sigs = Caches.cached(s"ngram-sigs:$dir:$nPerm:$bandSize") {
+      minhashBandSigs(sh, nPerm, bandSize)
+    }
     val cand = sigs.as("a")
       .join(sigs.as("b"),
         $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")

@@ -34,7 +34,7 @@ object GraphOps {
     * lists are bounded (≤ ~7 lines/order at any TPC-H scale), so the
     * in-row expansion is constant work per order — the same bounded-fanout
     * argument that made the self-join safe makes the list build safe. */
-  private def edgesUnsorted(s: SparkSession, dir: String): DataFrame =
+  private[graft] def edgesUnsorted(s: SparkSession, dir: String): DataFrame =
     Caches.cached(s"copurchase-edges:$dir") { // degree/GraphX re-read it
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -104,9 +104,20 @@ object GraphOps {
   /** Undirected GraphX graph from a canonical (src, dst, weight) edge
     * frame: both arcs materialized (GraphX repartitions anyway).
     * Parameterized so the fixture specs can run the same analytics on
-    * planted graphs with known ranks/triangles. */
+    * planted graphs with known ranks/triangles.
+    *
+    * Edge partitions are sized by ARC COUNT (~300k arcs each, floor 4):
+    * GraphX schedules several stages per Pregel/PageRank iteration, so
+    * with near-empty partitions per-task overhead dominates the iteration
+    * loop — measured 5× on staticPageRank at sf0.1 (32 partitions ≈ 11 s,
+    * 8 partitions ≈ 2 s, same graph). Coalesce only ever narrows (no
+    * shuffle); a cluster-scale edge list keeps its full parallelism
+    * because count/300k exceeds the input partitioning. */
   private[graft] def graphOf(edges: DataFrame): Graph[Int, Long] = {
-    val arcs = edges.rdd.flatMap { r =>
+    val cur = edges.rdd.getNumPartitions
+    val target = math.max(4, math.ceil(2.0 * edges.count() / 300000.0).toInt)
+    val df = if (target < cur) edges.coalesce(target) else edges
+    val arcs = df.rdd.flatMap { r =>
       val (src, dst, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
       Iterator(Edge(src, dst, w), Edge(dst, src, w))
     }

@@ -43,7 +43,7 @@ class GraphSpec extends SparkSpecBase {
     // K3 {1,2,3} (one triangle each) + edge {4,5} (zero), bridge 3-4
     val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
     val tc = GraphOps.triangleCountOf(g).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tc == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0), s"got $tc")
   }
 
@@ -75,7 +75,7 @@ class GraphSpec extends SparkSpecBase {
     // vertex ids = {1, 2}
     val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
     val got = GraphOps.shortestPathsOf(g, nLandmarks = 2).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val want = Map(
       (1L, 1L) -> 0, (1L, 2L) -> 1,
       (2L, 1L) -> 1, (2L, 2L) -> 0,
