@@ -23,7 +23,9 @@ object Bench {
   // so the headline total stays comparable across rounds
   private val extras = Seq(
     "s_place_order", "d_ngram_jaccard_lsh", "p_pack_tokens",
-    "j_asof_attribution", "p_corpus_clean")
+    "j_asof_attribution", "p_corpus_clean",
+    // r4 additions
+    "d_decontaminate", "s_scd2_dim", "v_maxsim", "v_mmr_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,6 +64,8 @@ object SparkEntry {
     "v_chunk_text" -> ((s, d) => VectorOps.chunkText(s, d)),
     "v_dedup_chunks" -> ((s, d) => VectorOps.dedupChunks(s, d)),
     "v_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(s, d)),
+    "v_maxsim" -> ((s, d) => VectorOps.maxSim(s, d)),
+    "v_mmr_rerank" -> ((s, d) => VectorOps.mmrRerank(s, d)),
     // Multimodal (SURVEY §2 M1–M2)
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -473,6 +475,51 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
         |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_self_dot
         |FROM q ORDER BY vec_id""".stripMargin,
+    // Greedy MMR replayed as a recursive CTE: the working set carries one
+    // row per remaining candidate with its max-sim-to-selected (md), the
+    // picked row is chosen by RANK() in the recursive term, and md updates
+    // pointwise against the picked row — aggregation-free recursion, the
+    // same family as the place_order fold. λ/1−λ appear as literals on
+    // both engines (1−0.7 in binary64 ≠ the literal 0.3).
+    "v_mmr_rerank" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x->x*x))) nrm FROM e),
+        |q AS (SELECT v qv, nrm qnrm FROM n WHERE vec_id = 0),
+        |cand AS (SELECT vec_id, v, nrm,
+        |   ROUND(list_sum(list_transform(range(1,len(v)+1), i->v[i]*qv[i]))/(nrm*qnrm),6) simq
+        | FROM n, q WHERE vec_id <> 0
+        | ORDER BY simq DESC, vec_id LIMIT 50),
+        |pairs AS (SELECT a.vec_id pa, b.vec_id pb,
+        |   ROUND(list_sum(list_transform(range(1,len(a.v)+1), i->a.v[i]*b.v[i]))/(a.nrm*b.nrm),6) ps
+        | FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |sel AS (
+        |  SELECT 1 AS step, vec_id, simq, CAST(0.0 AS DOUBLE) md,
+        |         (vec_id = (SELECT vec_id FROM cand ORDER BY simq DESC, vec_id LIMIT 1)) picked
+        |  FROM cand
+        |  UNION ALL
+        |  SELECT s.step + 1, s.vec_id, s.simq, GREATEST(s.md, p.ps) md,
+        |     RANK() OVER (ORDER BY ROUND(0.7*s.simq - 0.3*GREATEST(s.md, p.ps), 6) DESC, s.vec_id) = 1
+        |  FROM sel s
+        |  JOIN (SELECT vec_id FROM sel WHERE picked) w ON true
+        |  JOIN pairs p ON p.pa = s.vec_id AND p.pb = w.vec_id
+        |  WHERE s.step < 5 AND NOT s.picked
+        |)
+        |SELECT CAST(step AS BIGINT) AS rank, vec_id, simq AS sim,
+        |  ROUND(0.7*simq - 0.3*md, 6) AS mmr
+        |FROM sel WHERE picked ORDER BY rank""".stripMargin,
+    // MaxSim: per-(query-vec, label) max over 6-rounded cosines, then a
+    // DECIMAL-stabilized sum — identical rounding discipline both engines.
+    "v_maxsim" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x->CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x->x*x))) nrm FROM e),
+        |q AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 5),
+        |c AS (SELECT vec_id, label, v, nrm FROM n WHERE vec_id >= 5),
+        |sim AS (SELECT q.qid, c.label,
+        |  ROUND(list_sum(list_transform(range(1,len(c.v)+1), i->c.v[i]*q.qv[i]))/(c.nrm*q.qnrm),6) s
+        | FROM c, q),
+        |mx AS (SELECT qid, label, MAX(s) ms FROM sim GROUP BY qid, label)
+        |SELECT label, ROUND(CAST(SUM(CAST(ms AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim
+        |FROM mx GROUP BY label ORDER BY maxsim DESC, label LIMIT 5""".stripMargin,
     "m_binary_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id%2=0 THEN 'image' ELSE 'audio' END AS kind,

@@ -86,6 +86,103 @@ object VectorOps {
       .orderBy($"query_id", $"label", $"rn")
   }
 
+  // V8 — late-interaction multi-vector scoring (the ColBERT MaxSim shape):
+  // the query is a SET of vectors, a document is a label's vector set, and
+  // score(doc) = Σ_{q∈Q} max_{d∈doc} cos(q, d). The query set broadcasts
+  // (it is always small); per-(query-vec, label) maxima combine map-side,
+  // and the per-label sum goes through DECIMAL(18,6) over the 6-rounded
+  // maxima so summation order never shifts the score at any parallelism.
+  def maxSim(s: SparkSession, dir: String, nQuery: Int = 5, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = normed(s, dir)
+    val q = e.filter($"vec_id" < nQuery)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+    e.filter($"vec_id" >= nQuery)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
+      .groupBy($"qid", $"label")
+      .agg(max($"sim").as("ms"))
+      .groupBy($"label")
+      .agg(round(sum($"ms".cast("decimal(18,6)")).cast("double"), 6).as("maxsim"))
+      .orderBy($"maxsim".desc, $"label")
+      .limit(k)
+  }
+
+  // V9 — MMR-diversified retrieval (maximal marginal relevance): rerank
+  // the top-N cosine candidates so each pick maximizes
+  // λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s). The standard shape at
+  // any scale: a DISTRIBUTED top-N prefilter (TakeOrderedAndProject — no
+  // global sort) feeds a constant-size greedy fold, run as one bounded
+  // group through flatMapGroups (the place_order pattern) — never a
+  // driver-side collect in the plan. λ and 1−λ are both written as
+  // literals (0.7 / 0.3): computing 1−0.7 in binary64 yields a DIFFERENT
+  // double than the literal 0.3, and the oracle can only write literals.
+  def mmrRerank(s: SparkSession, dir: String, queryId: Long = 0L,
+      nCand: Int = 50, k: Int = 5, lam: Double = 0.7,
+      lamBar: Double = 0.3): DataFrame =
+    mmrRerankOn(normed(s, dir), queryId, nCand, k, lam, lamBar)
+
+  /** V9 core over any (vec_id, v, nrm) frame (planted-fixture specs). */
+  private[graft] def mmrRerankOn(e: DataFrame, queryId: Long,
+      nCand: Int, k: Int, lam: Double, lamBar: Double): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val q = e.filter($"vec_id" === queryId)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    val cand = e.filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("simq", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
+      .select($"vec_id", $"simq", $"v", $"nrm")
+      .orderBy($"simq".desc, $"vec_id")
+      .limit(nCand)
+    // JVM twins of the engine kernels: same sequential summation order as
+    // vec_dot / DuckDB list_sum, same HALF_UP rounding as Spark round()
+    def jdot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    cand.as[(Long, Double, Array[Double], Double)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val cs = it.toArray.sortBy { case (id, sq, _, _) => (-sq, id) }
+        if (cs.isEmpty) Iterator.empty
+        else {
+          val md = Array.fill(cs.length)(0.0)
+          val picked = Array.fill(cs.length)(false)
+          val out = Array.newBuilder[(Long, Long, Double, Double)]
+          var w = 0 // first pick: best sim, smallest id on ties
+          picked(0) = true
+          out += ((1L, cs(0)._1, cs(0)._2, round6(lam * cs(0)._2)))
+          var step = 2
+          while (step <= math.min(k, cs.length)) {
+            var best = -1; var bestScore = Double.NegativeInfinity
+            var i = 0
+            while (i < cs.length) {
+              if (!picked(i)) {
+                val ps = round6(jdot(cs(i)._3, cs(w)._3) / (cs(i)._4 * cs(w)._4))
+                if (ps > md(i)) md(i) = ps
+                val sc = round6(lam * cs(i)._2 - lamBar * md(i))
+                if (sc > bestScore ||
+                    (sc == bestScore && best >= 0 && cs(i)._1 < cs(best)._1)) {
+                  best = i; bestScore = sc
+                }
+              }
+              i += 1
+            }
+            picked(best) = true; w = best
+            out += ((step.toLong, cs(best)._1, cs(best)._2, bestScore))
+            step += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("rank", "vec_id", "sim", "mmr")
+      .orderBy($"rank")
+  }
+
   /** Fixed pseudo-random hyperplanes, derived from md5 so every engine and
     * every executor agrees without shipping state. */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract guards: a typo'd key in `oracleSql` would silently
   * demote a query to the weaker rows-only check (the driver matches by
-  * key) — so the rows-only set is pinned to exactly the documented nine,
+  * key) — so the rows-only set is pinned to exactly the documented eight,
   * and orphan oracles are an error. */
 class ContractSpec extends AnyFunSuite {
 
@@ -13,12 +13,14 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the nine documented non-SQL-expressible ops") {
+  test("the rows-only set is exactly the eight documented non-SQL-expressible ops") {
+    // r4: triangle counting (3-way join) and landmark BFS (bounded
+    // recursive CTE) turned out to be SQL-expressible after all — they
+    // moved to the oracled set.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set(
       "d_embedding_neardup_lsh", // probabilistic candidates; exact twin is the oracle
-      "g_connected_components", "g_pagerank", "g_shortest_paths",
-      "g_triangle_count",        // iterative GraphX fixpoints; fixture specs instead
+      "g_connected_components", "g_pagerank", // iterative GraphX fixpoints; fixture specs
       "m_frame_sample",          // decode stub, no SQL analogue
       "q_approx_distinct",       // sketch; exact count + error bound specced
       "q_approx_percentiles",    // sketch; exact quantiles ride along, error specced

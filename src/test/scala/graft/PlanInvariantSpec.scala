@@ -31,19 +31,22 @@ class PlanInvariantSpec extends SparkSpecBase {
   }
 
   test("pairwise candidates join on keys: no nested loop in the dedup plans") {
-    // tree-based: the pair-join pipeline itself must be free of nested
-    // loops. (The df-capped shingle build hides ONE single-row scalar
-    // broadcast inside its cached subtree — a scalar attachment, not a
-    // pair join — which correctly does not appear in the join pipeline.)
+    // string-based: under AQE the executed plan is an AdaptiveSparkPlanExec
+    // LEAF, so a tree collect() sees nothing — only toString exposes the
+    // inner plan. The df-capped shingle build legitimately attaches the
+    // corpus-size scalar via ONE single-row broadcast (condition mentions
+    // `nd#`) — a scalar attachment, not a pair join; anything else
+    // nested-loop-shaped is a regression.
     for (q <- Seq("d_minhash_lsh", "d_simhash", "d_ngram_jaccard",
         "d_ngram_jaccard_lsh", "d_embedding_neardup",
         "d_embedding_neardup_lsh", "j_range_promo")) {
-      val bad = SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.executedPlan.collect {
-          case p if p.nodeName.contains("BroadcastNestedLoopJoin") ||
-            p.nodeName.contains("CartesianProduct") => p.nodeName
-        }
-      assert(bad.isEmpty, s"$q plans $bad")
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      val offending = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin"))
+        .filterNot(_.contains("nd#"))
+        .toSeq
+      assert(offending.isEmpty, s"$q plans:\n${offending.mkString("\n")}")
     }
   }
 
@@ -51,5 +54,32 @@ class PlanInvariantSpec extends SparkSpecBase {
     val p = plan("q1_pricing_summary")
     // ReadSchema must not include the wide comment/address columns
     assert(!p.contains("l_comment"), s"q1 reads l_comment:\n$p")
+  }
+
+  test("r4 operators: decontaminate joins on the shingle key, no nested loop") {
+    val p = plan("d_decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"d_decontaminate plans a non-equi join:\n$p")
+  }
+
+  test("r4 operators: maxsim broadcasts the query set; mmr prefilter is TakeOrdered") {
+    // maxsim: the only join is the query-set cross join, which must be a
+    // broadcast (the stream side never shuffles for it)
+    val pm = plan("v_maxsim")
+    assert(pm.contains("BroadcastExchange"), s"maxsim query set not broadcast:\n$pm")
+    assert(!pm.contains("SortMergeJoin"), "maxsim shuffled for the query join")
+    // mmr: the candidate prefilter must be per-partition top-N + single
+    // reduce, not a global sort of the corpus
+    val pr = plan("v_mmr_rerank")
+    assert(pr.contains("TakeOrderedAndProject"), s"mmr prefilter lost top-N:\n$pr")
+  }
+
+  test("r4 operators: scd2 shuffles once by entity key") {
+    // both window passes run off ONE hash exchange on user_id (the final
+    // presentation orderBy adds a range exchange, which is not a reshuffle
+    // of the fold key)
+    val p = plan("s_scd2_dim")
+    val byUser = p.split("Exchange hashpartitioning\\(user_id").length - 1
+    assert(byUser == 1, s"expected one user_id hash exchange in:\n$p")
   }
 }

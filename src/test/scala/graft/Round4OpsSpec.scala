@@ -64,6 +64,35 @@ class Round4OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("maxsim: k rows, descending, and every score within [-nQuery, nQuery]") {
+    val rows = operators.VectorOps.maxSim(spark, sfDir, nQuery = 5, k = 5).collect()
+    assert(rows.length == 5)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(s => s >= -5.0 && s <= 5.0)) // Σ of 5 cosines
+  }
+
+  test("mmr rerank: diversification skips the near-duplicate of the first pick") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{vecNorm, vecToDouble}
+    // query 0 at e1; vec 1 ≈ vec 2 (near-identical, both close to e1);
+    // vec 3 orthogonal. Plain top-2 = {1, 2}; at λ=0.5 the duplicate's
+    // penalty (md ≈ 1 → score ≈ −0.004) loses to the orthogonal vector
+    // (score 0), so MMR must pick {1, 3}.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.9f, 0.11f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("v", vecToDouble(col("embedding")))
+      .withColumn("nrm", vecNorm(col("v")))
+    val picks = operators.VectorOps
+      .mmrRerankOn(vecs, queryId = 0L, nCand = 10, k = 2, lam = 0.5, lamBar = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(picks.toSeq == Seq(1L -> 1L, 2L -> 3L), s"got ${picks.toSeq}")
+  }
+
   test("scd2: versions contiguous, intervals chain, exactly one open row per user") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
