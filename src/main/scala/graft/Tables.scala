@@ -28,6 +28,15 @@ object Tables {
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  /** documents arrives as one small parquet file = ONE input split, and
+    * the expensive per-row work (shingle explosion, md5 hashing) happens
+    * BEFORE any shuffle — on a single core unless the scan is widened.
+    * The table is tiny per row, so the widening shuffle is negligible;
+    * at real scale the store is pre-split and this is a no-op. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val t = table(s, d, "documents")
+    val p = s.sparkContext.defaultParallelism
+    if (t.rdd.getNumPartitions < p) t.repartition(p) else t
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

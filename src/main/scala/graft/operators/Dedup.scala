@@ -304,8 +304,11 @@ object Dedup {
         centAngle(i, j) <= thetaTau + radii(i) + radii(j)
     } yield (i, j)
     val allowedDf = s.createDataFrame(allowed).toDF("ca", "cb")
-    val a = assigned.as("a")
-    val b = assigned.as("b")
+    // minimal join payload: the re-rank needs only (vec_id, v, nrm) —
+    // carrying the cached frame's u/csim through a ~N²/k-row join doubles
+    // the bytes every pair copies (measured ~2× on the join phase)
+    val a = assigned.select($"vec_id", $"v", $"nrm", $"cell").as("a")
+    val b = assigned.select($"vec_id", $"v", $"nrm", $"cell").as("b")
     a.join(broadcast(allowedDf), $"a.cell" === $"ca")
       .join(b, $"b.cell" === $"cb" && $"a.vec_id" < $"b.vec_id")
       .withColumn("sim_r", round(vecDot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6))

@@ -21,16 +21,25 @@ object VectorOps {
 
   /** embedding → double vector, L2 norm, and unit vector, computed once
     * per row; memoized per (dir) so every vector operator in a session
-    * shares one cached materialization (no duplicate persists). */
+    * shares one cached materialization (no duplicate persists).
+    *
+    * The frame is widened to the session's parallelism when the scan
+    * arrives under-split (a small parquet file = ONE split, and since the
+    * pairwise operators broadcast their other side, everything downstream
+    * of a 1-partition probe runs on one core — measured 4× on the
+    * near-dup pair join). At real scale the store is already ≥ cores
+    * splits and this is a no-op. */
   private[graft] def normed(s: SparkSession, dir: String): DataFrame =
     Caches.cached(s"vec-normed:$dir") {
       import s.implicits._
       // all three derivations are native codegen kernels — no interpreted
       // transform() lambda anywhere embeddings flow
-      Tables.embeddings(s, dir)
+      val base = Tables.embeddings(s, dir)
         .select($"vec_id", $"label", vecToDouble($"embedding").as("v"))
         .withColumn("nrm", vecNorm($"v"))
         .withColumn("u", vecScale($"v", $"nrm"))
+      val p = s.sparkContext.defaultParallelism
+      if (base.rdd.getNumPartitions < p) base.repartition(p) else base
     }
 
   private def dot(a: Column, b: Column): Column = vecDot(a, b)
