@@ -37,6 +37,7 @@ object SparkEntry {
     "q_market_share" -> ((s, d) => Relational.marketShare(s, d)),
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
     "q_segment_status_pivot" -> ((s, d) => Relational.segmentStatusPivot(s, d)),
+    "q_segment_status_unpivot" -> ((s, d) => Relational.segmentStatusUnpivot(s, d)),
     // Text analysis (SURVEY §2 T1–T4)
     "t_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "t_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -46,6 +47,7 @@ object SparkEntry {
     "t_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "t_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "t_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
+    "t_vocab" -> ((s, d) => TextOps.vocab(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -288,6 +290,23 @@ object SparkEntry {
         | COUNT(*) FILTER (WHERE o_orderstatus='P') AS n_p
         |FROM orders JOIN customer ON o_custkey=c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Unpivot mirror: enumerating segment × status keeps the zero-count
+    // cells the wide form materializes, so pivot∘unpivot is the identity.
+    "q_segment_status_unpivot" ->
+      """SELECT c_mktsegment, st AS o_orderstatus,
+        | COUNT(*) FILTER (WHERE o_orderstatus = st) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |CROSS JOIN (SELECT unnest(['F','O','P']) st) s
+        |GROUP BY c_mktsegment, st ORDER BY c_mktsegment, st""".stripMargin,
+    "t_vocab" ->
+      """WITH w AS (SELECT unnest(string_split(lower(text),' ')) wrd FROM documents),
+        |c AS (SELECT wrd, COUNT(*) tf FROM w GROUP BY wrd),
+        |tot AS (SELECT SUM(tf) tot FROM c),
+        |top AS (SELECT wrd, tf FROM c ORDER BY tf DESC, wrd LIMIT 100)
+        |SELECT wrd, tf,
+        | CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, wrd) AS BIGINT) AS rk,
+        | ROUND(CAST(SUM(tf) OVER (ORDER BY tf DESC, wrd ROWS UNBOUNDED PRECEDING) AS DOUBLE)/tot, 6) AS cum_coverage
+        |FROM top, tot ORDER BY rk""".stripMargin,
     "s_attribution" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
         |v AS (SELECT user_id vu, event_id view_id, ts vts FROM e WHERE event_type='view'),

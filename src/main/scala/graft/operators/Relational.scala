@@ -392,6 +392,19 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  // R25 — unpivot (melt): the wide pivot reshaped back to long form via
+  // stack() — the inverse of R23, one generator pass, no shuffle beyond
+  // the pivot's own. Zero-count cells survive the round trip (the long
+  // form enumerates every segment × status pair), which is what makes
+  // pivot∘unpivot the identity.
+  def segmentStatusUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    segmentStatusPivot(s, dir)
+      .select($"c_mktsegment",
+        expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (o_orderstatus, n_orders)"))
+      .orderBy($"c_mktsegment", $"o_orderstatus")
+  }
+
   // R14 — order priority distribution over a date window (partition-prunable
   // filter reaches the scan).
   def orderPriorityDist(s: SparkSession, dir: String): DataFrame = {

@@ -141,6 +141,30 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // T8 — vocabulary building (tokenizer-prep): corpus-wide word
+  // frequencies, rank, and cumulative corpus coverage for the top-K.
+  // The heavy part is one word-keyed groupBy (high cardinality, scales
+  // out) + TakeOrderedAndProject for the top-K; the global ordered
+  // window runs on the ALREADY-BOUNDED K rows, never the corpus, and
+  // the total rides a single-row broadcast.
+  def vocab(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), " ")).as("wrd"))
+      .groupBy($"wrd").agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum($"tf").as("tot"))
+    val byFreq = Window.orderBy($"tf".desc, $"wrd")
+    counts.orderBy($"tf".desc, $"wrd").limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_coverage", round(
+        sum($"tf").over(byFreq.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / $"tot", 6))
+      .select($"wrd", $"tf", $"rk", $"cum_coverage")
+      .orderBy($"rk")
+  }
+
   /** The redacted text itself (not hashed) — spec surface for asserting no
     * PII survives redaction. */
   private[graft] def redactText(docs: DataFrame): DataFrame = {

@@ -69,4 +69,22 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(VectorOps.cosineTopK(spark, oneRowDir).count() == 0)
     Caches.clearAll()
   }
+
+  test("r4 operators behave on empty and single-row corpora") {
+    assert(Dedup.decontaminate(spark, emptyDir).count() == 0)
+    assert(TextOps.repetition(spark, emptyDir).count() == 0)
+    assert(TextOps.piiRedact(spark, emptyDir).count() == 0)
+    assert(TextOps.vocab(spark, emptyDir).count() == 0)
+    assert(VectorOps.maxSim(spark, emptyDir).count() == 0)
+    assert(VectorOps.mmrRerank(spark, emptyDir).count() == 0)
+    Caches.clearAll()
+    // one doc: no train/bench overlap possible (doc 0 IS the bench slice);
+    // repetition/vocab still produce their one-row stats
+    assert(Dedup.decontaminate(spark, oneRowDir).count() == 0)
+    assert(TextOps.repetition(spark, oneRowDir).count() == 1)
+    assert(TextOps.vocab(spark, oneRowDir).count() == 4) // 4 distinct words
+    // the single vector is the query itself: nothing to rank
+    assert(VectorOps.mmrRerank(spark, oneRowDir).count() == 0)
+    Caches.clearAll()
+  }
 }
