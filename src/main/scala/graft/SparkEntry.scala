@@ -48,6 +48,7 @@ object SparkEntry {
     "t_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "t_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     "t_vocab" -> ((s, d) => TextOps.vocab(s, d)),
+    "t_bm25" -> ((s, d) => TextOps.bm25(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -307,6 +308,26 @@ object SparkEntry {
         | CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, wrd) AS BIGINT) AS rk,
         | ROUND(CAST(SUM(tf) OVER (ORDER BY tf DESC, wrd ROWS UNBOUNDED PRECEDING) AS DOUBLE)/tot, 6) AS cum_coverage
         |FROM top, tot ORDER BY rk""".stripMargin,
+    // BM25: identical literal constants and arithmetic shape both engines;
+    // per-term scores round to 6 then sum through DECIMAL.
+    "t_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |dd AS (SELECT doc_id, CAST(len(w) AS DOUBLE) dl, w FROM d),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+        |        CAST(SUM(len(w)) AS DOUBLE)/COUNT(*) avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, wrd, CAST(COUNT(*) AS DOUBLE) tf
+        |       FROM (SELECT doc_id, dl, unnest(w) wrd FROM dd) x
+        |       WHERE wrd IN ('spark','data','table') GROUP BY doc_id, dl, wrd),
+        |dfx AS (SELECT wrd, CAST(COUNT(*) AS DOUBLE) df FROM tf GROUP BY wrd),
+        |ts AS (SELECT t.doc_id,
+        |        ROUND(ln((st.n - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0)
+        |          * (t.tf * 2.2)
+        |          / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / st.avgdl)), 6) term_score
+        |       FROM tf t JOIN dfx ON t.wrd = dfx.wrd CROSS JOIN st)
+        |SELECT doc_id,
+        |  ROUND(CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25,
+        |  COUNT(*) AS n_terms
+        |FROM ts GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "s_attribution" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
         |v AS (SELECT user_id vu, event_id view_id, ts vts FROM e WHERE event_type='view'),

@@ -165,6 +165,44 @@ object TextOps {
       .orderBy($"rk")
   }
 
+  // T9 — BM25 fulltext relevance (the standard ranking model behind the
+  // reference's fulltext product search): per-(doc, term) Okapi scores
+  // from tf, df, and length normalization, summed per doc. Shapes: term
+  // stats ride one doc-keyed aggregation; df and the corpus stats are
+  // tiny single-row/per-term broadcasts; ranking is TakeOrdered. Float
+  // parity with the oracle: avgdl derives from EXACT integer totals,
+  // constants appear as identical literals on both engines (1.2+1
+  // computed in binary64 ≠ the literal 2.2), per-term scores round to 6
+  // before a DECIMAL-stabilized sum.
+  def bm25(s: SparkSession, dir: String,
+      query: String = "spark data table", topK: Int = 10): DataFrame = {
+    import s.implicits._
+    val terms = query.toLowerCase.split(" ").toSeq.distinct
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", wordsCol.as("w"))
+      .withColumn("dl", size($"w").cast("double"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(size($"w")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select($"doc_id", $"dl", explode($"w").as("wrd"))
+      .filter($"wrd".isInCollection(terms))
+      .groupBy($"doc_id", $"dl", $"wrd")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfx = tf.groupBy($"wrd").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfx), "wrd")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", round(
+        log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+          * ($"tf" * 2.2)
+          / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")), 6))
+      .groupBy($"doc_id")
+      .agg(
+        round(sum($"term_score".cast("decimal(18,6)")).cast("double"), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(topK)
+  }
+
   /** The redacted text itself (not hashed) — spec surface for asserting no
     * PII survives redaction. */
   private[graft] def redactText(docs: DataFrame): DataFrame = {

@@ -93,6 +93,27 @@ class Round4OpsSpec extends SparkSpecBase {
     assert(picks.toSeq == Seq(1L -> 1L, 2L -> 3L), s"got ${picks.toSeq}")
   }
 
+  test("Graft facade: registered views answer plain SQL; query() resolves keys") {
+    Graft.registerViews(spark, sfDir)
+    val viaSql = spark.sql(
+      "SELECT COUNT(*) FROM documents WHERE length(text) > 0").collect()(0).getLong(0)
+    assert(viaSql == Tables.documents(spark, sfDir).count())
+    // ns-timestamp events readable from SQL (the Tables fix applies)
+    assert(spark.sql("SELECT MIN(ts) FROM events").collect()(0).getTimestamp(0) != null)
+    assert(Graft.query(spark, sfDir, "q1_pricing_summary").count() > 0)
+    intercept[IllegalArgumentException](Graft.query(spark, sfDir, "nope"))
+    Caches.clearAll()
+  }
+
+  test("bm25: positive descending scores, term counts bounded by the query") {
+    val rows = TextOps.bm25(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 3L))
+  }
+
   test("scd2: versions contiguous, intervals chain, exactly one open row per user") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
