@@ -69,6 +69,9 @@ object SparkEntry {
     "v_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(s, d)),
     "v_maxsim" -> ((s, d) => VectorOps.maxSim(s, d)),
     "v_mmr_rerank" -> ((s, d) => VectorOps.mmrRerank(s, d)),
+    // rows-only by design: PQ codebooks are float-trained (ADC is
+    // approximate); the spec pins recall vs exact top-k on the corpus
+    "v_pq_ann" -> ((s, d) => VectorOps.pqAnn(s, d)),
     // Multimodal (SURVEY §2 M1–M2)
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),

@@ -192,6 +192,13 @@ object VectorOps {
       .orderBy($"rank")
   }
 
+  // V10 — PQ-ANN (the compression leg of the ANN toolbox next to LSH and
+  // IVF): product-quantize the corpus (m×ksub driver-state codebooks),
+  // score by ADC table lookups, exact-re-rank the short candidate list.
+  def pqAnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3, rerank: Int = 50): DataFrame =
+    VecPQ.pqAnn(normed(s, dir), queryId, k, m, ksub, iters, rerank)
+
   /** Fixed pseudo-random hyperplanes, derived from md5 so every engine and
     * every executor agrees without shipping state. */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract guards: a typo'd key in `oracleSql` would silently
   * demote a query to the weaker rows-only check (the driver matches by
-  * key) — so the rows-only set is pinned to exactly the documented eight,
+  * key) — so the rows-only set is pinned to exactly the documented nine,
   * and orphan oracles are an error. */
 class ContractSpec extends AnyFunSuite {
 
@@ -13,7 +13,7 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the eight documented non-SQL-expressible ops") {
+  test("the rows-only set is exactly the nine documented non-SQL-expressible ops") {
     // r4: triangle counting (3-way join) and landmark BFS (bounded
     // recursive CTE) turned out to be SQL-expressible after all — they
     // moved to the oracled set.
@@ -24,7 +24,8 @@ class ContractSpec extends AnyFunSuite {
       "m_frame_sample",          // decode stub, no SQL analogue
       "q_approx_distinct",       // sketch; exact count + error bound specced
       "q_approx_percentiles",    // sketch; exact quantiles ride along, error specced
-      "v_ivf_ann", "v_lsh_ann")  // ANN; recall specs vs exact top-k
+      "v_ivf_ann", "v_lsh_ann",  // ANN; recall specs vs exact top-k
+      "v_pq_ann")                // ADC is approximate; recall spec vs exact top-k
     assert(rowsOnly == documented,
       s"missing oracle: ${rowsOnly -- documented}; stale doc: ${documented -- rowsOnly}")
   }

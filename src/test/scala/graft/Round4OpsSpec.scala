@@ -105,6 +105,34 @@ class Round4OpsSpec extends SparkSpecBase {
     Caches.clearAll()
   }
 
+  test("pq ann: recall far above the rerank-budget baseline; planted clone found first") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{vecNorm, vecScale, vecToDouble}
+    // corpus recall: top-10 via PQ+ADC (rerank 50 of ~N) vs exact top-10.
+    // A random 50-candidate draw would land ~2.5% — 30% is a real cut.
+    val exact = operators.VectorOps.cosineTopK(spark, sfDir, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = operators.VectorOps.pqAnn(spark, sfDir, 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & pq).size >= 3, s"recall ${(exact & pq).size}/10")
+    Caches.clearAll()
+    // planted: vec 1 is an exact clone of query 0 → identical codes →
+    // equal ADC score → survives rerank and tops the exact ranking
+    val base = Array(0.3f, -0.9f, 0.4f, 0.1f, 0.7f, -0.2f, 0.05f, 0.6f)
+    def jitter(k: Int) = base.zipWithIndex.map { case (x, i) =>
+      x + 0.31f * ((i * 7 + k * 13) % 11 - 5) }
+    val planted = ((0L, base) +: (1L, base.clone) +:
+        (2L to 40L).map(k => (k, jitter(k.toInt))))
+      .toDF("vec_id", "embedding")
+      .withColumn("v", vecToDouble(col("embedding")))
+      .withColumn("nrm", vecNorm(col("v")))
+      .withColumn("u", vecScale(col("v"), col("nrm")))
+    val top = operators.VecPQ.pqAnn(planted, queryId = 0L, k = 3,
+      m = 4, ksub = 8, iters = 2, rerank = 10).collect()
+    assert(top.head.getLong(0) == 1L, s"clone not first: ${top.toSeq}")
+    assert(top.head.getDouble(2) == 1.0) // exact cosine with itself
+  }
+
   test("bm25: positive descending scores, term counts bounded by the query") {
     val rows = TextOps.bm25(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 10)
