@@ -98,6 +98,7 @@ object SparkEntry {
     "s_props_stats" -> ((s, d) => streaming.EventOps.propsStatsQuery(s, d)),
     "s_enrich" -> ((s, d) => streaming.EventOps.enrichQuery(s, d)),
     "s_attribution" -> ((s, d) => streaming.EventOps.attributionQuery(s, d)),
+    "s_attribution_outer" -> ((s, d) => streaming.EventOps.attributionOuterQuery(s, d)),
     "s_scd2_dim" -> ((s, d) => streaming.EventOps.scd2Query(s, d)),
     // Transactional write-path folds (SURVEY §2 / VERDICT r2 missing #1)
     "s_place_order" -> ((s, d) => streaming.OrderFold.placeOrderQuery(s, d)),
@@ -338,6 +339,15 @@ object SparkEntry {
         |SELECT pu AS user_id, purchase_id, pts, view_id, vts
         |FROM p JOIN v ON pu=vu AND vts <= pts AND vts >= pts - INTERVAL 1 HOUR
         |ORDER BY user_id, purchase_id, view_id""".stripMargin,
+    // Outer attribution: NULLS FIRST pinned explicitly — Spark sorts
+    // nulls first by default, DuckDB last.
+    "s_attribution_outer" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+        |v AS (SELECT user_id vu, event_id view_id, ts vts FROM e WHERE event_type='view'),
+        |p AS (SELECT user_id pu, event_id purchase_id, ts pts FROM e WHERE event_type='purchase')
+        |SELECT pu AS user_id, purchase_id, pts, view_id, vts
+        |FROM p LEFT JOIN v ON pu=vu AND vts <= pts AND vts >= pts - INTERVAL 1 HOUR
+        |ORDER BY user_id, purchase_id, view_id ASC NULLS FIRST""".stripMargin,
     "t_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, fr_hits,
         | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'

@@ -164,6 +164,32 @@ object EventOps {
       .select($"pu".as("user_id"), $"purchase_id", $"pts", $"view_id", $"vts")
   }
 
+  // S12b — LEFT OUTER stream-stream interval join: every purchase emits,
+  // matched to its preceding-hour views, or with null view columns once
+  // no view can still arrive. Unmatched-row emission is the hard part of
+  // streaming outer joins: a purchase is held in state until the view
+  // side's watermark passes the interval bound, then released with
+  // nulls — so attribution reports un-attributed conversions instead of
+  // silently dropping them (the inner join above keeps matches only).
+  def attributionJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = views.sparkSession
+    import s.implicits._
+    val v = views.select($"user_id".as("vu"), $"event_id".as("view_id"), $"ts".as("vts"))
+    val p = purchases.select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"ts".as("pts"))
+    p.join(v, expr("pu = vu AND vts <= pts AND vts >= pts - interval 1 hour"),
+        "left_outer")
+      .select($"pu".as("user_id"), $"purchase_id", $"pts", $"view_id", $"vts")
+  }
+
+  def attributionOuterQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    attributionJoinOuter(
+        e.filter($"event_type" === "view"),
+        e.filter($"event_type" === "purchase"))
+      .orderBy($"user_id", $"purchase_id", asc_nulls_first("view_id"))
+  }
+
   // S11 — stream-static enrichment: attach the customer dimension to the
   // event stream (user_id = c_custkey). The dim broadcasts, so under
   // Structured Streaming every micro-batch joins against executor-local

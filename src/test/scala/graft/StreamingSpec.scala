@@ -53,6 +53,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(s.table("dedup_out").count() == 2)
   }
 
+  test("left-outer interval join: unmatched purchases emit with nulls after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val views = Seq(ev(1, 0, 1, "view", 1.0))
+    val purchases = Seq(
+      ev(10, 600, 1, "purchase", 9.0), // matched: view 1 within the hour
+      ev(12, 300, 3, "purchase", 9.0)) // no view EVER → must still emit (nulls)
+    val vMem = MemoryStream[Ev]
+    val pMem = MemoryStream[Ev]
+    vMem.addData(views: _*)
+    pMem.addData(purchases: _*)
+    val joined = EventOps.attributionJoinOuter(
+      vMem.toDF().withWatermark("ts", "10 minutes"),
+      pMem.toDF().withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("sso_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // push both watermarks far past the interval bound so the unmatched
+    // purchase can be proven unmatched and released from state
+    vMem.addData(ev(90, 24 * 3600, 9, "view", 0.0))
+    pMem.addData(ev(91, 24 * 3600, 9, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.table("sso_out").filter($"user_id".isin(1L, 3L))
+      .orderBy("user_id").collect()
+    assert(rows.length == 2, s"got ${rows.toSeq}")
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(3) == 1L) // matched
+    assert(rows(1).getLong(0) == 3L && rows(1).isNullAt(3) && rows(1).isNullAt(4))
+    // and the streamed relation equals the batch left join on the same data
+    val batch = EventOps.attributionJoinOuter(views.toDF(), purchases.toDF())
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(rows.map(_.toString).toSeq == batch)
+  }
+
   test("stream-stream interval join: purchases match prior-hour views, state bounded by watermark") {
     val s = spark
     import s.implicits._
