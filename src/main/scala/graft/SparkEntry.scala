@@ -58,6 +58,7 @@ object SparkEntry {
     "d_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "d_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "d_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     // Vector (SURVEY §2 V1–V6)
     "v_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "v_semantic_cache" -> ((s, d) => VectorOps.semanticCache(s, d)),
@@ -123,6 +124,28 @@ object SparkEntry {
       |SELECT da AS doc_a, db AS doc_b, ROUND(CAST(ni AS DOUBLE)/(sa.n+sb.n-ni),6) AS jacc
       |FROM pr JOIN sz sa ON da=sa.doc_id JOIN sz sb ON db=sb.doc_id
       |WHERE CAST(ni AS DOUBLE)/(sa.n+sb.n-ni) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The MinHash band-bucket pair pipeline (word-3-gram shingles, 16
+    * perms, 4 bands) as reusable CTEs ending in `mpairs(doc_a, doc_b,
+    * n_bands)` — shared by the d_minhash_lsh oracle and the cluster
+    * closure built on top of it. */
+  private val minhashPairsCtes: String =
+    """d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |   unnest(list_transform(range(1,len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) s
+      | FROM d WHERE len(w) >= 3),
+      |h AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 1000000007 AS hv FROM sh),
+      |mh AS (SELECT doc_id, j, MIN(((2*j+1)*hv + 17*j+3) % 1000000007) AS m
+      |       FROM h CROSS JOIN (SELECT unnest(range(0,16)) AS j) js GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j//4 AS band,
+      |   concat_ws(',', CAST(MAX(CASE WHEN j%4=0 THEN m END) AS VARCHAR),
+      |                  CAST(MAX(CASE WHEN j%4=1 THEN m END) AS VARCHAR),
+      |                  CAST(MAX(CASE WHEN j%4=2 THEN m END) AS VARCHAR),
+      |                  CAST(MAX(CASE WHEN j%4=3 THEN m END) AS VARCHAR)) AS sig
+      | FROM mh GROUP BY doc_id, j//4),
+      |mpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+      | FROM bands a JOIN bands b ON a.band=b.band AND a.sig=b.sig AND a.doc_id<b.doc_id
+      | GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
     * compares after sorting columns by name). Money sums go through
@@ -393,23 +416,24 @@ object SparkEntry {
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "d_minhash_lsh" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |   unnest(list_transform(range(1,len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) s
-        | FROM d WHERE len(w) >= 3),
-        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 1000000007 AS hv FROM sh),
-        |mh AS (SELECT doc_id, j, MIN(((2*j+1)*hv + 17*j+3) % 1000000007) AS m
-        |       FROM h CROSS JOIN (SELECT unnest(range(0,16)) AS j) js GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, j//4 AS band,
-        |   concat_ws(',', CAST(MAX(CASE WHEN j%4=0 THEN m END) AS VARCHAR),
-        |                  CAST(MAX(CASE WHEN j%4=1 THEN m END) AS VARCHAR),
-        |                  CAST(MAX(CASE WHEN j%4=2 THEN m END) AS VARCHAR),
-        |                  CAST(MAX(CASE WHEN j%4=3 THEN m END) AS VARCHAR)) AS sig
-        | FROM mh GROUP BY doc_id, j//4)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-        |FROM bands a JOIN bands b ON a.band=b.band AND a.sig=b.sig AND a.doc_id<b.doc_id
-        |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    "d_minhash_lsh" -> (s"WITH $minhashPairsCtes\n" +
+      """SELECT doc_a, doc_b, n_bands FROM mpairs ORDER BY doc_a, doc_b"""),
+    // Near-dup clusters: transitive closure of the (small, sparse)
+    // MinHash pair graph — pairwise removal is not transitive; the
+    // cluster id is the smallest reachable doc_id, singletons are their
+    // own cluster.
+    "d_dup_clusters" -> (s"WITH RECURSIVE $minhashPairsCtes,\n" +
+      """arcs AS (SELECT doc_a s, doc_b dd FROM mpairs
+        |          UNION ALL SELECT doc_b, doc_a FROM mpairs),
+        |reach AS (
+        |  SELECT s AS node, dd AS r FROM arcs
+        |  UNION
+        |  SELECT reach.node, arcs.dd FROM reach JOIN arcs ON arcs.s = reach.r
+        |),
+        |lbl AS (SELECT node, LEAST(node, MIN(r)) lbl FROM reach GROUP BY node)
+        |SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+        |ORDER BY d.doc_id""".stripMargin),
     "d_simhash" ->
       """WITH wd AS (SELECT doc_id, unnest(string_split(lower(text),' ')) wrd FROM documents),
         |h AS (SELECT doc_id, CAST(('0x'||substr(md5(wrd),1,8)) AS BIGINT) h_lo,

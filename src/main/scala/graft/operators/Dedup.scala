@@ -228,6 +228,48 @@ object Dedup {
     jaccardRerank(sh, sizes, cand)
   }
 
+  // D7 — near-dup CLUSTER resolution: connected components over the
+  // MinHash pair graph. Pairwise removal is not transitive (A~B and B~C
+  // do not imply A~C), so principled dedup keeps one doc per CLUSTER:
+  // cluster_id = smallest doc_id reachable through near-dup pairs,
+  // singletons are their own cluster. Components run as min-label
+  // propagation in DataFrames: the pair graph is tiny relative to the
+  // corpus (near-dup clusters are small by construction), labels shuffle
+  // by node key, and each iteration truncates lineage with
+  // localCheckpoint — iterations ≤ cluster diameter, which for near-dup
+  // clusters is a handful. The per-iteration driver round-trip is one
+  // COUNT of changed labels (convergence test), never the data.
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClustersOf(Tables.documents(s, dir).select(col("doc_id")),
+      minhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** D7 core: components of an undirected pair list, joined back to the
+    * full id universe (fixture-testable). */
+  private[graft] def dupClustersOf(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    import ids.sparkSession.implicits._
+    val arcs = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = arcs.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = arcs.join(labels, $"dst" === $"node")
+        .groupBy($"src").agg(min($"lbl").as("nlbl"))
+      val next = labels.join(nbrMin, $"node" === $"src", "left")
+        .select($"node", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
+      changed = next.as("n")
+        .join(labels.select($"node", $"lbl".as("old")), "node")
+        .filter($"lbl" =!= $"old").count()
+      labels = next
+    }
+    ids.join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
   // D6 — benchmark decontamination: a training document is contaminated
   // iff it shares ≥1 word-5-gram with any held-out benchmark document
   // (the n-gram-overlap decontamination every LLM training pipeline runs

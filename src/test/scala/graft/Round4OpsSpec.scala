@@ -133,6 +133,18 @@ class Round4OpsSpec extends SparkSpecBase {
     assert(top.head.getDouble(2) == 1.0) // exact cosine with itself
   }
 
+  test("dup clusters: transitive closure of pairs, singletons self-labeled") {
+    import spark.implicits._
+    // chain 1-2, 2-3 must collapse into ONE cluster (pairwise dedup would
+    // miss 1~3); 7-8 a second cluster; 9 untouched
+    val ids = (1L to 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup.dupClustersOf(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L), s"got $got")
+  }
+
   test("bm25: positive descending scores, term counts bounded by the query") {
     val rows = TextOps.bm25(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 10)
