@@ -672,8 +672,12 @@ object SparkEntry {
         | JOIN nation ON s_nationkey=n_nationkey
         | JOIN region ON n_regionkey=r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    // Near-dup removal is CLUSTER-based (r4): the Jaccard pair graph
+    // closes transitively (recursive CTE) and every doc except its
+    // component's minimum is dropped — mirrors dupClustersOf in the
+    // Spark pipeline.
     "p_corpus_clean" ->
-      """WITH d AS (SELECT doc_id, text, string_split(lower(text),' ') w FROM documents),
+      """WITH RECURSIVE d AS (SELECT doc_id, text, string_split(lower(text),' ') w FROM documents),
         |keep_exact AS (SELECT MIN(doc_id) doc_id FROM documents GROUP BY md5(text)),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
         |        FROM d WHERE len(w) >= 2),
@@ -683,9 +687,16 @@ object SparkEntry {
         |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
         |pr AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) ni
         |       FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
-        |losers AS (SELECT DISTINCT db AS doc_id
+        |jp AS (SELECT da, db
         |  FROM pr JOIN sz sa ON da=sa.doc_id JOIN sz sb ON db=sb.doc_id
         |  WHERE CAST(ni AS DOUBLE)/(sa.n+sb.n-ni) >= 0.5),
+        |arcs AS (SELECT da s, db dd FROM jp UNION ALL SELECT db, da FROM jp),
+        |reach AS (
+        |  SELECT s AS node, dd AS r FROM arcs
+        |  UNION
+        |  SELECT reach.node, arcs.dd FROM reach JOIN arcs ON arcs.s = reach.r
+        |),
+        |losers AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(r) < node),
         |quality AS (SELECT doc_id, text FROM d
         |  WHERE CAST(len(list_filter(w, x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(w) >= 0.05),
         |survivors AS (SELECT q.doc_id, q.text FROM quality q

@@ -26,12 +26,15 @@ object CorpusPipeline {
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
 
-    // 2. near-dup removal: Jaccard >= 0.5 pairs (df-capped shingles);
-    //    the higher doc_id of every pair is dropped. Candidates come from
-    //    MinHash band buckets (the sub-quadratic D4b path) with exact
-    //    re-rank — same pairs as the exact inverted-index join, so the
-    //    pipeline's DuckDB oracle is unchanged
-    val dupLosers = Dedup.ngramJaccardLsh(s, dir).select($"doc_b".as("doc_id")).distinct()
+    // 2. near-dup removal, CLUSTER-based (r4): Jaccard >= 0.5 pairs
+    //    (MinHash band candidates, exact re-rank — the sub-quadratic D4b
+    //    path) resolve to connected components (D7), and every doc except
+    //    its component's smallest id is dropped. Pairwise doc_b-dropping
+    //    is not transitive — a chain A~B~C kept B; the closure drops it.
+    val pairs = Dedup.ngramJaccardLsh(s, dir).select($"doc_a", $"doc_b")
+    val dupLosers = Dedup.dupClustersOf(docs.select($"doc_id"), pairs)
+      .filter($"cluster_id" =!= $"doc_id")
+      .select($"doc_id")
 
     // 3. quality floor: stopword density (same scoring family as T2)
     val quality = docs
