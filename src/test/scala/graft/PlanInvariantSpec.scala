@@ -74,6 +74,15 @@ class PlanInvariantSpec extends SparkSpecBase {
     assert(pr.contains("TakeOrderedAndProject"), s"mmr prefilter lost top-N:\n$pr")
   }
 
+  test("r4 operators: vocab and bm25 rank via TakeOrdered, bm25 stats broadcast") {
+    val pv = plan("t_vocab")
+    assert(pv.contains("TakeOrderedAndProject"), s"vocab top-K lost:\n$pv")
+    val pb = plan("t_bm25")
+    assert(pb.contains("TakeOrderedAndProject"), s"bm25 ranking lost:\n$pb")
+    assert(pb.contains("BroadcastExchange"), s"bm25 df/corpus stats not broadcast:\n$pb")
+    assert(!pb.contains("CartesianProduct"), "bm25 plans a cartesian")
+  }
+
   test("r4 operators: scd2 shuffles once by entity key") {
     // both window passes run off ONE hash exchange on user_id (the final
     // presentation orderBy adds a range exchange, which is not a reshuffle
