@@ -77,6 +77,8 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(TextOps.vocab(spark, emptyDir).count() == 0)
     assert(VectorOps.maxSim(spark, emptyDir).count() == 0)
     assert(VectorOps.mmrRerank(spark, emptyDir).count() == 0)
+    assert(TextOps.bm25(spark, emptyDir).count() == 0)
+    assert(Dedup.dupClusters(spark, emptyDir).count() == 0)
     Caches.clearAll()
     // one doc: no train/bench overlap possible (doc 0 IS the bench slice);
     // repetition/vocab still produce their one-row stats
@@ -85,6 +87,9 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(TextOps.vocab(spark, oneRowDir).count() == 4) // 4 distinct words
     // the single vector is the query itself: nothing to rank
     assert(VectorOps.mmrRerank(spark, oneRowDir).count() == 0)
+    // the lone doc is its own cluster
+    val c = Dedup.dupClusters(spark, oneRowDir).collect()
+    assert(c.length == 1 && c(0).getLong(0) == c(0).getLong(1))
     Caches.clearAll()
   }
 }
