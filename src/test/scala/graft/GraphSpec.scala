@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.GraphOps
+import graft.operators.{Dedup, GraphOps}
 
 /** Fixture-graph assertions for the GraphX analytics that have no SQL
   * oracle (VERDICT r2 item 7): planted graphs with hand-computable
@@ -67,6 +67,18 @@ class GraphSpec extends SparkSpecBase {
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L))
     val sizes = GraphOps.connectedComponentsOf(g).collect()
       .map(_.getAs[Long]("size")).sorted.toSeq
+    assert(sizes == Seq(2L, 3L), s"got $sizes")
+  }
+
+  test("DF-native components (dupClustersOf) agree with GraphX on the fixture") {
+    import spark.implicits._
+    // same two-island graph; the min-label propagation used for near-dup
+    // cluster resolution must partition nodes identically to GraphX CC
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L).toDF("doc_id")
+    val sizes = Dedup.dupClustersOf(ids, pairs)
+      .groupBy("cluster_id").count()
+      .collect().map(_.getAs[Long]("count")).sorted.toSeq
     assert(sizes == Seq(2L, 3L), s"got $sizes")
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.{EventOps, Scd2Stream}
 import graft.streaming.Scd2Stream.StateEvent
@@ -10,6 +11,34 @@ class Scd2StreamSpec extends SparkSpecBase {
   private val base = 1704067200L // 2024-01-01
   private def ev(id: Long, offSec: Long, user: Long, kind: String) =
     StateEvent(user, id, new Timestamp((base + offSec) * 1000L), kind)
+
+  test("incremental scd2 equals the batch backfill on the real corpus, split mid-stream") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // the whole sf0.001 event log, delivered in two time-ordered
+    // micro-batches (the per-entity ordered-arrival contract)
+    val all = Tables.events(s, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .as[Scd2Stream.StateEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mid = all(all.length / 2).ts
+    val mem = MemoryStream[StateEvent]
+    mem.addData(all.filter(!_.ts.after(mid)).toSeq: _*)
+    mem.addData(all.filter(_.ts.after(mid)).toSeq: _*)
+    val q = Scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_corpus").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("scd2_corpus")
+      .select("user_id", "version", "state", "eff_from", "eff_to")
+      .orderBy("user_id", "version").collect().map(_.toString).toSeq
+    val batch = EventOps.scd2(Tables.events(s, sfDir))
+      .filter(col("eff_to").isNotNull)
+      .select("user_id", "version", "state", "eff_from", "eff_to")
+      .orderBy("user_id", "version").collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream ${streamed.size} rows vs batch ${batch.size}")
+  }
 
   test("incremental scd2 emits exactly the batch backfill's closed versions") {
     val s = spark
