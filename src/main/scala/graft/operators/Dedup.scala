@@ -24,20 +24,25 @@ object Dedup {
 
   private def wordsOf(c: Column): Column = split(lower(c), " ")
 
-  /** doc_id + distinct word-n-gram shingles, one row per (doc, shingle). */
-  private def shingles(s: SparkSession, dir: String, n: Int): DataFrame =
-    shinglesOf(Tables.documents(s, dir), n)
+  /** doc_id + word-n-gram shingles, one row per (doc, shingle) after
+    * dedup. `dedup = false` skips the distinct SHUFFLE for consumers
+    * whose aggregates are duplicate-insensitive (min / countDistinct) —
+    * set semantics must hold where rows are counted (Jaccard sizes). */
+  private def shingles(s: SparkSession, dir: String, n: Int,
+      dedup: Boolean = true): DataFrame =
+    shinglesOf(Tables.documents(s, dir), n, dedup)
 
   /** Same, over an arbitrary (doc_id, text) frame (fixture specs). */
-  private[graft] def shinglesOf(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def shinglesOf(docs: DataFrame, n: Int,
+      dedup: Boolean = true): DataFrame = {
     import docs.sparkSession.implicits._
     val parts = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
-    docs
+    val raw = docs
       .select($"doc_id", wordsOf($"text").as("w"))
       .filter(size($"w") >= n) // sequence(1, size-k) descends when size < k
       .select($"doc_id", explode(expr(
         s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $parts))")).as("s"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
   }
 
   // D1 — exact dedup: content-hash groups, keep the smallest doc_id.
@@ -58,7 +63,10 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = 1000000007L
-    val h = shingles(s, dir, 3)
+    // dedup = false: min() is idempotent over duplicate shingles, so the
+    // distinct shuffle would only burn a pass (the oracle's DISTINCT sh
+    // yields the same minima)
+    val h = shingles(s, dir, 3, dedup = false)
       .select($"doc_id", (h64($"s") % M).as("hv"))
     def perm(j: Int): Column =
       min((lit(2L * j + 1) * $"hv" + lit(17L * j + 3)) % M).as(s"m$j")
@@ -137,15 +145,18 @@ object Dedup {
   private def cappedShingles(s: SparkSession, dir: String): DataFrame =
     Caches.cached(s"ngram-sh:$dir") { // read by join sides + sizes + sigs
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val all = shingles(s, dir, 2)
       // corpus size enters as a broadcast single-row aggregate, not a
-      // driver-side count: the whole query stays one lazy plan
+      // driver-side count: the whole query stays one lazy plan. The df
+      // cap rides a window over the shingle key — ONE shuffle by s,
+      // where the r1 groupBy+join formulation shuffled twice on the
+      // same key (r4).
       val nDocs = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("nd"))
-      val rare = all.groupBy($"s").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocs))
+      all.crossJoin(broadcast(nDocs))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
         .filter($"df" <= $"nd" * 0.2)
-        .select($"s")
-      all.join(rare, "s")
+        .select($"doc_id", $"s")
     }
 
   /** Exact Jaccard + threshold for given candidate pairs over a shingle

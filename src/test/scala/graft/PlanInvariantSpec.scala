@@ -34,9 +34,11 @@ class PlanInvariantSpec extends SparkSpecBase {
     // string-based: under AQE the executed plan is an AdaptiveSparkPlanExec
     // LEAF, so a tree collect() sees nothing — only toString exposes the
     // inner plan. The df-capped shingle build legitimately attaches the
-    // corpus-size scalar via ONE single-row broadcast (condition mentions
-    // `nd#`) — a scalar attachment, not a pair join; anything else
-    // nested-loop-shaped is a regression.
+    // corpus-size scalar via a condition-LESS Cross of a one-row
+    // broadcast aggregate; the regression this test hunts — an
+    // inequality pair join falling out of the equi-key path — always
+    // prints its join condition on the BroadcastNestedLoopJoin line, and
+    // a non-broadcast blowup prints CartesianProduct.
     for (q <- Seq("d_minhash_lsh", "d_simhash", "d_ngram_jaccard",
         "d_ngram_jaccard_lsh", "d_embedding_neardup",
         "d_embedding_neardup_lsh", "j_range_promo")) {
@@ -44,7 +46,7 @@ class PlanInvariantSpec extends SparkSpecBase {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
       val offending = p.linesIterator
         .filter(_.contains("BroadcastNestedLoopJoin"))
-        .filterNot(_.contains("nd#"))
+        .filterNot(_.trim.endsWith("Cross")) // bare scalar attach
         .toSeq
       assert(offending.isEmpty, s"$q plans:\n${offending.mkString("\n")}")
     }
