@@ -159,19 +159,29 @@ object Dedup {
         .select($"doc_id", $"s")
     }
 
-  /** Exact Jaccard + threshold for given candidate pairs over a shingle
-    * frame: |∩| via a (doc, shingle) join restricted to the candidates,
-    * |∪| from per-doc set sizes. */
-  private def jaccardRerank(sh: DataFrame, sizes: DataFrame, cand: DataFrame): DataFrame = {
-    import sh.sparkSession.implicits._
-    val inter = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"s"), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("ni"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+  /** Per-doc shingle SET (array) + size, cached per dir: both re-rank
+    * joins read it, and array payloads are bounded by the df-capped
+    * per-doc shingle count (≈ doc length), so the rows ship safely at
+    * any scale. */
+  private def docSets(s: SparkSession, dir: String): DataFrame =
+    Caches.cached(s"ngram-docsets:$dir") {
+      import s.implicits._
+      cappedShingles(s, dir)
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_set($"s")).as("ss"))
+        .select($"doc_id", $"ss", size($"ss").cast("long").as("n"))
+    }
+
+  /** Exact Jaccard + threshold for given candidate pairs: |∩| in-row via
+    * array_intersect over the per-doc sets — two key joins and zero
+    * re-aggregation, where the r1 form re-joined the exploded shingle
+    * frame twice and re-grouped the matches (r4). */
+  private def jaccardRerank(sets: DataFrame, cand: DataFrame): DataFrame = {
+    import sets.sparkSession.implicits._
+    cand
+      .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa"), $"n".as("na")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb"), $"n".as("nb")), "doc_b")
+      .withColumn("ni", size(array_intersect($"sa", $"sb")).cast("long"))
       .withColumn("jacc_raw", $"ni".cast("double") / ($"na" + $"nb" - $"ni"))
       .filter($"jacc_raw" >= 0.5)
       .select($"doc_a", $"doc_b", round($"jacc_raw", 6).as("jacc"))
@@ -183,13 +193,12 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = cappedShingles(s, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
     val cand = a.join(b, $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    jaccardRerank(sh, sizes, cand)
+    jaccardRerank(docSets(s, dir), cand)
   }
 
   /** MinHash band signatures over a (doc_id, s) shingle frame: nPerm
@@ -225,7 +234,6 @@ object Dedup {
       bandSize: Int = 2): DataFrame = {
     import s.implicits._
     val sh = cappedShingles(s, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // cached: the self-join below reads the signature frame twice, and
     // Catalyst does not reuse the minhash groupBy across join sides
     val sigs = Caches.cached(s"ngram-sigs:$dir:$nPerm:$bandSize") {
@@ -236,7 +244,7 @@ object Dedup {
         $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    jaccardRerank(sh, sizes, cand)
+    jaccardRerank(docSets(s, dir), cand)
   }
 
   // D7 — near-dup CLUSTER resolution: connected components over the
