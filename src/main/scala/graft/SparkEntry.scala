@@ -77,6 +77,7 @@ object SparkEntry {
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "m_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, d)),
+    "m_segment_plan" -> ((s, d) => Multimodal.segmentPlan(s, d)),
     // Graph (SURVEY §2 G1–G7)
     "g_copurchase_edges" -> ((s, d) => GraphOps.copurchaseEdges(s, d)),
     "g_degree" -> ((s, d) => GraphOps.degree(s, d)),
@@ -611,6 +612,17 @@ object SparkEntry {
         | CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
         | CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_other
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_segment_plan" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 600 + 10 AS duration_s
+        | FROM documents)
+        |SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+        |  CAST(seg_id * 30 AS BIGINT) AS start_s,
+        |  CAST(LEAST((seg_id + 1) * 30, duration_s) AS BIGINT) AS end_s,
+        |  CAST(duration_s AS BIGINT) AS duration_s
+        |FROM (SELECT doc_id, duration_s,
+        |        unnest(range(0, (duration_s - 1) // 30 + 1)) AS seg_id FROM m) t
+        |ORDER BY doc_id, seg_id""".stripMargin,
     "g_copurchase_edges" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem)
         |SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS weight

@@ -28,6 +28,26 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // M4 — A/V segment planning: fixed-length segment boundaries per media
+  // item from its duration metadata (the step that shards long audio/
+  // video for transcription or embedding). Pure arithmetic over typed
+  // metadata — no codec involved, so unlike the decode step this is NOT
+  // a stub and carries a full oracle. Duration derives from md5 like the
+  // other synthesized metadata; the generator runs in-row (sequence +
+  // explode), no shuffle beyond the final presentation sort.
+  def segmentPlan(s: SparkSession, dir: String, segLen: Int = 30): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("duration_s", (h64($"text") % 600 + 10).cast("long"))
+      .withColumn("seg_id",
+        explode(expr(s"sequence(0, (duration_s - 1) div $segLen)")))
+      .select($"doc_id", $"seg_id".cast("long").as("seg_id"),
+        ($"seg_id" * segLen).cast("long").as("start_s"),
+        least(($"seg_id" + 1) * segLen, $"duration_s").cast("long").as("end_s"),
+        $"duration_s")
+      .orderBy($"doc_id", $"seg_id")
+  }
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame_md5: String)
 
