@@ -62,6 +62,36 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("dup clusters equal a union-find reference on random pair graphs") {
+    val s = spark
+    import s.implicits._
+    val graphGen = for {
+      nNodes <- Gen.choose(2, 30)
+      nEdges <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(1L, nNodes.toLong)
+        b <- Gen.choose(1L, nNodes.toLong)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (nNodes, edges.distinct)
+    samples(graphGen, 5).foreach { case (nNodes, edges) =>
+      // reference: textbook union-find with min-root labels
+      val parent = scala.collection.mutable.Map((1L to nNodes.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (1L to nNodes.toLong).map(i => i -> find(i)).toMap
+      val ids = (1L to nNodes.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = graft.operators.Dedup.dupClustersOf(ids, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Caches.clearAll()
+      assert(got == want, s"edges $edges:\ngot  $got\nwant $want")
+    }
+  }
+
   test("salted join equals plain join on random key distributions") {
     val s = spark
     import s.implicits._
