@@ -17,6 +17,13 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  // NOT widened (measured, r4): most fact-table consumers shuffle by a
+  // key within one stage of the scan (orderkey/partkey groupBys, the
+  // fold shuffles), so a blind repartition only ADDS an exchange —
+  // copurchase and place_order regressed ~20% under it, while only the
+  // pure broadcast-join-then-agg queries gained. The under-split-scan
+  // fix stays where every consumer is pre-shuffle compute-heavy
+  // (documents, embeddings).
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
