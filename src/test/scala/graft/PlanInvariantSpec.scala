@@ -62,6 +62,11 @@ class PlanInvariantSpec extends SparkSpecBase {
     val p = plan("d_decontaminate")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"d_decontaminate plans a non-equi join:\n$p")
+    // the bench slice is small by construction → the hint must hold: the
+    // shingle equi-join probes a broadcast of the bench side, the training
+    // corpus never shuffles for it
+    assert(p.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"decontaminate shuffled the corpus:\n$p")
   }
 
   test("r4 operators: maxsim broadcasts the query set; mmr prefilter is TakeOrdered") {
