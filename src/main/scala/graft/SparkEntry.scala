@@ -15,6 +15,7 @@ object SparkEntry {
     // Relational (SURVEY §2 R1–R14)
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q_product_search" -> ((s, d) => Relational.productSearch(s, d)),
+    "q_fuzzy_search" -> ((s, d) => Relational.fuzzySearch(s, d)),
     "q_category_search" -> ((s, d) => Relational.categorySearch(s, d)),
     "q_broad_search" -> ((s, d) => Relational.broadSearch(s, d)),
     "q_check_stock" -> ((s, d) => Relational.checkStock(s, d)),
@@ -171,6 +172,28 @@ object SparkEntry {
         |   + CASE WHEN contains(lower(p_name),'bolt') THEN 1 ELSE 0 END) AS score
         | FROM part) t WHERE score >= 1
         |ORDER BY score DESC, p_partkey LIMIT 10""".stripMargin,
+    "q_fuzzy_search" ->
+      """WITH toks AS (
+        | SELECT p_partkey, p_name, p_retailprice, tok FROM (
+        |  SELECT p_partkey, p_name, p_retailprice,
+        |   unnest(string_split_regex(lower(p_name), '[^a-z]+')) AS tok
+        |  FROM part) WHERE tok <> ''
+        |), d AS (
+        | SELECT p_partkey, MIN(p_name) AS p_name,
+        |  MIN(p_retailprice) AS p_retailprice,
+        |  MIN(levenshtein(tok, 'bolte')) AS d0,
+        |  MIN(levenshtein(tok, 'gizmmo')) AS d1
+        | FROM toks GROUP BY p_partkey
+        |)
+        |SELECT p_partkey, p_name, p_retailprice,
+        | CAST((CASE WHEN d0<=2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN d1<=2 THEN 1 ELSE 0 END) AS BIGINT) AS terms_matched,
+        | CAST((CASE WHEN d0<=2 THEN d0 ELSE 0 END)
+        |     + (CASE WHEN d1<=2 THEN d1 ELSE 0 END) AS BIGINT) AS total_dist
+        |FROM d
+        |WHERE (CASE WHEN d0<=2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN d1<=2 THEN 1 ELSE 0 END) >= 1
+        |ORDER BY terms_matched DESC, total_dist ASC, p_partkey LIMIT 10""".stripMargin,
     "q_category_search" ->
       """SELECT p_partkey, p_name, p_type, p_retailprice FROM part
         |WHERE contains(lower(p_type), 'small') ORDER BY p_partkey""".stripMargin,

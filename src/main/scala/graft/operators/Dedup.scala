@@ -310,10 +310,24 @@ object Dedup {
     } // the bench/train split reads it twice
     val bench = sh.filter($"doc_id" % 10 === 0)
     val train = sh.filter($"doc_id" % 10 =!= 0)
-    // The bench side of a decontamination run is small relative to the
-    // training corpus by construction — hint it explicitly rather than
-    // trusting AQE's stats on an exploded shingle frame.
-    train.as("t").join(broadcast(bench.as("b")), $"t.s" === $"b.s")
+    // A real decontamination run joins a bounded external benchmark set
+    // against an unbounded corpus — but THIS bench slice (doc_id%10=0) is
+    // ~10% of the corpus and grows with it, so a hard broadcast hint would
+    // eventually exceed any driver. Gate the hint on the optimizer's size
+    // estimate: hint only while the bench side plausibly fits the
+    // configured broadcast threshold; beyond that let AQE pick the join
+    // (it can still broadcast at runtime from exact shuffle stats).
+    val spark = docs.sparkSession
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    val thresholdBytes = // "-1" disables broadcasting (and throws in byteStringAsBytes)
+      if (raw.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    val benchEstimate = bench.queryExecution.optimizedPlan.stats.sizeInBytes
+    val benchSide =
+      if (thresholdBytes > 0 && benchEstimate <= BigInt(thresholdBytes))
+        broadcast(bench.as("b"))
+      else bench.as("b")
+    train.as("t").join(benchSide, $"t.s" === $"b.s")
       .groupBy($"t.doc_id".as("doc_id"))
       .agg(countDistinct($"b.doc_id").as("n_bench_docs"),
         countDistinct($"t.s").as("n_shingles_hit"))

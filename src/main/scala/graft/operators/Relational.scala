@@ -78,14 +78,25 @@ object Relational {
       .select($"p_partkey", $"p_name", $"p_retailprice",
         explode(split(lower($"p_name"), "[^a-z]+")).as("tok"))
       .filter($"tok" =!= "")
+    // One groupBy carries every per-term min-distance (map-side combine
+    // folds the exploded tokens back to one row per product pre-shuffle).
     val dists = terms.zipWithIndex.map { case (t, i) =>
       min(levenshtein($"tok", lit(t))).as(s"_d$i")
     }
     val agg = toks.groupBy($"p_partkey")
-      .agg(min($"p_name").as("p_name"), min($"p_retailprice").as("p_retailprice")
-        +: dists.tail: _*)
-      .agg(min($"p_name").as("p_name"), dists: _*) // placeholder, replaced below
+      .agg(min($"p_name").as("p_name"),
+        min($"p_retailprice").as("p_retailprice") +: dists: _*)
+    val matched = terms.indices
+      .map(i => when(col(s"_d$i") <= maxDist, 1).otherwise(0)).reduce(_ + _)
+    val totalDist = terms.indices
+      .map(i => when(col(s"_d$i") <= maxDist, col(s"_d$i")).otherwise(0)).reduce(_ + _)
     agg
+      .withColumn("terms_matched", matched.cast("long"))
+      .withColumn("total_dist", totalDist.cast("long"))
+      .filter($"terms_matched" >= 1)
+      .select($"p_partkey", $"p_name", $"p_retailprice", $"terms_matched", $"total_dist")
+      .orderBy($"terms_matched".desc, $"total_dist".asc, $"p_partkey")
+      .limit(10)
   }
 
   // R3 — category containment search (neo4j_service.py:77: Category name

@@ -21,6 +21,20 @@ class OperatorSpec extends SparkSpecBase {
     assert(rows(0).getAs[Int]("stage") == 2) // 'red bolt turbo' absent, 'red'+'bolt' present
   }
 
+  test("fuzzy search: a one-edit typo still finds the product") {
+    // 'bolte' is one edit from 'bolt'; exact-token search returns nothing.
+    val exact = Relational.productSearch(spark, sfDir, Seq("bolte")).count()
+    assert(exact == 0)
+    val rows = Relational.fuzzySearch(spark, sfDir, Seq("bolte"), maxDist = 2).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("p_name").toLowerCase.contains("bolt")))
+    assert(rows.forall(_.getAs[Long]("terms_matched") == 1L))
+    // ranking: matches desc, then total distance asc, then key
+    val keyed = rows.map(r => (r.getAs[Long]("terms_matched"), r.getAs[Long]("total_dist"), r.getAs[Long]("p_partkey")))
+    val sorted = keyed.sortBy { case (m, d, k) => (-m, d, k) }
+    assert(keyed.toSeq == sorted.toSeq)
+  }
+
   test("top customers: revenue ordering is non-increasing") {
     val rev = Relational.topCustomers(spark, sfDir).select("revenue")
       .collect().map(_.getDouble(0))

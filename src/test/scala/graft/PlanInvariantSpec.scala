@@ -62,11 +62,27 @@ class PlanInvariantSpec extends SparkSpecBase {
     val p = plan("d_decontaminate")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"d_decontaminate plans a non-equi join:\n$p")
-    // the bench slice is small by construction → the hint must hold: the
-    // shingle equi-join probes a broadcast of the bench side, the training
-    // corpus never shuffles for it
+    // the broadcast hint is gated on the optimizer's size estimate (a
+    // hard hint would break at scale when the bench slice outgrows the
+    // driver); at this SF the estimate fits the threshold, so the gate
+    // must fire and the training corpus must not shuffle
     assert(p.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"decontaminate shuffled the corpus:\n$p")
+    // and with the threshold forced to 0 the gate must NOT hint — AQE is
+    // free to plan a shuffle join (scale safety: no hard broadcast)
+    val sess = spark
+    val old = sess.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.Caches.clearAll()
+      val gated = graft.operators.Dedup.decontaminate(sess, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!gated.contains("BroadcastHashJoin"),
+        s"broadcast hint ignored the disabled threshold:\n$gated")
+    } finally {
+      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      graft.Caches.clearAll()
+    }
   }
 
   test("r4 operators: maxsim broadcasts the query set; mmr prefilter is TakeOrdered") {
