@@ -85,6 +85,7 @@ object SparkEntry {
     "g_two_hop" -> ((s, d) => GraphOps.twoHop(s, d)),
     "g_cat_hierarchy_rollup" -> ((s, d) => GraphOps.hierarchyRollup(s, d)),
     "g_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
+    "g_pagerank_weighted" -> ((s, d) => GraphOps.pageRankWeighted(s, d)),
     "g_connected_components" -> ((s, d) => GraphOps.connectedComponents(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
@@ -699,6 +700,66 @@ object SparkEntry {
         |)
         |SELECT part, landmark, CAST(MIN(hops) AS BIGINT) AS hops
         |FROM bfs GROUP BY part, landmark ORDER BY part, landmark""".stripMargin,
+    // G5 graduated (r6): GraphX staticPageRank IS oracle-able — the exact
+    // update (r ← 0.15 + (1.0-0.15)·Σ r·(1/deg), init 1.0, 10 iterations)
+    // replays as a recursive CTE whose recursive term aggregates via a
+    // window SUM + DISTINCT collapse; 6dp rounding absorbs double-sum
+    // association order. Mirror the runtime expression shapes exactly:
+    // rank * (1.0/deg) (not rank/deg) and (1.0 - 0.15) (not 0.85).
+    "g_pagerank" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |darcs AS (SELECT src, dst, 1.0/COUNT(*) OVER (PARTITION BY src) AS rdeg FROM arcs),
+        |pr AS (
+        |  SELECT 0 AS it, src AS v, CAST(1.0 AS DOUBLE) AS r FROM (SELECT DISTINCT src FROM arcs)
+        |  UNION ALL
+        |  SELECT DISTINCT it, dst AS v, r FROM (
+        |    SELECT p.it + 1 AS it, a.dst,
+        |      0.15 + (1.0 - 0.15) * SUM(p.r * a.rdeg) OVER (PARTITION BY a.dst) AS r
+        |    FROM pr p JOIN darcs a ON a.src = p.v
+        |    WHERE p.it < 10)
+        |)
+        |SELECT v AS part, ROUND(r, 6) AS rank FROM pr WHERE it = 10
+        |ORDER BY rank DESC, part LIMIT 20""".stripMargin,
+    // G5b: same recursive-CTE replay with weight-normalized contributions
+    // (CAST(w)/CAST(sum w) mirrors the Spark double division bit-for-bit).
+    "g_pagerank_weighted" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst, COUNT(*) AS w FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+        |darcs AS (SELECT src, dst,
+        |  CAST(w AS DOUBLE)/CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS rw FROM arcs),
+        |pr AS (
+        |  SELECT 0 AS it, src AS v, CAST(1.0 AS DOUBLE) AS r FROM (SELECT DISTINCT src FROM arcs)
+        |  UNION ALL
+        |  SELECT DISTINCT it, dst AS v, r FROM (
+        |    SELECT p.it + 1 AS it, a.dst,
+        |      0.15 + (1.0 - 0.15) * SUM(p.r * a.rw) OVER (PARTITION BY a.dst) AS r
+        |    FROM pr p JOIN darcs a ON a.src = p.v
+        |    WHERE p.it < 10)
+        |)
+        |SELECT v AS part, ROUND(r, 6) AS rank FROM pr WHERE it = 10
+        |ORDER BY rank DESC, part LIMIT 20""".stripMargin,
+    // G6 graduated (r6): GraphX connectedComponents converges to the min
+    // vertex id per component; the oracle propagates min labels with the
+    // same window-aggregate recursive-CTE trick (UNION dedup terminates —
+    // labels only improve, so the working table drains at the fixpoint).
+    "g_connected_components" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT src AS v FROM arcs),
+        |lbl AS (
+        |  SELECT v, v AS l FROM nodes
+        |  UNION
+        |  SELECT DISTINCT dst AS v, l FROM (
+        |    SELECT a.dst, MIN(p.l) OVER (PARTITION BY a.dst) AS l
+        |    FROM lbl p JOIN arcs a ON a.src = p.v)
+        |)
+        |SELECT component, COUNT(*) AS size FROM (
+        |  SELECT v, MIN(l) AS component FROM lbl GROUP BY v)
+        |GROUP BY component ORDER BY size DESC, component""".stripMargin,
     "g_cat_hierarchy_rollup" ->
       """SELECT r_name, n_name,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

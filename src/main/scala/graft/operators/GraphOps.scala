@@ -115,7 +115,15 @@ object GraphOps {
     * because count/300k exceeds the input partitioning. */
   private[graft] def graphOf(edges: DataFrame): Graph[Int, Long] = {
     val cur = edges.rdd.getNumPartitions
-    val target = math.max(4, math.ceil(2.0 * edges.count() / 300000.0).toInt)
+    // Edge count for partition sizing comes from plan statistics when the
+    // cached edge frame is already materialized (InMemoryRelation reports
+    // an exact rowCount — no job); the count() fallback runs at most once
+    // per session, on first use, and itself materializes the cache so
+    // every later graph query sizes for free. At 100 TB this removes a
+    // full edge-list pass from every cache-hit graph query.
+    val rows = edges.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(edges.count())
+    val target = math.max(4, math.ceil(2.0 * rows / 300000.0).toInt)
     val df = if (target < cur) edges.coalesce(target) else edges
     val arcs = df.rdd.flatMap { r =>
       val (src, dst, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -136,9 +144,11 @@ object GraphOps {
       .select($"part", round($"rank_raw", 6).as("rank"))
   }
 
-  // G5 — PageRank centrality over the co-purchase graph (GraphX;
-  // rows-only check — iterative fixpoint isn't oracle-SQL-expressible;
-  // GraphSpec asserts exact fixpoint values on planted fixture graphs).
+  // G5 — PageRank centrality over the co-purchase graph (GraphX). Hash-
+  // matched since r6: the fixed-iteration update replays as a DuckDB
+  // recursive CTE (window-SUM aggregation in the recursive term), 6dp
+  // rounding both sides; GraphSpec additionally pins exact fixpoints on
+  // planted fixture graphs.
   def pageRank(s: SparkSession, dir: String, iters: Int = 10, k: Int = 20): DataFrame = {
     import s.implicits._
     pageRankOf(edgesUnsorted(s, dir), iters)
@@ -181,6 +191,49 @@ object GraphOps {
       .orderBy($"rank".desc, $"part")
   }
 
+  /** Weighted static PageRank over an arbitrary canonical (src, dst,
+    * weight) edge frame: rank mass follows edge weight — msg = rank ·
+    * w/wdeg(src) instead of rank/deg(src) — so a product co-purchased
+    * 50× pulls proportionally more rank than a one-off pairing. Same
+    * DataFrame fixpoint loop as pageRankDF (one shuffle of the small
+    * rank table per iteration against the cached weight-normalized arc
+    * list; localCheckpoint truncates lineage). Expression shapes are
+    * mirrored by the DuckDB oracle (CAST(w)/CAST(wdeg), damp folded from
+    * 1.0-0.15) so the result hash-matches at 6dp. */
+  private[graft] def pageRankWeightedOf(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val damp = 1.0 - 0.15 // fold exactly as the oracle's (1.0 - 0.15)
+    val arcs = edges.select($"src", $"dst", $"weight")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    val wdeg = arcs.groupBy($"src").agg(sum($"weight").as("wdeg"))
+    val arcsD = arcs.join(wdeg, "src")
+      .select($"src", $"dst",
+        ($"weight".cast("double") / $"wdeg".cast("double")).as("rw"))
+      .localCheckpoint(eager = true)
+    val verts = wdeg.select($"src".as("v")).localCheckpoint(eager = true)
+    var ranks = verts.select($"v", lit(1.0).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val contribs = arcsD.join(ranks, $"src" === $"v")
+        .groupBy($"dst").agg(sum($"rank" * $"rw").as("msg"))
+      ranks = verts
+        .join(contribs, $"v" === $"dst", "left")
+        .select($"v", (lit(0.15) + lit(damp) * coalesce($"msg", lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.select($"v".as("part"), round($"rank", 6).as("rank"))
+  }
+
+  // G5b — weighted PageRank over the co-purchase graph (the edge weights
+  // G1 computes finally drive the ranking).
+  def pageRankWeighted(s: SparkSession, dir: String, iters: Int = 10, k: Int = 20): DataFrame = {
+    import s.implicits._
+    pageRankWeightedOf(edgesUnsorted(s, dir), iters)
+      .orderBy($"rank".desc, $"part")
+      .limit(k)
+  }
+
   /** Component sizes for an arbitrary canonical edge frame. */
   private[graft] def connectedComponentsOf(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
@@ -192,7 +245,9 @@ object GraphOps {
       .orderBy($"size".desc, $"component")
   }
 
-  // G6 — product communities: connected components + size (GraphX).
+  // G6 — product communities: connected components + size (GraphX min-id
+  // labels). Hash-matched since r6 via a min-label-propagation recursive
+  // CTE oracle (labels only improve → UNION dedup drains at the fixpoint).
   def connectedComponents(s: SparkSession, dir: String): DataFrame =
     connectedComponentsOf(edgesUnsorted(s, dir))
 

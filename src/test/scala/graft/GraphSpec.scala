@@ -62,6 +62,26 @@ class GraphSpec extends SparkSpecBase {
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-6))
   }
 
+  test("weighted pagerank: rank mass follows edge weight") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3: unweighted is symmetric (r1 = r3); with edge (2,3)
+    // carrying 9× the weight, vertex 3 must outrank vertex 1
+    val w = Seq((1L, 2L, 1L), (2L, 3L, 9L)).toDF("src", "dst", "weight")
+    val ranks = GraphOps.pageRankWeightedOf(w, iters = 40).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(3L) > ranks(1L), s"weight ignored: $ranks")
+    assert(ranks(2L) > ranks(3L), "centre must still dominate")
+    // uniform weights reduce to the unweighted fixpoint (K4 → all 1.0)
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    GraphOps.pageRankWeightedOf(k4, iters = 10).collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-6))
+    // and the weighted fixture differs from the unweighted ranking on w
+    val unw = GraphOps.pageRankDF(w, iters = 40).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(unw(1L) - unw(3L)) < 1e-6, "unweighted path is symmetric")
+  }
+
   test("connected components: planted two-island graph has exact sizes") {
     // island A = path 1-2-3 (3 nodes), island B = edge 10-11 (2 nodes)
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L))
