@@ -24,6 +24,18 @@ object GraftFunctions {
   /** v / s elementwise, codegen'd (unit normalization). */
   def vecScale(v: Column, s: Column): Column =
     GraftColumn.of(VecScale(GraftColumn.exprOf(v), GraftColumn.exprOf(s)))
+
+  /** max(|x_i|) — symmetric int8 quantization range, codegen'd. */
+  def vecAbsMax(v: Column): Column =
+    GraftColumn.of(VecAbsMax(GraftColumn.exprOf(v)))
+
+  /** Σ|q_i| of the int8 codes of (v, mx), quantize+reduce in one pass. */
+  def vecQuantAbsSum(v: Column, mx: Column): Column =
+    GraftColumn.of(VecQuantAbsSum(GraftColumn.exprOf(v), GraftColumn.exprOf(mx)))
+
+  /** Σq_i² of the int8 codes of (v, mx), quantize+reduce in one pass. */
+  def vecQuantSelfDot(v: Column, mx: Column): Column =
+    GraftColumn.of(VecQuantSelfDot(GraftColumn.exprOf(v), GraftColumn.exprOf(mx)))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Caches, Tables}
-import graft.functions.GraftFunctions.{vecDot, vecNorm, vecScale, vecToDouble}
+import graft.functions.GraftFunctions.{vecAbsMax, vecDot, vecNorm, vecQuantAbsSum, vecQuantSelfDot, vecScale, vecToDouble}
 
 /** Vector-retrieval surface of the reference's Chroma collections
   * (backend/src/api/services/db_service.py: enterprise_data top-k=5
@@ -332,13 +332,16 @@ object VectorOps {
   // cosine is asserted in the spec (top-k on int8 ≈ exact top-k).
   def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // every per-element pass is a native codegen kernel (r5 verdict item:
+    // the previous aggregate()/transform() HOF lambdas ran interpreted on
+    // a full-corpus path); quantize+reduce fuse into one loop per output,
+    // the int8 code array is never materialized
     Tables.embeddings(s, dir)
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("mx", array_max(transform($"v", x => abs(x))))
-      .withColumn("q", expr("transform(v, x -> cast(round(x * 127.0 / mx) AS int))"))
+      .select($"vec_id", vecToDouble($"embedding").as("v"))
+      .withColumn("mx", vecAbsMax($"v"))
       .select($"vec_id", round($"mx", 6).as("scale"),
-        expr("cast(aggregate(q, 0L, (a, x) -> a + abs(x)) AS bigint)").as("q_l1"),
-        expr("cast(aggregate(q, 0L, (a, x) -> a + cast(x AS bigint) * x) AS bigint)").as("q_self_dot"))
+        vecQuantAbsSum($"v", $"mx").as("q_l1"),
+        vecQuantSelfDot($"v", $"mx").as("q_self_dot"))
       .orderBy($"vec_id")
   }
 

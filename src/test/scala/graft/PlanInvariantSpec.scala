@@ -85,6 +85,14 @@ class PlanInvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("v_quantize_int8: no interpreted higher-order lambda survives in the plan") {
+    val p = plan("v_quantize_int8")
+    assert(!p.contains("aggregate("), s"interpreted aggregate() HOF in plan:\n$p")
+    assert(!p.contains("transform("), s"interpreted transform() HOF in plan:\n$p")
+    assert(p.contains("vec_quant_abs_sum") && p.contains("vec_quant_self_dot"),
+      s"quant kernels missing from plan:\n$p")
+  }
+
   test("r4 operators: maxsim broadcasts the query set; mmr prefilter is TakeOrdered") {
     // maxsim: the only join is the query-set cross join, which must be a
     // broadcast (the stream side never shuffles for it)

@@ -141,6 +141,23 @@ class VectorScaleSpec extends SparkSpecBase {
     assert(e.filter($"hof_v" =!= $"k_v" || $"hof_u" =!= $"k_u").count() == 0)
   }
 
+  test("int8 quant kernels are bit-identical to the HOF formulation") {
+    val s = spark
+    import s.implicits._
+    // the r6 codegen kernels must reproduce the interpreted HOF pipeline
+    // they replaced exactly — same BigDecimal HALF_UP rounding per element
+    val hof = Tables.embeddings(s, sfDir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("mx", array_max(expr("transform(v, x -> abs(x))")))
+      .withColumn("q", expr("transform(v, x -> cast(round(x * 127.0 / mx) AS int))"))
+      .select($"vec_id", round($"mx", 6).as("scale"),
+        expr("cast(aggregate(q, 0L, (a, x) -> a + abs(x)) AS bigint)").as("q_l1"),
+        expr("cast(aggregate(q, 0L, (a, x) -> a + cast(x AS bigint) * x) AS bigint)").as("q_self_dot"))
+    val kernel = VectorOps.quantizeInt8(s, sfDir)
+    assert(kernel.count() == hof.count())
+    assert(kernel.exceptAll(hof).count() == 0 && hof.exceptAll(kernel).count() == 0)
+  }
+
   test("k-means: cells partition the corpus and tighten the quantizer") {
     val s = spark
     import s.implicits._
