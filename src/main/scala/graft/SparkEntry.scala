@@ -18,6 +18,7 @@ object SparkEntry {
     "q_fuzzy_search" -> ((s, d) => Relational.fuzzySearch(s, d)),
     "q_category_search" -> ((s, d) => Relational.categorySearch(s, d)),
     "q_broad_search" -> ((s, d) => Relational.broadSearch(s, d)),
+    "q_catalog_page" -> ((s, d) => Relational.catalogPage(s, d)),
     "q_check_stock" -> ((s, d) => Relational.checkStock(s, d)),
     "q_user_orders" -> ((s, d) => Relational.userOrders(s, d)),
     "q_order_status_counts" -> ((s, d) => Relational.orderStatusCounts(s, d)),
@@ -67,6 +68,7 @@ object SparkEntry {
     "v_lsh_ann" -> ((s, d) => VectorOps.lshAnn(s, d)),
     "v_ivf_ann" -> ((s, d) => VectorOps.ivfAnn(s, d)),
     "v_chunk_text" -> ((s, d) => VectorOps.chunkText(s, d)),
+    "v_chunk_recursive" -> ((s, d) => VectorOps.chunkRecursive(s, d)),
     "v_dedup_chunks" -> ((s, d) => VectorOps.dedupChunks(s, d)),
     "v_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(s, d)),
     "v_maxsim" -> ((s, d) => VectorOps.maxSim(s, d)),
@@ -201,6 +203,9 @@ object SparkEntry {
     "q_broad_search" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |ORDER BY p_partkey LIMIT 10""".stripMargin,
+    "q_catalog_page" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_partkey > 1000 ORDER BY p_partkey LIMIT 10""".stripMargin,
     "q_check_stock" ->
       """WITH m AS (
         | SELECT p_partkey, p_name, p_size,
@@ -566,6 +571,39 @@ object SparkEntry {
         | SELECT doc_id, text, unnest(range(0, (length(text)-1)//150 + 1)) AS chunk_id
         | FROM documents) t
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // V5b: word-offset arithmetic mirrored exactly — window starts snap
+    // forward to a word start, ends snap back to the last fitting word
+    // end, contained windows drop, survivors renumber densely.
+    "v_chunk_recursive" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |w0 AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS word FROM d),
+        |w AS (SELECT doc_id, pos,
+        |  COALESCE(SUM(length(word)+1) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wstart,
+        |  COALESCE(SUM(length(word)+1) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(word) AS wend
+        | FROM w0),
+        |cands AS (SELECT doc_id, text, unnest(range(0, (length(text)-1)//150 + 1)) AS c
+        |          FROM documents),
+        |starts AS (
+        | SELECT cands.doc_id, text, c, MIN(w.wstart) AS cstart
+        | FROM cands JOIN w ON w.doc_id = cands.doc_id AND w.wstart >= c*150
+        | GROUP BY cands.doc_id, text, c),
+        |ends AS (
+        | SELECT starts.doc_id, text, c, cstart, MAX(w.wend) AS cend
+        | FROM starts JOIN w ON w.doc_id = starts.doc_id AND w.wstart >= cstart
+        |  AND (w.wend <= cstart + 200 OR w.wstart = cstart)
+        | GROUP BY starts.doc_id, text, c, cstart),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, text, c, cstart, cend,
+        |   COALESCE(MAX(cend) OVER (PARTITION BY doc_id ORDER BY c
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev_end
+        |  FROM ends) WHERE cend > prev_end)
+        |SELECT doc_id,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c) - 1 AS BIGINT) AS chunk_id,
+        | substring(text, CAST(cstart + 1 AS INTEGER), CAST(cend - cstart AS INTEGER)) AS chunk_text
+        |FROM kept ORDER BY doc_id, chunk_id""".stripMargin,
     "v_dedup_chunks" ->
       """SELECT md5(lower(trim(text))) AS norm_h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

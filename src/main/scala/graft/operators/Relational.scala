@@ -118,6 +118,22 @@ object Relational {
       .limit(10)
   }
 
+  // R4b — keyset-paginated catalog listing (db_service.py:79
+  // get_all_products / admin paged listings). Keyset (seek) pagination,
+  // not OFFSET: the seek predicate pushes to the parquet scan and the
+  // page is a TakeOrderedAndProject, so page N costs the same as page 1 —
+  // OFFSET at 100 TB scans and discards N·pageSize rows, a seek scans
+  // one page regardless of depth.
+  def catalogPage(s: SparkSession, dir: String,
+      afterKey: Long = 1000L, pageSize: Int = 10): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_partkey" > afterKey)
+      .select($"p_partkey", $"p_name", $"p_retailprice")
+      .orderBy($"p_partkey")
+      .limit(pageSize)
+  }
+
   // R5 — stock lookup with cascading fuzzy fallback (tools.py:37-92:
   // exact phrase → first-2-words → first-word). Stage = strongest match
   // tier present anywhere in the catalog; returns the first match there.

@@ -323,6 +323,56 @@ object VectorOps {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  // V5b — separator-aware recursive chunking (reference db_service.py:
+  // 208-212: RecursiveCharacterTextSplitter(1000, 200) prefers splitting
+  // at whitespace so no chunk cuts mid-word; 200/150 here, sized to this
+  // corpus like V5). Window starts snap FORWARD to the next word start,
+  // window ends snap BACK to the last complete word that fits; a window
+  // collapsing into (or contained by) its predecessor is dropped, then
+  // chunks renumber densely. size-stride = 50 chars exceeds any word in
+  // the corpus, so every word lands in ≥1 chunk (reassembly spec).
+  // Everything is integer arithmetic over word offsets — word offsets
+  // come from a per-doc window sum (bounded partitions: ≤ ~100 words),
+  // candidate windows from a bounded per-doc explode, and the word↔window
+  // matching is an equi-join on doc_id with bounded per-doc fanout — so
+  // the whole operator is shuffle-by-doc_id, linear at 100 TB.
+  def chunkRecursive(s: SparkSession, dir: String,
+      size: Int = 200, stride: Int = 150): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val words = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("wlen", length($"w"))
+      .withColumn("wstart", coalesce(sum($"wlen" + 1).over(byDoc), lit(0)))
+      .withColumn("wend", $"wstart" + $"wlen")
+      .select($"doc_id", $"wstart", $"wend")
+    val cands = docs.select($"doc_id", $"text",
+        explode(expr(s"sequence(0, (length(text) - 1) div $stride)")).as("c"))
+      .withColumn("p", $"c" * stride)
+    val starts = cands.join(words.select($"doc_id", $"wstart"), Seq("doc_id"))
+      .filter($"wstart" >= $"p")
+      .groupBy($"doc_id", $"text", $"c")
+      .agg(min($"wstart").as("cstart"))
+    val ends = starts
+      .join(words.select($"doc_id", $"wstart".as("ws"), $"wend"), Seq("doc_id"))
+      .filter($"ws" >= $"cstart" &&
+        ($"wend" <= $"cstart" + size || $"ws" === $"cstart"))
+      .groupBy($"doc_id", $"text", $"c", $"cstart")
+      .agg(max($"wend").as("cend"))
+    val prevEnd = Window.partitionBy($"doc_id").orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ends
+      .withColumn("maxPrevEnd", coalesce(max($"cend").over(prevEnd), lit(-1)))
+      .filter($"cend" > $"maxPrevEnd") // drop windows contained in a predecessor
+      .withColumn("chunk_id",
+        (row_number().over(Window.partitionBy($"doc_id").orderBy($"c")) - 1).cast("long"))
+      .select($"doc_id", $"chunk_id",
+        expr("substring(text, cstart + 1, cend - cstart)").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   // V7 — int8 scalar quantization of the embedding column: per-vector
   // symmetric scale (max-abs / 127), q_i = round(x_i / scale). At 100 TB
   // the embedding store is memory/IO-bound — int8 quarters the footprint

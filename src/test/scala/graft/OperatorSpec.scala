@@ -126,6 +126,39 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("recursive chunking: no chunk splits a word, every word is covered") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val chunks = VectorOps.chunkRecursive(spark, sfDir)
+      .select($"doc_id", $"chunk_id", $"chunk_text")
+      .as[(Long, Long, String)].collect()
+    assert(chunks.nonEmpty)
+    val words = docs.view.mapValues(_.split(" ").toSet).toMap
+    chunks.foreach { case (id, cid, c) =>
+      // word-boundary snapping: every chunk is a whole-word substring —
+      // each of its space-split tokens is a word of the source document
+      assert(c.split(" ").forall(words(id).contains),
+        s"doc $id chunk $cid splits a word: '$c'")
+      assert(docs(id).contains(c), s"doc $id chunk $cid not a substring")
+    }
+    // coverage: the union of chunk words reconstructs every document word
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val covered = cs.flatMap(_._3.split(" ")).toSet
+      assert(words(id).subsetOf(covered), s"doc $id lost words")
+    }
+    // overlap semantics: consecutive chunks overlap (or abut) — no gaps
+    val byDoc = chunks.groupBy(_._1)
+    byDoc.foreach { case (id, cs) =>
+      val texts = cs.sortBy(_._2).map(_._3)
+      texts.zip(texts.tail).foreach { case (a, b) =>
+        val aEnd = docs(id).indexOf(a) + a.length
+        val bStart = docs(id).indexOf(b)
+        assert(bStart <= aEnd + 1, s"doc $id gap between chunks")
+      }
+    }
+  }
+
   test("co-purchase graph: degree sums to 2x edge count; canonical edges") {
     val edges = GraphOps.copurchaseEdges(spark, sfDir).cache()
     val degSum = GraphOps.degree(spark, sfDir).agg(sum("degree")).collect()(0).getLong(0)

@@ -85,6 +85,12 @@ class PlanInvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("q_catalog_page: seek predicate reaches the scan, page is TakeOrdered") {
+    val p = plan("q_catalog_page")
+    assert(p.contains("GreaterThan(p_partkey,1000)"), s"seek not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"page lost its top-k plan:\n$p")
+  }
+
   test("v_quantize_int8: no interpreted higher-order lambda survives in the plan") {
     val p = plan("v_quantize_int8")
     assert(!p.contains("aggregate("), s"interpreted aggregate() HOF in plan:\n$p")
