@@ -25,7 +25,9 @@ object Bench {
     "s_place_order", "d_ngram_jaccard_lsh", "p_pack_tokens",
     "j_asof_attribution", "p_corpus_clean",
     // r4 additions
-    "d_decontaminate", "s_scd2_dim", "v_maxsim", "v_mmr_rerank")
+    "d_decontaminate", "s_scd2_dim", "v_maxsim", "v_mmr_rerank",
+    // r6 additions
+    "q_fuzzy_search", "g_pagerank_weighted", "v_chunk_recursive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

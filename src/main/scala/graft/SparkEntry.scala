@@ -205,7 +205,7 @@ object SparkEntry {
         |ORDER BY p_partkey LIMIT 10""".stripMargin,
     "q_catalog_page" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
-        |WHERE p_partkey > 1000 ORDER BY p_partkey LIMIT 10""".stripMargin,
+        |WHERE p_partkey > 100 ORDER BY p_partkey LIMIT 10""".stripMargin,
     "q_check_stock" ->
       """WITH m AS (
         | SELECT p_partkey, p_name, p_size,

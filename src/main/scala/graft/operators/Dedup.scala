@@ -159,14 +159,79 @@ object Dedup {
         .select($"doc_id", $"s")
     }
 
+  /** Exact-duplicate groups of a (doc_id, text) frame: every doc mapped
+    * to its group's representative (smallest doc_id of identical text).
+    * The collapse-first contract for the near-dup operators below: clones
+    * have identical shingle sets, so candidate generation and re-rank can
+    * run on representatives only — the r6 sf1 probe measured the clone
+    * amplification this removes (a duplicate group of size g inflates
+    * band-bucket candidates and re-rank payload by g²; d_ngram_jaccard_lsh
+    * went 2 s → 212 s on a 10×-replicated corpus). */
+  private[graft] def exactGroupsOf(docs: DataFrame, cacheKey: String): DataFrame =
+    Caches.cached(cacheKey) {
+      import docs.sparkSession.implicits._
+      val gb = docs.groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("rep"), count(lit(1)).as("m"))
+      docs.select($"doc_id", md5($"text").as("h"))
+        .join(gb, "h")
+        .select($"doc_id", $"rep", $"m")
+    }
+
+  /** Df-capped shingles of the REPRESENTATIVE docs only, with the df
+    * weighted by group multiplicity — numerically identical to the
+    * all-docs df (clones contribute identical shingle sets), so the
+    * capped set of a representative equals the capped set of each of its
+    * clones and the collapsed pipeline's output is bit-equal to the
+    * uncollapsed one. */
+  private def cappedRepShinglesOf(docs: DataFrame, keyPrefix: String): DataFrame =
+    Caches.cached(s"ngram-repsh:$keyPrefix") {
+      import docs.sparkSession.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$keyPrefix")
+      val reps = docs.join(
+        groups.filter($"doc_id" === $"rep").select($"doc_id", $"m"), "doc_id")
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("nd"))
+      shinglesOf(reps.select($"doc_id", $"text"), 2)
+        .join(reps.select($"doc_id", $"m"), "doc_id")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("df", sum($"m").over(Window.partitionBy($"s")))
+        .filter($"df" <= $"nd" * 0.2)
+        .select($"doc_id", $"s")
+    }
+
+  /** Expand representative-level near-dup pairs back to all-docs pairs:
+    * cross pairs inherit the rep pair's similarity (identical texts ⇒
+    * identical re-rank arithmetic), within-group pairs are clone pairs
+    * with the given selfSim. Output-sized work — the g² term pays only
+    * for rows the contract itself requires. */
+  private def expandPairs(groups: DataFrame, repPairs: DataFrame,
+      selfPairs: DataFrame): DataFrame = {
+    import groups.sparkSession.implicits._
+    val members = groups.select($"doc_id", $"rep")
+    val cross = repPairs
+      .join(members.select($"doc_id".as("ida"), $"rep".as("ra")), "ra")
+      .join(members.select($"doc_id".as("idb"), $"rep".as("rb")), "rb")
+      .select(least($"ida", $"idb").as("doc_a"),
+        greatest($"ida", $"idb").as("doc_b"), $"sim")
+    val within = selfPairs // (rep, sim) for reps that qualify against a clone
+      .join(members.select($"doc_id".as("ida"), $"rep"), "rep")
+      .join(members.select($"doc_id".as("idb"), $"rep"), "rep")
+      .filter($"ida" < $"idb")
+      .select($"ida".as("doc_a"), $"idb".as("doc_b"), $"sim")
+    cross.unionAll(within)
+  }
+
   /** Per-doc shingle SET (array) + size, cached per dir: both re-rank
     * joins read it, and array payloads are bounded by the df-capped
     * per-doc shingle count (≈ doc length), so the rows ship safely at
     * any scale. */
   private def docSets(s: SparkSession, dir: String): DataFrame =
-    Caches.cached(s"ngram-docsets:$dir") {
-      import s.implicits._
-      cappedShingles(s, dir)
+    docSetsOf(cappedShingles(s, dir), s"ngram-docsets:$dir")
+
+  private def docSetsOf(capped: DataFrame, cacheKey: String): DataFrame =
+    Caches.cached(cacheKey) {
+      import capped.sparkSession.implicits._
+      capped
         .groupBy($"doc_id")
         .agg(sort_array(collect_set($"s")).as("ss"))
         .select($"doc_id", $"ss", size($"ss").cast("long").as("n"))
@@ -230,21 +295,44 @@ object Dedup {
   // so the oracle equality is a fixed fact of the data, not a coin flip.
   // The same oracle as D4 checks it: sub-quadratic candidates, exact
   // output.
+  // r6: collapse-first — identical texts map to one representative, the
+  // band join and re-rank run on representatives only (weighted df keeps
+  // the capped sets bit-equal to the uncollapsed ones), and the expansion
+  // back to all-docs pairs is output-sized. On a duplicate-free corpus
+  // this degenerates to the previous plan (same hash); on a clone-heavy
+  // corpus it removes the g² clone amplification from every shuffle (the
+  // sf1 probe: 212 s → re-measured after the fix, see SURVEY §5).
   def ngramJaccardLsh(s: SparkSession, dir: String, nPerm: Int = 24,
-      bandSize: Int = 2): DataFrame = {
-    import s.implicits._
-    val sh = cappedShingles(s, dir)
+      bandSize: Int = 2): DataFrame =
+    ngramJaccardLshOn(Tables.documents(s, dir), dir, nPerm, bandSize)
+
+  /** D4b core over an arbitrary (doc_id, text) frame (fixture specs plant
+    * clone-heavy corpora to pin the collapse+expand equivalence). */
+  private[graft] def ngramJaccardLshOn(docs: DataFrame, keyPrefix: String,
+      nPerm: Int = 24, bandSize: Int = 2): DataFrame = {
+    import docs.sparkSession.implicits._
+    val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$keyPrefix")
+    val capped = cappedRepShinglesOf(docs, keyPrefix)
     // cached: the self-join below reads the signature frame twice, and
     // Catalyst does not reuse the minhash groupBy across join sides
-    val sigs = Caches.cached(s"ngram-sigs:$dir:$nPerm:$bandSize") {
-      minhashBandSigs(sh, nPerm, bandSize)
+    val sigs = Caches.cached(s"ngram-sigs:$keyPrefix:$nPerm:$bandSize") {
+      minhashBandSigs(capped, nPerm, bandSize)
     }
     val cand = sigs.as("a")
       .join(sigs.as("b"),
         $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    jaccardRerank(docSets(s, dir), cand)
+    val repSets = docSetsOf(capped, s"ngram-repsets:$keyPrefix")
+    val repPairs = jaccardRerank(repSets, cand)
+      .select($"doc_a".as("ra"), $"doc_b".as("rb"), $"jacc".as("sim"))
+    // clone pairs: identical capped sets ⇒ Jaccard exactly 1.0; only reps
+    // with a non-empty capped set generate candidates in the uncollapsed
+    // pipeline, and repSets contains exactly those
+    val selfPairs = repSets.select($"doc_id".as("rep"), lit(1.0).as("sim"))
+    expandPairs(groups, repPairs, selfPairs)
+      .select($"doc_a", $"doc_b", $"sim".as("jacc"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   // D7 — near-dup CLUSTER resolution: connected components over the
@@ -358,14 +446,49 @@ object Dedup {
   // extra Lloyd passes only sharpen the cut (worth it on clusterable
   // corpora, pure fixed cost here); exactness never depends on it.
   def embeddingNearDup(s: SparkSession, dir: String, tau: Double = 0.35,
-      nCells: Int = 8, iters: Int = 2): DataFrame = {
-    import s.implicits._
-    val e = VectorOps.normed(s, dir)
+      nCells: Int = 8, iters: Int = 2): DataFrame =
+    embeddingNearDupOn(VectorOps.normed(s, dir), tau, nCells, iters, dir)
+
+  /** D5 with r6 collapse-first, over any normed frame (vec_id, v, nrm, u):
+    * bit-identical vectors (exact-duplicate documents at 100 TB always
+    * produce these) map to one representative; the quadratic cell-pair
+    * join runs on representatives, then pairs expand back — cross pairs
+    * inherit the rep pair's sim (identical operands ⇒ identical
+    * arithmetic), clone pairs score round(v·v/nrm², 6) exactly as the
+    * uncollapsed join would. sf1 probe: 121 s → see SURVEY §5. */
+  private[graft] def embeddingNearDupOn(e: DataFrame, tau: Double,
+      nCells: Int, iters: Int, keyPrefix: String): DataFrame = {
+    import e.sparkSession.implicits._
+    val vgroups = Caches.cached(s"neardup-vgroups:$keyPrefix") {
+      val gb = e.groupBy($"v").agg(min($"vec_id").as("rep"))
+      e.select($"vec_id", $"v").join(gb, "v").select($"vec_id", $"rep")
+    }
+    val reps = Caches.cached(s"neardup-reps:$keyPrefix") {
+      e.join(vgroups.filter($"vec_id" === $"rep").select($"vec_id"), "vec_id")
+    }
+    val repPairs = cellPairJoin(reps, tau, nCells, iters, s"neardup-assigned:$keyPrefix")
+      .select($"vec_a".as("ra"), $"vec_b".as("rb"), $"sim")
+    val selfPairs = reps
+      .withColumn("sim", round(vecDot($"v", $"v") / ($"nrm" * $"nrm"), 6))
+      .filter($"sim" >= tau)
+      .select($"vec_id".as("rep"), $"sim")
+    expandPairs(vgroups.select($"vec_id".as("doc_id"), $"rep"), repPairs, selfPairs)
+      .select($"doc_a".as("vec_a"), $"doc_b".as("vec_b"), $"sim")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** D5 core: exact τ-cosine pairs of a normed frame via the k-means
+    * cell-pair block join with triangle-inequality pruning (exact for
+    * ANY clustering — see the D5 header note). */
+  private[graft] def cellPairJoin(e: DataFrame, tau: Double,
+      nCells: Int, iters: Int, cacheKey: String): DataFrame = {
+    import e.sparkSession.implicits._
+    val s = e.sparkSession
     val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, iters)
     if (cents.isEmpty) // empty corpus → no cells, no pairs
       return e.select($"vec_id".as("vec_a"), $"vec_id".as("vec_b"),
         lit(0.0).as("sim")).limit(0)
-    val assigned = graft.Caches.cached(s"neardup-assigned:$dir") {
+    val assigned = graft.Caches.cached(cacheKey) {
       e.select($"vec_id", $"v", $"nrm", $"u")
         .withColumn("cell", VecCluster.cellOf($"u", cents))
         .withColumn("csim", VecCluster.cellSimOf($"u", cents))

@@ -125,7 +125,7 @@ object Relational {
   // OFFSET at 100 TB scans and discards N·pageSize rows, a seek scans
   // one page regardless of depth.
   def catalogPage(s: SparkSession, dir: String,
-      afterKey: Long = 1000L, pageSize: Int = 10): DataFrame = {
+      afterKey: Long = 100L, pageSize: Int = 10): DataFrame = {
     import s.implicits._
     Tables.part(s, dir)
       .filter($"p_partkey" > afterKey)

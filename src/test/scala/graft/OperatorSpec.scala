@@ -35,6 +35,20 @@ class OperatorSpec extends SparkSpecBase {
     assert(keyed.toSeq == sorted.toSeq)
   }
 
+  test("catalog keyset pagination: pages chain without overlap or gaps") {
+    import spark.implicits._
+    val page1 = Relational.catalogPage(spark, sfDir, afterKey = -1L)
+      .select($"p_partkey").as[Long].collect()
+    assert(page1.length == 10 && page1.sorted.sameElements(page1))
+    val page2 = Relational.catalogPage(spark, sfDir, afterKey = page1.last)
+      .select($"p_partkey").as[Long].collect()
+    assert(page2.nonEmpty && page2.head > page1.last)
+    // the two pages together equal the first 20 keys of a full scan
+    val first20 = Tables.part(spark, sfDir).select($"p_partkey").as[Long]
+      .collect().sorted.take(20)
+    assert((page1 ++ page2).sameElements(first20))
+  }
+
   test("top customers: revenue ordering is non-increasing") {
     val rev = Relational.topCustomers(spark, sfDir).select("revenue")
       .collect().map(_.getDouble(0))
@@ -54,6 +68,44 @@ class OperatorSpec extends SparkSpecBase {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(jacc.nonEmpty)
     assert(jacc.subsetOf(mh), s"missed: ${jacc -- mh}")
+  }
+
+  test("collapse-first Jaccard-LSH ≡ brute force on a clone-heavy corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    def doc() = Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = Vector.fill(10)(doc())
+    val nears = bases.map { t => // one mid-word edit → Jaccard ≈ 0.87
+      val w = t.split(" "); w(15) = "zulu"; w.mkString(" ")
+    }
+    val all0 = (bases ++ nears).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val clones = (0 until 5).flatMap(i =>
+      Seq((1000L + i, bases(i)), (2000L + i, bases(i)))) // clone groups of 3
+    val rows = all0 ++ clones
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardLshOn(docs, "clone-jacc-fix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force with the same df-cap and rounding arithmetic
+    val n = rows.size.toDouble
+    val sets0 = rows.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").sliding(2).map(_.mkString(" ")).toSet }
+    val dfCount = sets0.flatMap(_._2.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val capped = sets0.map { case (id, ss) =>
+      id -> ss.filter(sh => dfCount(sh) <= n * 0.2) }.toMap
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = rows.map(_._1).sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      sa = capped(a); sb = capped(b) if sa.nonEmpty && sb.nonEmpty
+      ni = sa.intersect(sb).size
+      jacc = r6(ni.toDouble / (sa.size + sb.size - ni)) if jacc >= 0.5
+    } yield (a, b, jacc)).toSet
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // the clone cliques are present: (0,1000,1.0), (1000,2000,1.0), …
+    assert(got.contains((0L, 1000L, 1.0)) && got.contains((1000L, 2000L, 1.0)))
   }
 
   test("simhash near-dup pairs have symmetric, bounded hamming") {

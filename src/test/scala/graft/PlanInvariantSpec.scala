@@ -87,7 +87,7 @@ class PlanInvariantSpec extends SparkSpecBase {
 
   test("q_catalog_page: seek predicate reaches the scan, page is TakeOrdered") {
     val p = plan("q_catalog_page")
-    assert(p.contains("GreaterThan(p_partkey,1000)"), s"seek not pushed:\n$p")
+    assert(p.contains("GreaterThan(p_partkey,100)"), s"seek not pushed:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"page lost its top-k plan:\n$p")
   }
 

@@ -49,6 +49,37 @@ class VectorScaleSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), "cartesian in plan")
   }
 
+  test("collapse-first near-dup ≡ brute force on a clone-heavy corpus") {
+    val s = spark
+    import s.implicits._
+    // planted corpus + exact clones of the first 6 vectors (×2 each): the
+    // r6 collapse must dedup them before the cell-pair join and expand
+    // the pairs back bit-identically to the uncollapsed definition
+    val base = plantedCorpus(nBase = 8, nNoise = 40, dim = 16)
+    val clones = base.filter($"vec_id" < 6)
+      .select(($"vec_id" + 1000).as("vec_id"), $"v", $"nrm", $"u")
+      .unionAll(base.filter($"vec_id" < 6)
+        .select(($"vec_id" + 2000).as("vec_id"), $"v", $"nrm", $"u"))
+    val e = base.unionAll(clones).cache()
+    val tau = 0.9
+    val got = Dedup.embeddingNearDupOn(e, tau, nCells = 4, iters = 2, "clone-fix")
+      .collect().map(_.toString).toSet
+    // brute force with the same arithmetic (sequential dot ≡ vec_dot,
+    // BigDecimal HALF_UP ≡ Spark round)
+    val rows = e.select($"vec_id", $"v").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      dot = { var acc = 0.0; var k = 0; while (k < va.length) { acc += va(k) * vb(k); k += 1 }; acc }
+      sim = r6(dot) if sim >= tau
+    } yield org.apache.spark.sql.Row(ia, ib, sim).toString).toSet
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // and every clone pair is present with sim exactly 1.0
+    assert(got.exists(_.contains("1000,")), "clone pairs missing")
+    e.unpersist()
+  }
+
   test("LSH near-dup: recall 1.0 on planted >=0.95-cosine pairs from a small candidate fraction") {
     val nBase = 20
     val e = plantedCorpus(nBase, nNoise = 160, dim = 64).cache()
