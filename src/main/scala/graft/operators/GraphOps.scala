@@ -225,11 +225,49 @@ object GraphOps {
     ranks.select($"v".as("part"), round($"rank", 6).as("rank"))
   }
 
+  /** Weighted static PageRank on GraphX — the same fixpoint as
+    * pageRankWeightedOf but with GraphX's per-iteration scheduling
+    * instead of DataFrame checkpoints (measured: the DF form's
+    * localCheckpoint materialization made it the slowest bench query at
+    * sf1, 24.6 s vs 16.7 s for unweighted GraphX). Mirrors
+    * PageRank.runWithOptions' caching discipline; expression shapes
+    * (rank·(w/wdeg), 0.15 + (1.0-0.15)·Σ) match the recursive-CTE
+    * oracle bit-for-bit modulo 6dp-absorbed sum order. */
+  private[graft] def pageRankWeightedGX(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val g = graphOf(edges) // edge attr = weight, both arcs materialized
+    val wdeg = g.aggregateMessages[Long](
+      ctx => ctx.sendToSrc(ctx.attr), _ + _,
+      org.apache.spark.graphx.TripletFields.EdgeOnly)
+    var rank: Graph[Double, Double] = g
+      .outerJoinVertices(wdeg) { (_, _, d) => d.getOrElse(0L) }
+      .mapTriplets(e => e.attr.toDouble / e.srcAttr.toDouble,
+        org.apache.spark.graphx.TripletFields.Src)
+      .mapVertices((_, _) => 1.0)
+    rank.cache()
+    for (_ <- 0 until iters) {
+      val msgs = rank.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _,
+        org.apache.spark.graphx.TripletFields.Src)
+      val prev = rank
+      rank = rank.outerJoinVertices(msgs) { (_, _, m) =>
+        0.15 + (1.0 - 0.15) * m.getOrElse(0.0)
+      }.cache()
+      rank.edges.foreachPartition(_ => ()) // materialize before unpersisting prev
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    s.createDataFrame(rank.vertices).toDF("part", "rank_raw")
+      .select($"part", round($"rank_raw", 6).as("rank"))
+  }
+
   // G5b — weighted PageRank over the co-purchase graph (the edge weights
-  // G1 computes finally drive the ranking).
+  // G1 computes finally drive the ranking). GraphX path; the DataFrame
+  // twin (pageRankWeightedOf) stays spec-pinned to the same fixpoints.
   def pageRankWeighted(s: SparkSession, dir: String, iters: Int = 10, k: Int = 20): DataFrame = {
     import s.implicits._
-    pageRankWeightedOf(edgesUnsorted(s, dir), iters)
+    pageRankWeightedGX(edgesUnsorted(s, dir), iters)
       .orderBy($"rank".desc, $"part")
       .limit(k)
   }

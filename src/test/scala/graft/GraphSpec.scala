@@ -82,6 +82,19 @@ class GraphSpec extends SparkSpecBase {
     assert(math.abs(unw(1L) - unw(3L)) < 1e-6, "unweighted path is symmetric")
   }
 
+  test("GraphX weighted pagerank matches the DataFrame twin on fixtures") {
+    val s = spark
+    import s.implicits._
+    val w = Seq((1L, 2L, 1L), (2L, 3L, 9L)).toDF("src", "dst", "weight")
+    val df = GraphOps.pageRankWeightedOf(w, iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gx = GraphOps.pageRankWeightedGX(w, iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(df.keySet == gx.keySet)
+    df.foreach { case (v, r) =>
+      assert(math.abs(gx(v) - r) < 1e-9, s"vertex $v: df $r vs gx ${gx(v)}") }
+  }
+
   test("connected components: planted two-island graph has exact sizes") {
     // island A = path 1-2-3 (3 nodes), island B = edge 10-11 (2 nodes)
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L))
