@@ -123,7 +123,11 @@ object GraphOps {
     // full edge-list pass from every cache-hit graph query.
     val rows = edges.queryExecution.optimizedPlan.stats.rowCount
       .map(_.toLong).getOrElse(edges.count())
-    val target = math.max(4, math.ceil(2.0 * rows / 300000.0).toInt)
+    // ~300k arcs/partition balances GraphX's per-stage task overhead
+    // (dominant on near-empty partitions — measured 5×, r4) against core
+    // utilization; overridable for tuning experiments at other scales
+    val arcsPerPart = sys.env.get("GRAFT_ARCS_PER_PART").map(_.toInt).getOrElse(300000)
+    val target = math.max(4, math.ceil(2.0 * rows / arcsPerPart).toInt)
     val df = if (target < cur) edges.coalesce(target) else edges
     val arcs = df.rdd.flatMap { r =>
       val (src, dst, w) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -91,6 +91,23 @@ class PlanInvariantSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"page lost its top-k plan:\n$p")
   }
 
+  test("q_fuzzy_search: one aggregation, top-k page, no cartesian") {
+    val p = plan("q_fuzzy_search")
+    assert(p.contains("TakeOrderedAndProject"), s"ranking lost its top-k plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy search plans a non-equi join:\n$p")
+    // per-term min-distances ride ONE groupBy over the token explode —
+    // exactly two aggregate operators (partial + final; SortAggregate:
+    // min(string) keeps it off the hash path), no extra shuffle
+    assert("[A-Za-z]*Aggregate\\(".r.findAllIn(p).size == 2, s"extra aggregation pass:\n$p")
+  }
+
+  test("v_chunk_recursive: joins stay keyed by doc_id, no nested loop") {
+    val p = plan("v_chunk_recursive")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunking plans a non-equi join:\n$p")
+  }
+
   test("v_quantize_int8: no interpreted higher-order lambda survives in the plan") {
     val p = plan("v_quantize_int8")
     assert(!p.contains("aggregate("), s"interpreted aggregate() HOF in plan:\n$p")
