@@ -47,6 +47,7 @@ object SparkEntry {
     "t_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "t_hash_sample" -> ((s, d) => Sampling.hashSample(s, d)),
     "t_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "t_source_mix" -> ((s, d) => Sampling.sourceMix(s, d)),
     "t_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "t_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     "t_vocab" -> ((s, d) => TextOps.vocab(s, d)),
@@ -443,6 +444,19 @@ object SparkEntry {
         |   AS BIGINT) rk
         | FROM documents) t
         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    // T5c: cap = ceil(share·N/#sources); over-cap sources keep their cap
+    // lowest hash draws — deterministic, so the kept SET mirrors exactly.
+    "t_source_mix" ->
+      """WITH cap AS (
+        | SELECT CAST(ceil(0.6 * COUNT(*) / COUNT(DISTINCT source)) AS BIGINT) AS cap
+        | FROM documents)
+        |SELECT source, doc_id FROM (
+        | SELECT source, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT), doc_id)
+        |   AS BIGINT) rk
+        | FROM documents) t, cap
+        |WHERE rk <= cap ORDER BY source, doc_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

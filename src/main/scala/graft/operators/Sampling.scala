@@ -25,6 +25,29 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** T5c — source-mix rebalancing (the "data mixing" stage of a training
+    * pipeline: cap over-represented sources so no source exceeds its
+    * budget share). cap = ceil(share × N / #sources); sources under the
+    * cap keep everything, sources over it keep their `cap` lowest hash
+    * draws (deterministic — same kept set on any cluster/partitioning).
+    * The cap derives from a single-row broadcast aggregate, never a
+    * driver-side count; the per-source rank is one shuffle by source
+    * (salt the source key if a 100 TB source is hot enough to skew). */
+  def sourceMix(s: SparkSession, dir: String, share: Double = 0.6): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val capRow = docs.agg(
+      ceil(lit(share) * count(lit(1)) / countDistinct($"source")).cast("long").as("cap"))
+    val w = Window.partitionBy($"source")
+      .orderBy(h64(concat(lit("mix:"), $"doc_id")), $"doc_id")
+    docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(capRow))
+      .filter($"rk" <= $"cap")
+      .select($"source", $"doc_id")
+      .orderBy($"source", $"doc_id")
+  }
+
   /** T5b — stratified sample: a fixed quota per language, taking each
     * stratum's lowest hash draws (a deterministic reservoir). One shuffle
     * by stratum; quota rank via window — at scale the stratum key is

@@ -70,6 +70,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(jacc.subsetOf(mh), s"missed: ${jacc -- mh}")
   }
 
+  test("source mix: per-source caps hold exactly and the kept set is deterministic") {
+    val df = Sampling.sourceMix(spark, sfDir).cache()
+    val kept = df.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val k = docs.select("source").distinct().count()
+    val cap = math.ceil(0.6 * n / k).toLong
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source keeps min(total, cap) — under-cap sources lose nothing
+    totals.foreach { case (src, tot) =>
+      assert(kept.getOrElse(src, 0L) == math.min(tot, cap), s"source $src") }
+    // determinism: a second evaluation keeps the identical doc set
+    val first = df.collect().map(_.toString).toSet
+    val again = Sampling.sourceMix(spark, sfDir).collect().map(_.toString).toSet
+    assert(first == again)
+  }
+
   test("collapse-first Jaccard-LSH ≡ brute force on a clone-heavy corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
