@@ -60,17 +60,28 @@ object Dedup {
   // in ONE groupBy over the shingle rows (16 min() columns) — no ×16 row
   // explosion ahead of the shuffle; map-side combine reduces each
   // partition to one row per doc.
+  // r6: collapse-first like D4b/D5 — clones share every band, so a
+  // duplicate group of size g inflates the band self-join by g²; the
+  // signatures run on representatives, clone pairs expand with
+  // n_bands = all 4 (identical minima collide everywhere), cross pairs
+  // inherit the rep pair's count (identical signatures ⇒ identical
+  // collisions). Oracle (quadratic DuckDB definition) unchanged.
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = 1000000007L
+    val docs = Tables.documents(s, dir)
+    val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$dir")
+    val reps = docs.join(groups.filter($"doc_id" === $"rep").select($"doc_id"), "doc_id")
     // dedup = false: min() is idempotent over duplicate shingles, so the
     // distinct shuffle would only burn a pass (the oracle's DISTINCT sh
     // yields the same minima)
-    val h = shingles(s, dir, 3, dedup = false)
+    val h = shinglesOf(reps, 3, dedup = false)
       .select($"doc_id", (h64($"s") % M).as("hv"))
     def perm(j: Int): Column =
       min((lit(2L * j + 1) * $"hv" + lit(17L * j + 3)) % M).as(s"m$j")
-    val mh = h.groupBy($"doc_id").agg(perm(0), (1 until 16).map(perm): _*)
+    val mh = Caches.cached(s"minhash-sigs:$dir") {
+      h.groupBy($"doc_id").agg(perm(0), (1 until 16).map(perm): _*)
+    }
     // cached: the self-join below would otherwise recompute the whole
     // shingle->minhash->band pipeline for each side
     val bands = Caches.cached(s"minhash-bands:$dir") {
@@ -83,10 +94,15 @@ object Dedup {
     }
     val a = bands.as("a")
     val b = bands.as("b")
-    a.join(b, $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+    val repPairs = a.join(b, $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
         $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
+      .groupBy($"a.doc_id".as("ra"), $"b.doc_id".as("rb"))
+      .agg(count(lit(1)).as("sim")) // n_bands, named for expandPairs
+    // clone pairs collide in every band; only reps with a signature (≥1
+    // 3-gram, i.e. ≥3 words) generate candidates in the uncollapsed form
+    val selfPairs = mh.select($"doc_id".as("rep"), lit(4L).as("sim"))
+    expandPairs(groups, repPairs, selfPairs)
+      .select($"doc_a", $"doc_b", $"sim".as("n_bands"))
       .orderBy($"doc_a", $"doc_b")
   }
 
