@@ -114,9 +114,17 @@ object Dedup {
   // fp_hi bits 32–63) so div/% band extraction never touches a sign bit
   // on either engine; candidates via 4 16-bit bands; emit pairs with
   // Hamming distance ≤ 8 (same 12.5% radius as the old 6-of-48).
+  // r6: collapse-first like the rest of the family — clones share the
+  // fingerprint, so they'd collide in every band (g² self-join rows);
+  // fingerprints run on representatives, clone pairs expand at hamming 0
+  // (identical fp — and every doc has one, wordsOf is never empty),
+  // cross pairs inherit the rep pair's distance. Oracle unchanged.
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wd = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+    val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$dir")
+    val reps = docs.join(groups.filter($"doc_id" === $"rep").select($"doc_id"), "doc_id")
+    val wd = reps
       .select($"doc_id", explode(wordsOf($"text")).as("wrd"))
       .withColumn("h_lo", conv(substring(md5($"wrd"), 1, 8), 16, 10).cast("long"))
       .withColumn("h_hi", conv(substring(md5($"wrd"), 9, 8), 16, 10).cast("long"))
@@ -129,11 +137,13 @@ object Dedup {
       sum(when(bit === 1, 1).otherwise(-1)).as(s"v$i")
     }
     val votes = wd.groupBy($"doc_id").agg(vote(0), (1 until 64).map(vote): _*)
-    val fp = votes.select($"doc_id",
-      (0 until 32).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))
-        .reduce(_ + _).as("fp_lo"),
-      (32 until 64).map(i => when(col(s"v$i") > 0, 1L << (i - 32)).otherwise(0L))
-        .reduce(_ + _).as("fp_hi"))
+    val fp = Caches.cached(s"simhash-fp:$dir") { // feeds bands AND selfPairs
+      votes.select($"doc_id",
+        (0 until 32).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))
+          .reduce(_ + _).as("fp_lo"),
+        (32 until 64).map(i => when(col(s"v$i") > 0, 1L << (i - 32)).otherwise(0L))
+          .reduce(_ + _).as("fp_hi"))
+    }
     val banded = Caches.cached(s"simhash-banded:$dir") {
       fp.select($"doc_id", $"fp_lo", $"fp_hi",
         explode(sequence(lit(0), lit(3))).as("k"))
@@ -143,12 +153,16 @@ object Dedup {
     } // self-joined below
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, $"a.k" === $"b.k" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+    val repPairs = a
+      .join(b, $"a.k" === $"b.k" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ra"), $"b.doc_id".as("rb"),
         expr("bit_count(a.fp_lo ^ b.fp_lo) + bit_count(a.fp_hi ^ b.fp_hi)")
-          .cast("long").as("hamming"))
+          .cast("long").as("sim"))
       .distinct()
-      .filter($"hamming" <= 8)
+      .filter($"sim" <= 8)
+    val selfPairs = fp.select($"doc_id".as("rep"), lit(0L).as("sim"))
+    expandPairs(groups, repPairs, selfPairs)
+      .select($"doc_a", $"doc_b", $"sim".as("hamming"))
       .orderBy($"doc_a", $"doc_b")
   }
 
