@@ -70,40 +70,50 @@ object Dedup {
     import s.implicits._
     val M = 1000000007L
     val docs = Tables.documents(s, dir)
-    val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$dir")
-    val reps = docs.join(groups.filter($"doc_id" === $"rep").select($"doc_id"), "doc_id")
     // dedup = false: min() is idempotent over duplicate shingles, so the
     // distinct shuffle would only burn a pass (the oracle's DISTINCT sh
     // yields the same minima)
-    val h = shinglesOf(reps, 3, dedup = false)
-      .select($"doc_id", (h64($"s") % M).as("hv"))
-    def perm(j: Int): Column =
-      min((lit(2L * j + 1) * $"hv" + lit(17L * j + 3)) % M).as(s"m$j")
-    val mh = Caches.cached(s"minhash-sigs:$dir") {
-      h.groupBy($"doc_id").agg(perm(0), (1 until 16).map(perm): _*)
+    def bandsOf(input: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val h = shinglesOf(input, 3, dedup = false)
+        .select($"doc_id", (h64($"s") % M).as("hv"))
+      def perm(j: Int): Column =
+        min((lit(2L * j + 1) * $"hv" + lit(17L * j + 3)) % M).as(s"m$j")
+      val mh = Caches.cached(s"minhash-sigs$tag:$dir") {
+        h.groupBy($"doc_id").agg(perm(0), (1 until 16).map(perm): _*)
+      }
+      // cached: the self-join reads it twice and Catalyst would otherwise
+      // recompute the whole shingle->minhash->band pipeline per side
+      val bands = Caches.cached(s"minhash-bands$tag:$dir") {
+        val bandStructs = array((0 until 4).map { b =>
+          struct(lit(b.toLong).as("band"),
+            concat_ws(",", (0 until 4).map(k => col(s"m${4 * b + k}").cast("string")): _*).as("sig"))
+        }: _*)
+        mh.select($"doc_id", explode(bandStructs).as("e"))
+          .select($"doc_id", $"e.band", $"e.sig")
+      }
+      (mh, bands)
     }
-    // cached: the self-join below would otherwise recompute the whole
-    // shingle->minhash->band pipeline for each side
-    val bands = Caches.cached(s"minhash-bands:$dir") {
-      val bandStructs = array((0 until 4).map { b =>
-        struct(lit(b.toLong).as("band"),
-          concat_ws(",", (0 until 4).map(k => col(s"m${4 * b + k}").cast("string")): _*).as("sig"))
-      }: _*)
-      mh.select($"doc_id", explode(bandStructs).as("e"))
-        .select($"doc_id", $"e.band", $"e.sig")
-    }
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val repPairs = a.join(b, $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+    def bandPairs(bands: DataFrame) = bands.as("a")
+      .join(bands.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
         $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("ra"), $"b.doc_id".as("rb"))
-      .agg(count(lit(1)).as("sim")) // n_bands, named for expandPairs
-    // clone pairs collide in every band; only reps with a signature (≥1
-    // 3-gram, i.e. ≥3 words) generate candidates in the uncollapsed form
-    val selfPairs = mh.select($"doc_id".as("rep"), lit(4L).as("sim"))
-    expandPairs(groups, repPairs, selfPairs)
-      .select($"doc_a", $"doc_b", $"sim".as("n_bands"))
-      .orderBy($"doc_a", $"doc_b")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    if (!hasExactClones(docs.select($"doc_id", $"text"), s"clonechk:$dir")) {
+      val (_, bands) = bandsOf(docs, "")
+      bandPairs(bands).orderBy($"doc_a", $"doc_b")
+    } else {
+      val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$dir")
+      val reps = docs.join(groups.filter($"doc_id" === $"rep").select($"doc_id"), "doc_id")
+      val (mh, bands) = bandsOf(reps, "-rep")
+      val repPairs = bandPairs(bands)
+        .select($"doc_a".as("ra"), $"doc_b".as("rb"), $"n_bands".as("sim"))
+      // clone pairs collide in every band; only reps with a signature (≥1
+      // 3-gram, i.e. ≥3 words) generate candidates in the uncollapsed form
+      val selfPairs = mh.select($"doc_id".as("rep"), lit(4L).as("sim"))
+      expandPairs(groups, repPairs, selfPairs)
+        .select($"doc_a", $"doc_b", $"sim".as("n_bands"))
+        .orderBy($"doc_a", $"doc_b")
+    }
   }
 
   // D3 — SimHash near-dup: 64-bit tf-weighted fingerprint (classical
@@ -122,9 +132,13 @@ object Dedup {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$dir")
-    val reps = docs.join(groups.filter($"doc_id" === $"rep").select($"doc_id"), "doc_id")
-    val wd = reps
+    val collapse = hasExactClones(docs.select($"doc_id", $"text"), s"clonechk:$dir")
+    val input =
+      if (collapse) {
+        val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$dir")
+        docs.join(groups.filter($"doc_id" === $"rep").select($"doc_id"), "doc_id")
+      } else docs
+    val wd = input
       .select($"doc_id", explode(wordsOf($"text")).as("wrd"))
       .withColumn("h_lo", conv(substring(md5($"wrd"), 1, 8), 16, 10).cast("long"))
       .withColumn("h_hi", conv(substring(md5($"wrd"), 9, 8), 16, 10).cast("long"))
@@ -160,10 +174,16 @@ object Dedup {
           .cast("long").as("sim"))
       .distinct()
       .filter($"sim" <= 8)
-    val selfPairs = fp.select($"doc_id".as("rep"), lit(0L).as("sim"))
-    expandPairs(groups, repPairs, selfPairs)
-      .select($"doc_a", $"doc_b", $"sim".as("hamming"))
-      .orderBy($"doc_a", $"doc_b")
+    if (!collapse)
+      repPairs.select($"ra".as("doc_a"), $"rb".as("doc_b"), $"sim".as("hamming"))
+        .orderBy($"doc_a", $"doc_b")
+    else {
+      val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$dir")
+      val selfPairs = fp.select($"doc_id".as("rep"), lit(0L).as("sim"))
+      expandPairs(groups, repPairs, selfPairs)
+        .select($"doc_a", $"doc_b", $"sim".as("hamming"))
+        .orderBy($"doc_a", $"doc_b")
+    }
   }
 
   /** df-capped word-bigram shingle sets — shared by D4 (exact) and D4b
@@ -173,21 +193,64 @@ object Dedup {
     * dropped from the shingle sets on BOTH engines — at 100 TB this cap
     * is what keeps the exact join near-linear. */
   private def cappedShingles(s: SparkSession, dir: String): DataFrame =
-    Caches.cached(s"ngram-sh:$dir") { // read by join sides + sizes + sigs
-      import s.implicits._
+    cappedShinglesFlatOf(Tables.documents(s, dir), s"ngram-sh:$dir")
+
+  private def cappedShinglesFlatOf(docs: DataFrame, cacheKey: String): DataFrame =
+    Caches.cached(cacheKey) { // read by join sides + sizes + sigs
+      import docs.sparkSession.implicits._
       import org.apache.spark.sql.expressions.Window
-      val all = shingles(s, dir, 2)
+      val all = shinglesOf(docs, 2)
       // corpus size enters as a broadcast single-row aggregate, not a
       // driver-side count: the whole query stays one lazy plan. The df
       // cap rides a window over the shingle key — ONE shuffle by s,
       // where the r1 groupBy+join formulation shuffled twice on the
       // same key (r4).
-      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("nd"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("nd"))
       all.crossJoin(broadcast(nDocs))
         .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
         .filter($"df" <= $"nd" * 0.2)
         .select($"doc_id", $"s")
     }
+
+  /** One cheap aggregate: does the corpus contain ANY exact-duplicate
+    * text? The collapse-first machinery below is mandatory on clone-heavy
+    * corpora (g² amplification otherwise) but pure overhead on a
+    * duplicate-free one (measured 2.5× on d_ngram_jaccard_lsh at sf0.1)
+    * — so each near-dup operator gates on this and takes the flat path
+    * when there is nothing to collapse. One scan + agg, amortized by the
+    * session cache against the several passes it decides between. */
+  // The collapse decision rides the clone MASS, not clone existence: a
+  // duplicate group of size g does g² of candidate/re-rank work in the
+  // flat pipeline, so the amplification a corpus carries is Σg² vs the
+  // linear n — collapse only when Σg² > 2n (clone-induced pair work
+  // exceeds the corpus itself). A corpus with a few stray clone pairs
+  // (sf0.1 ships 8 in 5000 docs) stays flat: the existence-gated first
+  // cut sent it down the collapsed path and its ~6 extra stages cost
+  // 2.5× at bench scale for zero savings. Memoized per key for the JVM
+  // lifetime (corpus dirs are immutable within a session); one aggregate
+  // job per corpus per session, amortized against the passes it decides.
+  private val cloneCheckMemo = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def hasExactClones(docs: DataFrame, cacheKey: String): Boolean =
+    cloneCheckMemo.getOrElseUpdate(cacheKey, {
+      import docs.sparkSession.implicits._
+      val r = docs.groupBy(md5($"text")).agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(($"g" * $"g").cast("double")), lit(0.0)).as("sq"),
+          coalesce(sum($"g").cast("double"), lit(0.0)).as("n"))
+        .head()
+      r.getDouble(0) > 2.0 * r.getDouble(1) // empty corpus: 0 > 0 → flat
+    })
+
+  /** Same gate for embedding frames: bit-identical vector clone mass. */
+  private def hasExactVecClones(e: DataFrame, cacheKey: String): Boolean =
+    cloneCheckMemo.getOrElseUpdate(cacheKey, {
+      import e.sparkSession.implicits._
+      val r = e.groupBy($"v").agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(($"g" * $"g").cast("double")), lit(0.0)).as("sq"),
+          coalesce(sum($"g").cast("double"), lit(0.0)).as("n"))
+        .head()
+      r.getDouble(0) > 2.0 * r.getDouble(1) // empty corpus: 0 > 0 → flat
+    })
 
   /** Exact-duplicate groups of a (doc_id, text) frame: every doc mapped
     * to its group's representative (smallest doc_id of identical text).
@@ -337,32 +400,43 @@ object Dedup {
     ngramJaccardLshOn(Tables.documents(s, dir), dir, nPerm, bandSize)
 
   /** D4b core over an arbitrary (doc_id, text) frame (fixture specs plant
-    * clone-heavy corpora to pin the collapse+expand equivalence). */
+    * clone-heavy corpora to pin the collapse+expand equivalence). Gated on
+    * clone mass: a corpus whose duplicate groups do less pair work than
+    * a linear pass (Σg² ≤ 2n) takes the flat path — collapse would be
+    * pure overhead — and a clone-heavy one collapses first. */
   private[graft] def ngramJaccardLshOn(docs: DataFrame, keyPrefix: String,
       nPerm: Int = 24, bandSize: Int = 2): DataFrame = {
     import docs.sparkSession.implicits._
-    val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$keyPrefix")
-    val capped = cappedRepShinglesOf(docs, keyPrefix)
-    // cached: the self-join below reads the signature frame twice, and
+    // cached sigs: the self-join reads the signature frame twice, and
     // Catalyst does not reuse the minhash groupBy across join sides
-    val sigs = Caches.cached(s"ngram-sigs:$keyPrefix:$nPerm:$bandSize") {
-      minhashBandSigs(capped, nPerm, bandSize)
+    def candidatesOf(capped: DataFrame, tag: String): DataFrame = {
+      val sigs = Caches.cached(s"ngram-sigs$tag:$keyPrefix:$nPerm:$bandSize") {
+        minhashBandSigs(capped, nPerm, bandSize)
+      }
+      sigs.as("a")
+        .join(sigs.as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
     }
-    val cand = sigs.as("a")
-      .join(sigs.as("b"),
-        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    val repSets = docSetsOf(capped, s"ngram-repsets:$keyPrefix")
-    val repPairs = jaccardRerank(repSets, cand)
-      .select($"doc_a".as("ra"), $"doc_b".as("rb"), $"jacc".as("sim"))
-    // clone pairs: identical capped sets ⇒ Jaccard exactly 1.0; only reps
-    // with a non-empty capped set generate candidates in the uncollapsed
-    // pipeline, and repSets contains exactly those
-    val selfPairs = repSets.select($"doc_id".as("rep"), lit(1.0).as("sim"))
-    expandPairs(groups, repPairs, selfPairs)
-      .select($"doc_a", $"doc_b", $"sim".as("jacc"))
-      .orderBy($"doc_a", $"doc_b")
+    if (!hasExactClones(docs.select($"doc_id", $"text"), s"clonechk:$keyPrefix")) {
+      val capped = cappedShinglesFlatOf(docs, s"ngram-sh:$keyPrefix")
+      jaccardRerank(docSetsOf(capped, s"ngram-docsets:$keyPrefix"),
+        candidatesOf(capped, ""))
+    } else {
+      val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$keyPrefix")
+      val capped = cappedRepShinglesOf(docs, keyPrefix)
+      val repSets = docSetsOf(capped, s"ngram-repsets:$keyPrefix")
+      val repPairs = jaccardRerank(repSets, candidatesOf(capped, "-rep"))
+        .select($"doc_a".as("ra"), $"doc_b".as("rb"), $"jacc".as("sim"))
+      // clone pairs: identical capped sets ⇒ Jaccard exactly 1.0; only
+      // reps with a non-empty capped set generate candidates in the
+      // uncollapsed pipeline, and repSets contains exactly those
+      val selfPairs = repSets.select($"doc_id".as("rep"), lit(1.0).as("sim"))
+      expandPairs(groups, repPairs, selfPairs)
+        .select($"doc_a", $"doc_b", $"sim".as("jacc"))
+        .orderBy($"doc_a", $"doc_b")
+    }
   }
 
   // D7 — near-dup CLUSTER resolution: connected components over the
@@ -489,6 +563,8 @@ object Dedup {
   private[graft] def embeddingNearDupOn(e: DataFrame, tau: Double,
       nCells: Int, iters: Int, keyPrefix: String): DataFrame = {
     import e.sparkSession.implicits._
+    if (!hasExactVecClones(e, s"vclonechk:$keyPrefix"))
+      return cellPairJoin(e, tau, nCells, iters, s"neardup-assigned:$keyPrefix")
     val vgroups = Caches.cached(s"neardup-vgroups:$keyPrefix") {
       val gb = e.groupBy($"v").agg(min($"vec_id").as("rep"))
       e.select($"vec_id", $"v").join(gb, "v").select($"vec_id", $"rep")

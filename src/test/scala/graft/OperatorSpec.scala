@@ -100,8 +100,9 @@ class OperatorSpec extends SparkSpecBase {
       val w = t.split(" "); w(15) = "zulu"; w.mkString(" ")
     }
     val all0 = (bases ++ nears).zipWithIndex.map { case (t, i) => (i.toLong, t) }
-    val clones = (0 until 5).flatMap(i =>
-      Seq((1000L + i, bases(i)), (2000L + i, bases(i)))) // clone groups of 3
+    val clones = (0 until 5).flatMap(i => // clone groups of 4: Σg²=95 > 2n=70,
+      Seq((1000L + i, bases(i)), (2000L + i, bases(i)), // so the clone-mass
+        (3000L + i, bases(i)))) // gate must pick the collapsed path here
     val rows = all0 ++ clones
     val docs = rows.toDF("doc_id", "text")
     val got = Dedup.ngramJaccardLshOn(docs, "clone-jacc-fix")

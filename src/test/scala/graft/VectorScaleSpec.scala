@@ -56,10 +56,12 @@ class VectorScaleSpec extends SparkSpecBase {
     // r6 collapse must dedup them before the cell-pair join and expand
     // the pairs back bit-identically to the uncollapsed definition
     val base = plantedCorpus(nBase = 8, nNoise = 40, dim = 16)
-    val clones = base.filter($"vec_id" < 6)
-      .select(($"vec_id" + 1000).as("vec_id"), $"v", $"nrm", $"u")
-      .unionAll(base.filter($"vec_id" < 6)
-        .select(($"vec_id" + 2000).as("vec_id"), $"v", $"nrm", $"u"))
+    // clone groups of 5: Σg² = 200 > 2n = 160 — the clone-mass gate must
+    // pick the collapsed path on this fixture
+    val clones = Seq(1000L, 2000L, 3000L, 4000L).map { off =>
+      base.filter($"vec_id" < 6)
+        .select(($"vec_id" + off).as("vec_id"), $"v", $"nrm", $"u")
+    }.reduce(_ unionAll _)
     val e = base.unionAll(clones).cache()
     val tau = 0.9
     val got = Dedup.embeddingNearDupOn(e, tau, nCells = 4, iters = 2, "clone-fix")
