@@ -95,6 +95,7 @@ object SparkEntry {
     // Pipeline composition (SURVEY §2 P1–P2)
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
+    "p_train_mix" -> ((s, d) => pipeline.CorpusPipeline.trainMix(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
     "s_sliding_agg" -> ((s, d) => streaming.EventOps.slidingAggQuery(s, d)),
@@ -864,6 +865,44 @@ object SparkEntry {
         |        doc_id,
         |        CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) tokens
         |      FROM documents),
+        |r AS (SELECT lang, shard, doc_id, tokens,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) rn
+        |      FROM d),
+        |st AS (
+        |  SELECT lang, shard, CAST(0 AS BIGINT) rn, CAST(0 AS BIGINT) doc_id,
+        |         CAST(0 AS BIGINT) tokens, CAST(1 AS BIGINT) bin_id, CAST(0 AS BIGINT) fill
+        |  FROM (SELECT DISTINCT lang, shard FROM r) g
+        |  UNION ALL
+        |  SELECT r.lang, r.shard, r.rn, r.doc_id, r.tokens,
+        |    CASE WHEN st.fill > 0 AND st.fill + r.tokens > 200 THEN st.bin_id + 1 ELSE st.bin_id END,
+        |    CASE WHEN st.fill > 0 AND st.fill + r.tokens > 200 THEN r.tokens ELSE st.fill + r.tokens END
+        |  FROM st JOIN r ON r.lang = st.lang AND r.shard = st.shard AND r.rn = st.rn + 1
+        |)
+        |SELECT lang, shard, doc_id, tokens, bin_id, fill AS fill_after
+        |FROM st WHERE rn > 0 ORDER BY lang, shard, doc_id""".stripMargin,
+    // P3b: the training-mixture composition — mix cap + exact-dedup keep
+    // + quality floor, then the same greedy-packing recursive-CTE replay
+    // as p_pack_tokens over the surviving documents.
+    "p_train_mix" ->
+      """WITH RECURSIVE
+        |cap AS (SELECT CAST(ceil(0.6 * COUNT(*) / COUNT(DISTINCT source)) AS BIGINT) AS cap
+        |        FROM documents),
+        |mix AS (SELECT doc_id FROM (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT), doc_id)
+        |   AS BIGINT) rk FROM documents) t, cap WHERE rk <= cap),
+        |keep_exact AS (SELECT MIN(doc_id) doc_id FROM documents GROUP BY md5(text)),
+        |q AS (SELECT doc_id FROM (SELECT doc_id, string_split(lower(text),' ') w FROM documents)
+        |  WHERE CAST(len(list_filter(w, x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(w) >= 0.05),
+        |surv AS (SELECT dd.* FROM documents dd
+        |  JOIN mix ON dd.doc_id = mix.doc_id
+        |  JOIN keep_exact k ON dd.doc_id = k.doc_id
+        |  JOIN q ON dd.doc_id = q.doc_id),
+        |d AS (SELECT lang,
+        |        CAST(CAST(('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 4 AS INTEGER) shard,
+        |        doc_id,
+        |        CAST(len(string_split_regex(trim(text),' +')) AS BIGINT) tokens
+        |      FROM surv),
         |r AS (SELECT lang, shard, doc_id, tokens,
         |        CAST(ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) rn
         |      FROM d),

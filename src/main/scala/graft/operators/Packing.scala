@@ -36,9 +36,14 @@ object Packing {
   }
 
   private[graft] def docsWithTokens(s: SparkSession, dir: String,
-      nShards: Int): Dataset[PackDoc] = {
+      nShards: Int): Dataset[PackDoc] =
+    docsWithTokensOf(Tables.documents(s, dir), nShards)
+
+  /** Same over any (doc_id, lang, text) frame (pipeline composition). */
+  private[graft] def docsWithTokensOf(docs: DataFrame, nShards: Int): Dataset[PackDoc] = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
+    docs
       .select($"lang", (h64(concat(lit("pack:"), $"doc_id")) % nShards).cast("int").as("shard"),
         $"doc_id", size(split(trim($"text"), " +")).cast("long").as("tokens"))
       .as[PackDoc]

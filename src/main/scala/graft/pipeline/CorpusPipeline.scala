@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Packing, Sampling}
 
 /** The end-to-end LLM training-data prep flow, composed from the §2
   * operators: exact dedup → near-dup removal → quality filter → chunking.
@@ -53,5 +53,36 @@ object CorpusPipeline {
       .withColumn("chunk_text", expr("substring(text, chunk_id * 150 + 1, 200)"))
       .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"), $"chunk_text")
       .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** P3b — training-mixture assembly (`p_train_mix`): the batch-side prep
+    * stages composed end-to-end — source-mix rebalancing (T5c) → exact
+    * dedup keep-one (D1) → quality floor (T2 family) → token-budget
+    * sequence packing (P2) over the survivors. Every stage is the
+    * already-oracle-verified operator logic, so the composition has an
+    * exact DuckDB oracle too; at 100 TB each stage is a shuffle on a
+    * high-cardinality key (source, hash, doc, (lang, shard)) and the
+    * packing fold runs on bounded salted groups. */
+  def trainMix(s: SparkSession, dir: String, share: Double = 0.6,
+      minQuality: Double = 0.5, budget: Long = 200L, nShards: Int = 4): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val mixKeep = Sampling.sourceMix(s, dir, share).select($"doc_id")
+    val exactKeep = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val quality = docs
+      .withColumn("n_words", size(split(lower($"text"), " ")).cast("long"))
+      .withColumn("stop_hits",
+        size(filter(split(lower($"text"), " "),
+          w => w.isInCollection(Seq("the", "a", "of", "and")))).cast("long"))
+      .filter($"stop_hits".cast("double") / $"n_words" >= minQuality / 10.0)
+      .select($"doc_id")
+    val survivors = docs
+      .join(mixKeep, "doc_id")
+      .join(exactKeep, "doc_id")
+      .join(quality, "doc_id")
+    Packing.packDocs(Packing.docsWithTokensOf(survivors, nShards), budget)
+      .toDF()
+      .orderBy($"lang", $"shard", $"doc_id")
   }
 }

@@ -23,4 +23,31 @@ class PipelineSpec extends SparkSpecBase {
     val noChunk = out.groupBy("doc_id").count().filter(col("count") < 1).count()
     assert(noChunk == 0)
   }
+
+  test("train mix: every stage's filter holds on the packed output") {
+    import spark.implicits._
+    val out = CorpusPipeline.trainMix(spark, sfDir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // packing invariant: bins respect the token budget (oversized docs
+    // open their own bin, so a bin may exceed only when it has one doc)
+    val byBin = rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"), r.getAs[Long]("bin_id")))
+    byBin.foreach { case (k, ds) =>
+      val tot = ds.map(_.getAs[Long]("tokens")).sum
+      assert(tot <= 200 || ds.length == 1, s"bin $k over budget with ${ds.length} docs")
+    }
+    val packed = rows.map(_.getAs[Long]("doc_id")).toSet
+    // source-mix cap honored by the survivor set
+    val docs = Tables.documents(spark, sfDir).cache()
+    val n = docs.count(); val k = docs.select("source").distinct().count()
+    val cap = math.ceil(0.6 * n / k).toLong
+    val bySource = docs.filter($"doc_id".isInCollection(packed))
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(bySource.forall(_ <= cap))
+    // exact-dedup keep-one: no two packed docs share a text
+    val texts = docs.filter($"doc_id".isInCollection(packed))
+      .select("text").collect().map(_.getString(0))
+    assert(texts.distinct.length == texts.length, "packed set contains exact clones")
+    docs.unpersist(); out.unpersist()
+  }
 }
