@@ -27,7 +27,10 @@ object Bench {
     // r4 additions
     "d_decontaminate", "s_scd2_dim", "v_maxsim", "v_mmr_rerank",
     // r6 additions
-    "q_fuzzy_search", "g_pagerank_weighted", "v_chunk_recursive")
+    "q_fuzzy_search", "g_pagerank_weighted", "v_chunk_recursive",
+    // r6b additions
+    "g_node_similarity", "d_decontaminate_semantic", "t_tfidf_keywords",
+    "t_unigram_logprob", "t_more_like_this")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

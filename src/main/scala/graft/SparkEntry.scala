@@ -52,6 +52,9 @@ object SparkEntry {
     "t_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     "t_vocab" -> ((s, d) => TextOps.vocab(s, d)),
     "t_bm25" -> ((s, d) => TextOps.bm25(s, d)),
+    "t_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
+    "t_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
+    "t_more_like_this" -> ((s, d) => TextOps.moreLikeThis(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -61,6 +64,7 @@ object SparkEntry {
     "d_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "d_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "d_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "d_decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     // Vector (SURVEY §2 V1–V6)
     "v_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
@@ -90,6 +94,7 @@ object SparkEntry {
     "g_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
     "g_pagerank_weighted" -> ((s, d) => GraphOps.pageRankWeighted(s, d)),
     "g_connected_components" -> ((s, d) => GraphOps.connectedComponents(s, d)),
+    "g_node_similarity" -> ((s, d) => GraphOps.nodeSimilarity(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
     // Pipeline composition (SURVEY §2 P1–P2)
@@ -387,6 +392,52 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25,
         |  COUNT(*) AS n_terms
         |FROM ts GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "t_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) wrd FROM documents),
+        |tf AS (SELECT doc_id, wrd, COUNT(*) tf FROM w GROUP BY 1,2),
+        |dfx AS (SELECT wrd, CAST(COUNT(*) AS DOUBLE) df FROM tf GROUP BY wrd),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) nd FROM documents),
+        |sc AS (SELECT t.doc_id, t.wrd, t.tf, ROUND(t.tf * log10(nd.nd / dfx.df), 6) score
+        |       FROM tf t JOIN dfx ON t.wrd = dfx.wrd CROSS JOIN nd),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |         (PARTITION BY doc_id ORDER BY score DESC, wrd) AS BIGINT) rk FROM sc)
+        |SELECT doc_id, wrd, tf, score, rk FROM rk WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    // Unigram logprob: per-word logprob rounds to 6, per-row term rounds
+    // to 6 and sums through DECIMAL (order-independent). The mean stays
+    // un-rounded — exact decimal sum + one IEEE division is bit-identical
+    // on both engines, while ROUND at a .5 tie is not (sf0.001 probe).
+    "t_unigram_logprob" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) wrd FROM documents),
+        |tf AS (SELECT doc_id, wrd, COUNT(*) tf FROM w GROUP BY 1,2),
+        |wf AS (SELECT wrd, SUM(tf) cf FROM tf GROUP BY wrd),
+        |tot AS (SELECT CAST(SUM(cf) AS DOUBLE) tot FROM wf),
+        |t AS (SELECT tf.doc_id, tf.tf,
+        |        CAST(ROUND(tf.tf * ROUND(log10(CAST(wf.cf AS DOUBLE)/tot.tot), 6), 6)
+        |          AS DECIMAL(18,6)) term
+        |      FROM tf JOIN wf ON tf.wrd = wf.wrd CROSS JOIN tot)
+        |SELECT doc_id,
+        |  CAST(SUM(term) AS DOUBLE)/CAST(SUM(tf) AS BIGINT) AS mean_logprob,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // More-like-this: same df-capped bigram sets as the Jaccard family,
+    // fixed query doc 42, |∩| over the distinct capped shingles.
+    "t_more_like_this" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
+        |       FROM d WHERE len(w) >= 2),
+        |rare AS (SELECT s FROM sh0 GROUP BY s
+        |         HAVING COUNT(*) <= 0.2 * (SELECT COUNT(*) FROM documents)),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |q AS (SELECT s FROM sh WHERE doc_id = 42),
+        |qn AS (SELECT COUNT(*) qn FROM q),
+        |ni AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) n_shared
+        |       FROM sh JOIN q ON sh.s = q.s WHERE sh.doc_id <> 42 GROUP BY sh.doc_id)
+        |SELECT ni.doc_id, ni.n_shared,
+        |  ROUND(CAST(ni.n_shared AS DOUBLE)/(sz.n + qn.qn - ni.n_shared), 6) AS jacc
+        |FROM ni JOIN sz ON ni.doc_id = sz.doc_id CROSS JOIN qn
+        |ORDER BY jacc DESC, ni.doc_id LIMIT 10""".stripMargin,
     "s_attribution" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
         |v AS (SELECT user_id vu, event_id view_id, ts vts FROM e WHERE event_type='view'),
@@ -512,6 +563,16 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shingles_hit
         |FROM tsh t JOIN bsh b ON t.s = b.s
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Semantic decontamination: train×eval cosine through the same
+    // list_transform dot-product shape as d_embedding_neardup.
+    "d_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),
+        |p AS (SELECT t.vec_id,
+        |        ROUND(list_sum(list_transform(range(1,len(t.v)+1), i -> t.v[i]*b.v[i]))/(t.nrm*b.nrm), 6) sim
+        |      FROM n t JOIN n b ON t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0)
+        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits, MAX(sim) AS max_sim
+        |FROM p WHERE sim >= 0.35 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "t_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
         |wn AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_words,
@@ -711,6 +772,19 @@ object SparkEntry {
         |SELECT part, COUNT(*) AS degree
         |FROM (SELECT src AS part FROM e UNION ALL SELECT dst FROM e) u
         |GROUP BY part ORDER BY part""".stripMargin,
+    // Node similarity: Jaccard over neighbor sets via the shared-neighbor
+    // inverted index — the same candidate pattern as the Jaccard dedup.
+    "g_node_similarity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |nb AS (SELECT src a, dst nb FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT a, COUNT(*) d FROM nb GROUP BY a),
+        |cm AS (SELECT x.a pa, y.a pb, COUNT(*) n_common
+        |       FROM nb x JOIN nb y ON x.nb = y.nb AND x.a < y.a GROUP BY 1,2)
+        |SELECT cm.pa AS part_a, cm.pb AS part_b, cm.n_common,
+        |  ROUND(CAST(cm.n_common AS DOUBLE)/(da.d + db.d - cm.n_common), 6) AS jacc
+        |FROM cm JOIN deg da ON cm.pa = da.a JOIN deg db ON cm.pb = db.a
+        |ORDER BY jacc DESC, part_a, part_b LIMIT 20""".stripMargin,
     "g_two_hop" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
         |nb AS (SELECT DISTINCT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<>b.pk),

@@ -192,7 +192,7 @@ object Dedup {
     * inverted index's pair fanout (the quadratic term), so they are
     * dropped from the shingle sets on BOTH engines — at 100 TB this cap
     * is what keeps the exact join near-linear. */
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cappedShingles(s: SparkSession, dir: String): DataFrame =
     cappedShinglesFlatOf(Tables.documents(s, dir), s"ngram-sh:$dir")
 
   private def cappedShinglesFlatOf(docs: DataFrame, cacheKey: String): DataFrame =
@@ -318,7 +318,7 @@ object Dedup {
     * joins read it, and array payloads are bounded by the df-capped
     * per-doc shingle count (≈ doc length), so the rows ship safely at
     * any scale. */
-  private def docSets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docSets(s: SparkSession, dir: String): DataFrame =
     docSetsOf(cappedShingles(s, dir), s"ngram-docsets:$dir")
 
   private def docSetsOf(capped: DataFrame, cacheKey: String): DataFrame =
@@ -524,6 +524,31 @@ object Dedup {
       .agg(countDistinct($"b.doc_id").as("n_bench_docs"),
         countDistinct($"t.s").as("n_shingles_hit"))
       .orderBy($"doc_id")
+  }
+
+  // D6b — SEMANTIC benchmark decontamination: a training vector is
+  // contaminated iff it sits within cosine τ of any held-out eval vector —
+  // the embedding-space complement of D6's n-gram overlap scrub (paraphrased
+  // eval leakage that shares no 5-gram still lands nearby in embedding
+  // space). Held-out slice = the deterministic vec_id%10=0 subset, mirroring
+  // D6. Shape: the eval side of a decontamination run is a bounded external
+  // benchmark suite, so it broadcasts and the training corpus streams
+  // through ONE codegen'd pass (vec_dot per (train, eval) pair — linear in
+  // corpus × |eval|, no shuffle of the train side, same contract as D6's
+  // broadcast). Exact by construction; the sub-quadratic candidate tricks
+  // (cells/LSH) are unnecessary while |eval| stays benchmark-sized.
+  def decontaminateSemantic(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val e = VectorOps.normed(s, dir)
+    val eval = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("eid"), $"v".as("ev"), $"nrm".as("en"))
+    e.filter($"vec_id" % 10 =!= 0)
+      .crossJoin(broadcast(eval))
+      .withColumn("sim", round(vecDot($"v", $"ev") / ($"nrm" * $"en"), 6))
+      .filter($"sim" >= tau)
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max($"sim").as("max_sim"))
+      .orderBy($"vec_id")
   }
 
   // D5 — embedding-cosine near-dup on `embeddings`, exact at threshold τ,

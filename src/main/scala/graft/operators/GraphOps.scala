@@ -276,6 +276,45 @@ object GraphOps {
       .limit(k)
   }
 
+  // G9 — node similarity: Jaccard over neighbor sets of the co-purchase
+  // graph (the Neo4j GDS nodeSimilarity shape — "products bought alongside
+  // the same things", the item-item collaborative-filtering primitive).
+  // jacc(a,b) = |N(a)∩N(b)| / (deg(a)+deg(b)−|N(a)∩N(b)|), top-k pairs.
+  // Shapes: candidates come from the inverted index on the SHARED NEIGHBOR
+  // key (exactly D4's shared-shingle pattern — no all-pairs join exists in
+  // the plan); common counts aggregate with map-side combine; degrees join
+  // back on the pair endpoints; ranking is TakeOrderedAndProject. Fanout
+  // is Σ_n deg(n)² — bounded on a co-purchase graph by the per-order line
+  // cap, and hub-capped at real scale the same way D4 stop-lists frequent
+  // shingles (drop the few super-connectors: they carry no similarity
+  // signal and own the quadratic term); AQE handles residual skew.
+  def nodeSimilarity(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    nodeSimilarityOf(edgesUnsorted(s, dir), k, Some(s"nodesim-nbrs:$dir"))
+
+  /** G9 core over an arbitrary canonical edge frame (fixture-testable). */
+  private[graft] def nodeSimilarityOf(e: DataFrame, k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    def mirror = e.select($"src".as("a"), $"dst".as("nb"))
+      .unionAll(e.select($"dst".as("a"), $"src".as("nb")))
+    // both join sides read the mirrored arcs — cache once per corpus
+    val nbrs = cacheKey.fold(mirror)(key => Caches.cached(key)(mirror))
+    val deg = nbrs.groupBy($"a").agg(count(lit(1)).as("d"))
+    val common = nbrs.as("x")
+      .join(nbrs.as("y"), $"x.nb" === $"y.nb" && $"x.a" < $"y.a")
+      .groupBy($"x.a".as("pa"), $"y.a".as("pb"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select($"a".as("pa"), $"d".as("da")), "pa")
+      .join(deg.select($"a".as("pb"), $"d".as("db")), "pb")
+      .withColumn("jacc", round(
+        $"n_common".cast("double") / ($"da" + $"db" - $"n_common"), 6))
+      .select($"pa".as("part_a"), $"pb".as("part_b"), $"n_common", $"jacc")
+      .orderBy($"jacc".desc, $"part_a", $"part_b")
+      .limit(k)
+  }
+
   /** Component sizes for an arbitrary canonical edge frame. */
   private[graft] def connectedComponentsOf(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession

@@ -203,6 +203,97 @@ object TextOps {
       .limit(topK)
   }
 
+  // T10 — per-document TF-IDF keywords (the topic-tagging pass a training
+  // pipeline runs to label/mix corpus slices): score = tf · log10(N/df),
+  // top-k terms per doc. Shapes: per-(doc, word) tf and per-word df are
+  // two aggregations with map-side combine; the tf⋈df join rides the word
+  // key (vocabulary-sized right side — AQE broadcasts it when it fits,
+  // as any real vocabulary does); ranking is a per-doc window, keyed by
+  // doc_id so it scales out like any groupBy. Float parity with the
+  // oracle: score rounds to 6dp before ranking, ties break on the word.
+  def tfidfKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = docs.select($"doc_id", explode(wordsCol).as("wrd"))
+      .groupBy($"doc_id", $"wrd").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy($"wrd").agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val byScore = Window.partitionBy($"doc_id").orderBy($"score".desc, $"wrd")
+    tf.join(dfx, "wrd")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round($"tf" * log10($"nd" / $"df"), 6))
+      .withColumn("rk", row_number().over(byScore).cast("long"))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"wrd", $"tf", $"score", $"rk")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  // T11 — unigram log-probability quality score (the CCNet-style LM
+  // filter proxy: documents whose words are improbable under the corpus
+  // unigram model are noise/outliers; at real scale the reference model
+  // is a KenLM trained upstream — here the corpus itself is the model,
+  // which keeps the operator self-contained and exactly oracle-able).
+  // mean_logprob = Σ tf·log10(cf/total) / Σ tf over the doc's words.
+  // Shapes: one (doc, word) aggregation feeds BOTH the per-doc terms and
+  // the corpus frequencies (map-side combine on each); the join rides the
+  // word key; the total is a single-row broadcast. Float parity: per-word
+  // logprob rounds to 6dp, per-row contribution rounds to 6dp and sums as
+  // DECIMAL (order-independent at any partitioning). The final mean is
+  // deliberately NOT rounded: the decimal sum is exact and the single
+  // double division is the same IEEE op on both engines (bit-identical),
+  // whereas a 6dp round can land on a .5 tie the engines break
+  // differently (caught by the sf0.001 probe: -1.4781995 → -1.4782 in
+  // DuckDB vs -1.478199 in Spark's BigDecimal HALF_UP).
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(wordsCol).as("wrd"))
+      .groupBy($"doc_id", $"wrd").agg(count(lit(1)).as("tf"))
+    val wf = tf.groupBy($"wrd").agg(sum($"tf").as("cf"))
+    val tot = wf.agg(sum($"cf").cast("double").as("tot"))
+    tf.join(wf, "wrd")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", round(log10($"cf".cast("double") / $"tot"), 6))
+      .withColumn("term", round($"tf" * $"lp", 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(
+        (sum($"term").cast("double") / sum($"tf")).as("mean_logprob"),
+        sum($"tf").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  // T12 — "more like this": top-k documents most similar to a query doc
+  // by Jaccard over the SAME df-capped bigram shingle sets the near-dup
+  // family uses (the retrieval shape next to BM25: BM25 answers free-text
+  // queries, this answers query-by-example). Shapes: the query doc's
+  // shingle set is one bounded row — it broadcasts; candidates come from
+  // the inverted index (docs sharing ≥1 capped shingle — the df cap
+  // bounds the fanout exactly as in D4); |∩| computes in-row via
+  // array_intersect against the broadcast query set; ranking is
+  // TakeOrderedAndProject. No full-corpus shuffle anywhere: one semi-join
+  // keyed by shingle + one key join back to the cached per-doc sets.
+  def moreLikeThis(s: SparkSession, dir: String,
+      queryId: Long = 42L, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val sets = Dedup.docSets(s, dir) // (doc_id, ss, n) — session-cached
+    val q = sets.filter($"doc_id" === queryId)
+      .select($"ss".as("qs"), $"n".as("qn"))
+    val qsh = Dedup.cappedShingles(s, dir).filter($"doc_id" === queryId)
+      .select($"s")
+    val cand = Dedup.cappedShingles(s, dir)
+      .join(broadcast(qsh), "s")
+      .filter($"doc_id" =!= queryId)
+      .select($"doc_id").distinct()
+    cand.join(sets, "doc_id")
+      .crossJoin(broadcast(q))
+      .withColumn("ni", size(array_intersect($"ss", $"qs")).cast("long"))
+      .withColumn("jacc", round($"ni".cast("double") / ($"n" + $"qn" - $"ni"), 6))
+      .select($"doc_id", $"ni".as("n_shared"), $"jacc")
+      .orderBy($"jacc".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** The redacted text itself (not hashed) — spec surface for asserting no
     * PII survives redaction. */
   private[graft] def redactText(docs: DataFrame): DataFrame = {

@@ -95,6 +95,21 @@ class GraphSpec extends SparkSpecBase {
       assert(math.abs(gx(v) - r) < 1e-9, s"vertex $v: df $r vs gx ${gx(v)}") }
   }
 
+  test("node similarity: triangle + pendant fixture has exact Jaccard") {
+    // edges 1-2, 1-3, 2-3, 3-4 → N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = GraphOps.nodeSimilarityOf(g, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      (1L, 4L) -> (1L, 0.5),      // share {3}: 1/(2+1-1)
+      (2L, 4L) -> (1L, 0.5),
+      (1L, 2L) -> (1L, 0.333333), // share {3}: 1/(2+2-1)
+      (1L, 3L) -> (1L, 0.25),     // share {2}: 1/(2+3-1)
+      (2L, 3L) -> (1L, 0.25)
+    ), s"got $got")
+  }
+
   test("connected components: planted two-island graph has exact sizes") {
     // island A = path 1-2-3 (3 nodes), island B = edge 10-11 (2 nodes)
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L))

@@ -128,6 +128,94 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.contains((0L, 1000L, 1.0)) && got.contains((1000L, 2000L, 1.0)))
   }
 
+  private def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("tfidf keywords equal a brute-force corpus model") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val n = texts.length.toDouble
+    val tfm = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    }.toMap
+    val dfm = tfm.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    val want = tfm.flatMap { case (id, tfs) =>
+      tfs.toSeq
+        .map { case (w, tf) => (id, w, tf.toLong, r6(tf * math.log10(n / dfm(w)))) }
+        .sortBy { case (_, w, _, sc) => (-sc, w) }.take(3).zipWithIndex
+        .map { case ((i, w, tf, sc), k) => (i, w, tf, sc, k + 1L) }
+    }.toSet
+    val got = TextOps.tfidfKeywords(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("unigram logprob equals a brute-force corpus model; scores are negative") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val words = texts.map { case (id, t) => id -> t.toLowerCase.split(" ").toSeq }
+    val cf = words.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = cf.values.sum.toDouble
+    val want = words.map { case (id, ws) =>
+      val terms = ws.groupBy(identity).map { case (w, occ) =>
+        java.math.BigDecimal.valueOf(r6(occ.size * r6(math.log10(cf(w) / tot))))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }
+      val sum = terms.reduce(_.add(_))
+      (id, sum.doubleValue / ws.size, ws.size.toLong)
+    }.toSet
+    val got = TextOps.unigramLogprob(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.forall(_._2 < 0.0), "a unigram logprob can never be non-negative")
+  }
+
+  test("more-like-this equals brute-force Jaccard ranking against the query doc") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val n = texts.length.toDouble
+    val sets0 = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").sliding(2).map(_.mkString(" ")).toSet }
+    val dfc = sets0.flatMap(_._2.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val capped = sets0.map { case (id, ss) =>
+      id -> ss.filter(sh => dfc(sh) <= n * 0.2) }.toMap
+    val q = capped(42L)
+    val want = capped.toSeq
+      .collect { case (id, ss) if id != 42L && ss.intersect(q).nonEmpty =>
+        val ni = ss.intersect(q).size
+        (id, ni.toLong, r6(ni.toDouble / (ss.size + q.size - ni)))
+      }
+      .sortBy { case (id, _, j) => (-j, id) }.take(10)
+    val got = TextOps.moreLikeThis(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("semantic decontamination agrees with the all-pairs cosine relation") {
+    // independent derivation: take the exact all-pairs τ-relation and fold
+    // it to per-train-vector (hits, max sim) over eval-side partners
+    val ap = Dedup.embeddingNearDupAllPairs(spark, sfDir, tau = 0.35).collect()
+    val hits = ap.flatMap { r =>
+      val (a, b, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      Seq((a, b), (b, a)).collect {
+        case (t, e) if t % 10 != 0 && e % 10 == 0 => (t, sim)
+      }
+    }
+    val want = hits.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.map(_._2).max) }.toSet
+    val got = Dedup.decontaminateSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.forall(_._1 % 10 != 0), "eval vectors must never be flagged")
+  }
+
   test("simhash near-dup pairs have symmetric, bounded hamming") {
     val rows = Dedup.simhash(spark, sfDir).collect()
     assert(rows.nonEmpty)

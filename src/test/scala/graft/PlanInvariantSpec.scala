@@ -137,6 +137,30 @@ class PlanInvariantSpec extends SparkSpecBase {
     assert(!pb.contains("CartesianProduct"), "bm25 plans a cartesian")
   }
 
+  test("r6 extras: node similarity and more-like-this stay keyed + top-k") {
+    // node similarity: candidates from the shared-neighbor inverted index —
+    // never an all-pairs join; ranking is per-partition heaps
+    val ns = plan("g_node_similarity")
+    assert(!ns.contains("CartesianProduct") && !ns.contains("BroadcastNestedLoopJoin"),
+      s"node similarity plans a non-equi join:\n$ns")
+    assert(ns.contains("TakeOrderedAndProject"), s"node similarity lost top-k:\n$ns")
+    // more-like-this: the query doc's set/shingles attach as broadcasts
+    // (condition-less Cross), candidates ride the shingle equi-join
+    val ml = plan("t_more_like_this")
+    assert(!ml.contains("CartesianProduct"), s"MLT plans a cartesian:\n$ml")
+    assert(ml.contains("TakeOrderedAndProject"), s"MLT ranking lost top-k:\n$ml")
+    assert(ml.contains("BroadcastExchange"), s"MLT query set not broadcast:\n$ml")
+  }
+
+  test("r6 extras: semantic decontamination broadcasts eval, never shuffles the corpus") {
+    val p = plan("d_decontaminate_semantic")
+    // the exact scan IS a broadcast nested loop over the bounded eval set —
+    // what must never appear is a shuffle (or cartesian) of the train side
+    assert(p.contains("BroadcastExchange"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"train corpus shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("r4 operators: scd2 shuffles once by entity key") {
     // both window passes run off ONE hash exchange on user_id (the final
     // presentation orderBy adds a range exchange, which is not a reshuffle
