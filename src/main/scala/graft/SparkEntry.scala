@@ -95,6 +95,10 @@ object SparkEntry {
     "g_pagerank_weighted" -> ((s, d) => GraphOps.pageRankWeighted(s, d)),
     "g_connected_components" -> ((s, d) => GraphOps.connectedComponents(s, d)),
     "g_node_similarity" -> ((s, d) => GraphOps.nodeSimilarity(s, d)),
+    // rows-only by design: banded-MinHash candidates are probabilistic;
+    // G9 is the oracle-checked exact definition, the planted-fixture spec
+    // pins recall on a true near-identical neighborhood
+    "g_node_similarity_lsh" -> ((s, d) => GraphOps.nodeSimilarityLsh(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
     // Pipeline composition (SURVEY §2 P1–P2)

@@ -363,7 +363,7 @@ object Dedup {
     * permutations in bands of bandSize; two docs are candidates iff some
     * band signature matches. One groupBy with nPerm min() columns — the
     * shuffle carries one row per doc, never nPerm× the shingle rows. */
-  private def minhashBandSigs(sh: DataFrame, nPerm: Int, bandSize: Int): DataFrame = {
+  private[graft] def minhashBandSigs(sh: DataFrame, nPerm: Int, bandSize: Int): DataFrame = {
     import sh.sparkSession.implicits._
     val M = 1000000007L
     val h = sh.select($"doc_id", (h64($"s") % M).as("hv"))

@@ -13,7 +13,7 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the seven documented non-SQL-expressible ops") {
+  test("the rows-only set is exactly the eight documented non-SQL-expressible ops") {
     // r4: triangle counting (3-way join) and landmark BFS (bounded
     // recursive CTE) turned out to be SQL-expressible after all; r6:
     // pagerank and connected components followed (window-aggregation in
@@ -22,6 +22,7 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set(
       "d_embedding_neardup_lsh", // probabilistic candidates; exact twin is the oracle
+      "g_node_similarity_lsh",   // probabilistic candidates; exact twin is the oracle
       "m_frame_sample",          // decode stub, no SQL analogue
       "q_approx_distinct",       // sketch; exact count + error bound specced
       "q_approx_percentiles",    // sketch; exact quantiles ride along, error specced

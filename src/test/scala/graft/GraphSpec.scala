@@ -110,6 +110,31 @@ class GraphSpec extends SparkSpecBase {
     ), s"got $got")
   }
 
+  test("node similarity LSH: planted near-identical neighborhoods are fully recalled") {
+    // nodes 1 and 2 share 20 of their 21 neighbors (jacc 20/22 ≈ 0.909);
+    // the 20 shared neighbors have IDENTICAL neighbor sets {1,2} (jacc 1.0
+    // pairs — identical minhash signatures, so banding must find them);
+    // background chain 300-301-302-303 adds low-sim (0.5) pairs banding
+    // may legitimately drop
+    val shared = (100L to 119L)
+    val pairs =
+      shared.map(n => (1L, n)) ++ shared.map(n => (2L, n)) ++
+        Seq((1L, 200L), (2L, 201L), (300L, 301L), (301L, 302L), (302L, 303L))
+    val g = edges(pairs: _*)
+    val exact = GraphOps.nodeSimilarityOf(g, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val lsh = GraphOps.nodeSimilarityLshOf(g, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val head = exact.filter(_._2._2 >= 0.9)
+    assert(head.size == 191, s"fixture head wrong: ${head.size}") // C(20,2)=190 clone pairs + (1,2)
+    head.foreach { case (p, v) =>
+      assert(lsh.get(p).contains(v), s"LSH missed head pair $p -> $v, got ${lsh.get(p)}")
+    }
+    assert(lsh((1L, 2L)) == ((20L, 0.909091)))
+    // LSH never invents pairs: everything it returns matches the exact relation
+    lsh.foreach { case (p, v) => assert(exact.get(p).contains(v), s"phantom pair $p") }
+  }
+
   test("connected components: planted two-island graph has exact sizes") {
     // island A = path 1-2-3 (3 nodes), island B = edge 10-11 (2 nodes)
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L))
