@@ -52,6 +52,7 @@ object SparkEntry {
     "t_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     "t_vocab" -> ((s, d) => TextOps.vocab(s, d)),
     "t_bm25" -> ((s, d) => TextOps.bm25(s, d)),
+    "t_quality_tiers" -> ((s, d) => TextOps.qualityTiers(s, d)),
     "t_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "t_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
     "t_more_like_this" -> ((s, d) => TextOps.moreLikeThis(s, d)),
@@ -396,6 +397,23 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25,
         |  COUNT(*) AS n_terms
         |FROM ts GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    // Quality tiers: quartile cuts round to 4dp (the quality score's own
+    // precision) to absorb interpolation-order float diff, as in R18.
+    "t_quality_tiers" ->
+      """WITH q AS (
+        | SELECT doc_id,
+        |  ROUND(CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+        |     / len(string_split(lower(text),' '))
+        |   - CAST(length(regexp_replace(text,'[^.,;:!?]','','g')) AS DOUBLE) / length(text)
+        |   + LEAST(1.0, CAST(len(string_split(lower(text),' ')) AS DOUBLE)/100.0), 4) AS quality
+        | FROM documents),
+        |c AS (SELECT ROUND(quantile_cont(quality, 0.25), 4) c1,
+        |             ROUND(quantile_cont(quality, 0.5), 4) c2,
+        |             ROUND(quantile_cont(quality, 0.75), 4) c3 FROM q)
+        |SELECT doc_id, quality,
+        | CAST(CASE WHEN quality > c3 THEN 4 WHEN quality > c2 THEN 3
+        |           WHEN quality > c1 THEN 2 ELSE 1 END AS BIGINT) AS tier
+        |FROM q CROSS JOIN c ORDER BY doc_id""".stripMargin,
     "t_tfidf_keywords" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) wrd FROM documents),
         |tf AS (SELECT doc_id, wrd, COUNT(*) tf FROM w GROUP BY 1,2),

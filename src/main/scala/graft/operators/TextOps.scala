@@ -57,6 +57,29 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // T13 — quality-tier assignment (the quality-based mixing stage: train
+  // on tier 4, downsample tier 1). The scale-correct shape: exact ntile
+  // would be a GLOBAL ordered window (single partition — banned on
+  // corpus-sized frames); instead the three quartile cuts come from one
+  // sort-based percentile aggregate (distributed; R18's shape) and attach
+  // as a single-row broadcast, so tier assignment is a codegen'd per-row
+  // comparison. Cuts round to 4dp (the quality score's own precision) to
+  // absorb interpolation-order float diff, as R18 does.
+  def qualityTiers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = qualityScore(s, dir).select($"doc_id", $"quality")
+    val cuts = scored.agg(
+      expr("percentile(quality, array(0.25D, 0.5D, 0.75D))").as("cs"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when($"quality" > round(element_at($"cs", 3), 4), 4L)
+          .when($"quality" > round(element_at($"cs", 2), 4), 3L)
+          .when($"quality" > round(element_at($"cs", 1), 4), 2L)
+          .otherwise(1L))
+      .select($"doc_id", $"quality", $"tier")
+      .orderBy($"doc_id")
+  }
+
   // T3 — token counting: whitespace tokens + a BPE-ish regex tokenizer
   // (letter runs / single digits / single punctuation = disjoint classes,
   // so Java-regex and RE2 agree).

@@ -131,6 +131,20 @@ class OperatorSpec extends SparkSpecBase {
   private def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("quality tiers partition the corpus and are monotone in quality") {
+    val rows = TextOps.qualityTiers(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val byTier = rows.groupBy(_.getAs[Long]("tier")).view
+      .mapValues(_.map(_.getAs[Double]("quality"))).toMap
+    assert(byTier.keySet.subsetOf(Set(1L, 2L, 3L, 4L)) && byTier.size == 4)
+    // every doc in a lower tier scores <= every doc in a higher tier
+    (1L to 3L).foreach { t =>
+      assert(byTier(t).max <= byTier(t + 1).min, s"tier $t overlaps ${t + 1}")
+    }
+    // quartile cuts: no tier grabs more than ~half the corpus (ties aside)
+    byTier.values.foreach(v => assert(v.length > 0 && v.length < rows.length / 2 + 1))
+  }
+
   test("tfidf keywords equal a brute-force corpus model") {
     import spark.implicits._
     val texts = Tables.documents(spark, sfDir)
