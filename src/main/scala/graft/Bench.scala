@@ -36,13 +36,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    def newSession() = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    var spark = newSession()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
@@ -50,7 +51,15 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // a task OOM in local mode can take the whole context down — one
+        // query's failure must not cascade -1s into every later query
+        if (spark.sparkContext.isStopped) {
+          Caches.reset() // the registry's frames died with the context
+          spark = newSession()
+          spark.sparkContext.setLogLevel("WARN")
+        }
+        return -1.0
       }
       finally Caches.clearAll() // scoped persists don't leak into the next run
       (System.nanoTime() - t0) / 1e9

@@ -29,4 +29,8 @@ object Caches {
     registry.values.foreach(df => df.unpersist(blocking = false))
     registry.clear()
   }
+
+  /** Forget every frame WITHOUT touching it — for recovery after the
+    * SparkContext died (unpersist on a stopped context throws). */
+  def reset(): Unit = registry.clear()
 }
