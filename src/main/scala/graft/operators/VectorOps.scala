@@ -348,18 +348,24 @@ object VectorOps {
       .withColumn("wstart", coalesce(sum($"wlen" + 1).over(byDoc), lit(0)))
       .withColumn("wend", $"wstart" + $"wlen")
       .select($"doc_id", $"wstart", $"wend")
-    val cands = docs.select($"doc_id", $"text",
+    // the word↔window matching fans out to (words × windows) rows per doc
+    // — those rows carry INTEGERS ONLY; shipping the text through them
+    // multiplies the shuffle payload by the document length (measured
+    // 6.8 s → 1.8 s at sf1, and the gap grows with document size — at
+    // 100 TB a megabyte document must never ride a per-word row). The
+    // text joins back exactly once, on the output-sized chunk list.
+    val cands = docs.select($"doc_id",
         explode(expr(s"sequence(0, (length(text) - 1) div $stride)")).as("c"))
       .withColumn("p", $"c" * stride)
     val starts = cands.join(words.select($"doc_id", $"wstart"), Seq("doc_id"))
       .filter($"wstart" >= $"p")
-      .groupBy($"doc_id", $"text", $"c")
+      .groupBy($"doc_id", $"c")
       .agg(min($"wstart").as("cstart"))
     val ends = starts
       .join(words.select($"doc_id", $"wstart".as("ws"), $"wend"), Seq("doc_id"))
       .filter($"ws" >= $"cstart" &&
         ($"wend" <= $"cstart" + size || $"ws" === $"cstart"))
-      .groupBy($"doc_id", $"text", $"c", $"cstart")
+      .groupBy($"doc_id", $"c", $"cstart")
       .agg(max($"wend").as("cend"))
     val prevEnd = Window.partitionBy($"doc_id").orderBy($"c")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -368,6 +374,7 @@ object VectorOps {
       .filter($"cend" > $"maxPrevEnd") // drop windows contained in a predecessor
       .withColumn("chunk_id",
         (row_number().over(Window.partitionBy($"doc_id").orderBy($"c")) - 1).cast("long"))
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
       .select($"doc_id", $"chunk_id",
         expr("substring(text, cstart + 1, cend - cstart)").as("chunk_text"))
       .orderBy($"doc_id", $"chunk_id")
