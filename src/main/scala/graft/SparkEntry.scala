@@ -87,6 +87,7 @@ object SparkEntry {
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "m_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, d)),
     "m_segment_plan" -> ((s, d) => Multimodal.segmentPlan(s, d)),
+    "m_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     // Graph (SURVEY §2 G1–G7)
     "g_copurchase_edges" -> ((s, d) => GraphOps.copurchaseEdges(s, d)),
     "g_degree" -> ((s, d) => GraphOps.degree(s, d)),
@@ -765,6 +766,23 @@ object SparkEntry {
         | CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 1280 + 1 AS width,
         | CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 720 + 1 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Resize plan: pure-integer half-up rounding ((x*224 + m//2) // m) —
+    // no float division anywhere, so both engines agree bit-for-bit.
+    "m_resize_plan" ->
+      """WITH meta AS (
+        | SELECT doc_id,
+        |  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 1280 + 1 AS width,
+        |  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 720 + 1 AS height
+        | FROM documents WHERE doc_id % 2 = 0),
+        |p AS (SELECT doc_id, width, height, LEAST(width, height) m FROM meta),
+        |r AS (SELECT doc_id, width, height, m,
+        |  CAST((width * 224 + m // 2) // m AS BIGINT) rw,
+        |  CAST((height * 224 + m // 2) // m AS BIGINT) rh FROM p)
+        |SELECT doc_id, width, height, rw, rh,
+        | CAST((rw - 224) // 2 AS BIGINT) AS crop_x,
+        | CAST((rh - 224) // 2 AS BIGINT) AS crop_y,
+        | m < 224 AS upscaled
+        |FROM r ORDER BY doc_id""".stripMargin,
     "m_feature_extract" ->
       """SELECT doc_id,
         | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,

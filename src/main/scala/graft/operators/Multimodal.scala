@@ -48,6 +48,32 @@ object Multimodal {
       .orderBy($"doc_id", $"seg_id")
   }
 
+  // M5 — resize planning: the aspect-preserving scale-to-shorter-side +
+  // center-crop plan every vision preprocessing pipeline computes before
+  // decode (resize target here: 224×224 model input). Pure INTEGER
+  // arithmetic over the typed (width, height) metadata — half-up rounding
+  // via (x·t + m/2) div m so both engines agree exactly; no codec, full
+  // oracle. The actual pixel resample belongs inside the decode stub's
+  // partition loop; THIS plan is what the scheduler/sharder needs (output
+  // dims, crop boxes, scale direction) and it never touches the payload.
+  def resizePlan(s: SparkSession, dir: String, target: Int = 224): DataFrame = {
+    import s.implicits._
+    binaryMeta(s, dir)
+      .filter($"kind" === "image")
+      .withColumn("m", least($"width", $"height"))
+      // integer half-up rounding: (x·t + m div 2) div m — a pure-integer
+      // definition both engines evaluate identically (Spark's `/` on
+      // integers is a DOUBLE divide; `div` keeps it exact)
+      .withColumn("rw", expr(s"(width * $target + m div 2) div m").cast("long"))
+      .withColumn("rh", expr(s"(height * $target + m div 2) div m").cast("long"))
+      .withColumn("crop_x", expr(s"(rw - $target) div 2").cast("long"))
+      .withColumn("crop_y", expr(s"(rh - $target) div 2").cast("long"))
+      .withColumn("upscaled", $"m" < target)
+      .select($"doc_id", $"width", $"height", $"rw", $"rh",
+        $"crop_x", $"crop_y", $"upscaled")
+      .orderBy($"doc_id")
+  }
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame_md5: String)
 

@@ -364,6 +364,19 @@ class OperatorSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("resize plan: shorter side lands exactly on target, crop box fits") {
+    val rows = Multimodal.resizePlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (rw, rh) = (r.getAs[Long]("rw"), r.getAs[Long]("rh"))
+      assert(math.min(rw, rh) == 224, s"doc ${r.getLong(0)}: shorter side ${math.min(rw, rh)}")
+      assert((w <= h) == (rw <= rh), s"doc ${r.getLong(0)}: aspect order flipped")
+      assert(r.getAs[Long]("crop_x") + 224 <= rw && r.getAs[Long]("crop_y") + 224 <= rh,
+        s"doc ${r.getLong(0)}: crop escapes the resized frame")
+    }
+  }
+
   test("frame sampling: <=4 frames per doc, offsets stride 100") {
     val rows = Multimodal.frameSample(spark, sfDir).collect()
     assert(rows.nonEmpty)
