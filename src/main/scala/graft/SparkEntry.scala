@@ -76,6 +76,7 @@ object SparkEntry {
     "v_chunk_text" -> ((s, d) => VectorOps.chunkText(s, d)),
     "v_chunk_recursive" -> ((s, d) => VectorOps.chunkRecursive(s, d)),
     "v_dedup_chunks" -> ((s, d) => VectorOps.dedupChunks(s, d)),
+    "v_label_centroids" -> ((s, d) => VectorOps.labelCentroids(s, d)),
     "v_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(s, d)),
     "v_maxsim" -> ((s, d) => VectorOps.maxSim(s, d)),
     "v_mmr_rerank" -> ((s, d) => VectorOps.mmrRerank(s, d)),
@@ -586,6 +587,18 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shingles_hit
         |FROM tsh t JOIN bsh b ON t.s = b.s
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Label centroids: components round to 6dp, sum through DECIMAL,
+    // mean = one un-rounded IEEE division (see t_unigram_logprob note).
+    "v_label_centroids" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |xr AS (SELECT label, unnest(list_transform(range(1, len(v)+1),
+        |         i -> {'dim': i - 1, 'xd': ROUND(v[i], 6)})) u FROM e),
+        |x AS (SELECT label, CAST(u.dim AS BIGINT) dim,
+        |        CAST(u.xd AS DECIMAL(18,6)) xd FROM xr)
+        |SELECT label, dim,
+        |  CAST(SUM(xd) AS DOUBLE)/COUNT(*) AS mean,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     // Semantic decontamination: train×eval cosine through the same
     // list_transform dot-product shape as d_embedding_neardup.
     "d_decontaminate_semantic" ->

@@ -423,6 +423,30 @@ object VectorOps {
       .limit(k)
   }
 
+  // V11 — per-label embedding centroids (embedding-space corpus
+  // profiling: the per-collection statistics that drive mixture design
+  // and drift monitoring; Chroma collections ≈ labels). Long-form output
+  // (label, dim, mean) — assembling arrays back would only un-flatten
+  // what downstream joins want flat. Shape: per-dimension posexplode then
+  // ONE groupBy (label, dim) with map-side combine — the shuffle carries
+  // labels × dims rows, never the corpus. Float parity: components round
+  // to 6dp and sum as DECIMAL (order-independent at any partitioning);
+  // the mean is the decimal sum through a single un-rounded IEEE
+  // division (bit-identical across engines; a final round can land on a
+  // .5 tie the engines break differently).
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode(vecToDouble($"embedding")).as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(
+        (sum(round($"x", 6).cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("mean"),
+        count(lit(1)).as("n"))
+      .select($"label", $"dim".cast("long").as("dim"), $"mean", $"n")
+      .orderBy($"label", $"dim")
+  }
+
   // V6 — retrieval dedup by normalized content (db_service.py:371
   // get_formatted_chunks: seen_contents keyed on content.strip().lower()).
   def dedupChunks(s: SparkSession, dir: String): DataFrame = {

@@ -237,6 +237,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("label centroids: one row per (label, dim), means inside component bounds") {
+    import spark.implicits._
+    val rows = VectorOps.labelCentroids(spark, sfDir).collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == 64 * nVecs) // every component counted once
+    val bounds = Tables.embeddings(spark, sfDir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(min($"x").as("lo"), max($"x").as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getFloat(2), r.getFloat(3))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds((r.getInt(0), r.getLong(1).toInt))
+      val m = r.getAs[Double]("mean")
+      assert(m >= lo - 1e-6 && m <= hi + 1e-6,
+        s"label ${r.getInt(0)} dim ${r.getLong(1)}: mean $m outside [$lo, $hi]")
+    }
+  }
+
   test("cosine topk: sims within [-1,1], descending, k rows") {
     val rows = VectorOps.cosineTopK(spark, sfDir).collect()
     assert(rows.length == 5)
