@@ -19,6 +19,7 @@ object SparkEntry {
     "q_category_search" -> ((s, d) => Relational.categorySearch(s, d)),
     "q_broad_search" -> ((s, d) => Relational.broadSearch(s, d)),
     "q_catalog_page" -> ((s, d) => Relational.catalogPage(s, d)),
+    "q_order_form" -> ((s, d) => Relational.orderFormProducts(s, d)),
     "q_check_stock" -> ((s, d) => Relational.checkStock(s, d)),
     "q_user_orders" -> ((s, d) => Relational.userOrders(s, d)),
     "q_order_status_counts" -> ((s, d) => Relational.orderStatusCounts(s, d)),
@@ -220,6 +221,10 @@ object SparkEntry {
     "q_catalog_page" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_partkey > 100 ORDER BY p_partkey LIMIT 10""".stripMargin,
+    "q_order_form" ->
+      """SELECT p_partkey AS sku, p_name AS name, p_retailprice AS price,
+        | p_type AS category
+        |FROM part ORDER BY category, name, sku""".stripMargin,
     "q_check_stock" ->
       """WITH m AS (
         | SELECT p_partkey, p_name, p_size,

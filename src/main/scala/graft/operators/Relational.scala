@@ -134,6 +134,21 @@ object Relational {
       .limit(pageSize)
   }
 
+  // R4c — order-form product dropdown (neo4j_products.py:37: MATCH
+  // (p:Product)-[:IN_CATEGORY]->(c:Category) RETURN sku, name, price,
+  // category ORDER BY c.name, p.name — the full catalog with its
+  // category, category-then-name ordered). A full ordered catalog dump:
+  // the catalog is a dimension, and the two-column sort is a distributed
+  // range sort (Spark samples split points), so the listing scales with
+  // the catalog without any single-partition stage.
+  def orderFormProducts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey".as("sku"), $"p_name".as("name"),
+        $"p_retailprice".as("price"), $"p_type".as("category"))
+      .orderBy($"category", $"name", $"sku")
+  }
+
   // R5 — stock lookup with cascading fuzzy fallback (tools.py:37-92:
   // exact phrase → first-2-words → first-word). Stage = strongest match
   // tier present anywhere in the catalog; returns the first match there.

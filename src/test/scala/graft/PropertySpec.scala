@@ -41,6 +41,34 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  private val graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 20)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 12L)
+      b <- Gen.choose(1L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield es.distinct
+
+  test("node similarity equals an in-memory reference on random graphs") {
+    val s = spark
+    import s.implicits._
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    samples(graphGen, 5).filter(_.nonEmpty).foreach { es =>
+      val edges = es.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "weight")
+      val got = operators.GraphOps.nodeSimilarityOf(edges, k = 1000).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val nbrs = (es ++ es.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = nbrs.keys.toSeq.sorted
+      val want = (for {
+        a <- nodes; b <- nodes if a < b
+        common = nbrs(a).intersect(nbrs(b)).size if common > 0
+      } yield (a, b) -> (common.toLong,
+        r6(common.toDouble / (nbrs(a).size + nbrs(b).size - common)))).toMap
+      assert(got == want, s"edges=$es\ngot=$got\nwant=$want")
+    }
+  }
+
   private val textGen: Gen[String] = for {
     n <- Gen.choose(1, 50)
     ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2"))
