@@ -56,6 +56,7 @@ object SparkEntry {
     "t_quality_tiers" -> ((s, d) => TextOps.qualityTiers(s, d)),
     "t_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "t_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
+    "t_bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
     "t_more_like_this" -> ((s, d) => TextOps.moreLikeThis(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -448,6 +449,24 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(SUM(term) AS DOUBLE)/CAST(SUM(tf) AS BIGINT) AS mean_logprob,
         |  CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Bigram logprob: same float discipline as the unigram oracle —
+    // 6dp terms, DECIMAL sum, un-rounded final division.
+    "t_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1,len(w)),
+        |         i -> {'w1': w[i], 's': w[i]||' '||w[i+1]})) u
+        |       FROM d WHERE len(w) >= 2),
+        |tf AS (SELECT doc_id, u.w1 w1, u.s s, COUNT(*) tf FROM bg GROUP BY 1,2,3),
+        |cf AS (SELECT s, SUM(tf) cf FROM tf GROUP BY s),
+        |c1 AS (SELECT w1, SUM(tf) c1 FROM tf GROUP BY w1),
+        |t AS (SELECT tf.doc_id, tf.tf,
+        |        CAST(ROUND(tf.tf * ROUND(log10(CAST(cf.cf AS DOUBLE)/CAST(c1.c1 AS DOUBLE)), 6), 6)
+        |          AS DECIMAL(18,6)) term
+        |      FROM tf JOIN cf ON tf.s = cf.s JOIN c1 ON tf.w1 = c1.w1)
+        |SELECT doc_id,
+        |  CAST(SUM(term) AS DOUBLE)/CAST(SUM(tf) AS BIGINT) AS mean_logprob,
+        |  CAST(SUM(tf) AS BIGINT) AS n_bigrams
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // More-like-this: same df-capped bigram sets as the Jaccard family,
     // fixed query doc 42, |∩| over the distinct capped shingles.

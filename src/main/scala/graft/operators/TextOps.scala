@@ -286,6 +286,39 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // T11b — bigram conditional log-probability (the second leg of the
+  // CCNet-style LM quality proxy: T11 scores word plausibility, this
+  // scores word-ORDER plausibility — shuffled or template-stitched text
+  // keeps its unigram score but collapses here).
+  // mean_logprob = Σ tf·log10(c(w1,w2)/c(w1·)) / Σ tf over the doc's
+  // bigram occurrences, where c(w1·) = Σ_w2 c(w1,w2). Shapes: one
+  // (doc, bigram) aggregation feeds the per-doc terms, the corpus bigram
+  // counts, AND the prefix marginals (map-side combine on each); both
+  // stat joins ride high-cardinality keys (bigram, then prefix word).
+  // Same float discipline as T11: 6dp-rounded terms, DECIMAL sum,
+  // un-rounded single IEEE division.
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, dir)
+      .select($"doc_id", wordsCol.as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) AS w1, concat_ws(' ', element_at(w, i), element_at(w, i + 1)) AS s))")).as("e"))
+      .select($"doc_id", $"e.w1", $"e.s")
+    val tf = bg.groupBy($"doc_id", $"w1", $"s").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy($"s").agg(sum($"tf").as("cf"))
+    val c1 = tf.groupBy($"w1").agg(sum($"tf").as("c1"))
+    tf.join(cf, "s").join(c1, "w1")
+      .withColumn("lp", round(log10($"cf".cast("double") / $"c1".cast("double")), 6))
+      .withColumn("term", round($"tf" * $"lp", 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(
+        (sum($"term").cast("double") / sum($"tf")).as("mean_logprob"),
+        sum($"tf").as("n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
   // T12 — "more like this": top-k documents most similar to a query doc
   // by Jaccard over the SAME df-capped bigram shingle sets the near-dup
   // family uses (the retrieval shape next to BM25: BM25 answers free-text

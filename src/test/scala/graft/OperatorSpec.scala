@@ -189,6 +189,30 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.forall(_._2 < 0.0), "a unigram logprob can never be non-negative")
   }
 
+  test("bigram logprob equals a brute-force corpus model") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val docBigrams = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").toSeq.sliding(2).filter(_.size == 2)
+        .map(p => (p.head, p.mkString(" "))).toSeq
+    }
+    val cf = docBigrams.flatMap(_._2.map(_._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = docBigrams.flatMap(_._2.map(_._1)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = docBigrams.filter(_._2.nonEmpty).map { case (id, bgs) =>
+      val terms = bgs.groupBy(identity).map { case ((w1, s), occ) =>
+        java.math.BigDecimal.valueOf(
+          r6(occ.size * r6(math.log10(cf(s).toDouble / c1(w1)))))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }
+      (id, terms.reduce(_.add(_)).doubleValue / bgs.size, bgs.size.toLong)
+    }.toSet
+    val got = TextOps.bigramLogprob(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("more-like-this equals brute-force Jaccard ranking against the query doc") {
     import spark.implicits._
     val texts = Tables.documents(spark, sfDir)
