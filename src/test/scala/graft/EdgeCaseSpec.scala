@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
-import graft.operators.{Dedup, TextOps, VectorOps}
+import graft.operators.{Dedup, GraphOps, Multimodal, TextOps, VectorOps}
 
 /** Degenerate-input behavior: a library operator on an empty or
   * single-row corpus must return an empty/trivial relation, never throw
@@ -67,6 +67,44 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Dedup.exactDedup(spark, oneRowDir).count() == 1)
     // top-k against the only vector: nothing else to rank
     assert(VectorOps.cosineTopK(spark, oneRowDir).count() == 0)
+    Caches.clearAll()
+  }
+
+  test("r6b operators behave on empty and single-row corpora") {
+    assert(TextOps.tfidfKeywords(spark, emptyDir).count() == 0)
+    assert(TextOps.unigramLogprob(spark, emptyDir).count() == 0)
+    assert(TextOps.bigramLogprob(spark, emptyDir).count() == 0)
+    assert(TextOps.moreLikeThis(spark, emptyDir).count() == 0)
+    assert(TextOps.qualityTiers(spark, emptyDir).count() == 0)
+    assert(Dedup.decontaminateSemantic(spark, emptyDir).count() == 0)
+    assert(VectorOps.labelCentroids(spark, emptyDir).count() == 0)
+    assert(Multimodal.resizePlan(spark, emptyDir).count() == 0)
+    Caches.clearAll()
+    // one doc: tfidf still emits its top-3, logprob scores deterministically
+    // (every word has cf == total → unigram lp == log10(1/1) per distinct
+    // word only if the doc repeats nothing — just pin row counts + tiers)
+    assert(TextOps.tfidfKeywords(spark, oneRowDir).count() == 3)
+    assert(TextOps.unigramLogprob(spark, oneRowDir).count() == 1)
+    assert(TextOps.bigramLogprob(spark, oneRowDir).count() == 1)
+    // query doc 42 does not exist → nothing to match
+    assert(TextOps.moreLikeThis(spark, oneRowDir).count() == 0)
+    val tiers = TextOps.qualityTiers(spark, oneRowDir).collect()
+    assert(tiers.length == 1 && tiers(0).getAs[Long]("tier") == 1L) // its own quartile
+    // the lone vector IS the eval slice (vec_id 0) → empty train side
+    assert(Dedup.decontaminateSemantic(spark, oneRowDir).count() == 0)
+    assert(VectorOps.labelCentroids(spark, oneRowDir).count() == 8) // 1 label × 8 dims
+    Caches.clearAll()
+  }
+
+  test("graph operators behave on an edgeless and single-edge graph") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
+    assert(GraphOps.nodeSimilarityOf(none, k = 10).count() == 0)
+    assert(GraphOps.nodeSimilarityLshOf(none, k = 10).count() == 0)
+    val one = Seq((1L, 2L, 1L)).toDF("src", "dst", "weight")
+    // two nodes, one edge: no pair shares a neighbor
+    assert(GraphOps.nodeSimilarityOf(one, k = 10).count() == 0)
+    assert(GraphOps.nodeSimilarityLshOf(one, k = 10).count() == 0)
     Caches.clearAll()
   }
 
