@@ -74,7 +74,11 @@ object Bench {
 
     runOnce("q1_pricing_summary") // warm-up: JIT, codegen, FS metadata
     val results = headline.map(n => n -> run(n))
-    val extraResults = extras.map(n => n -> run(n))
+    // GRAFT_BENCH_EXTRAS=0 → headline only (large-SF scaling probes where
+    // the extras' exact-similarity legs would dominate the wall-clock)
+    val extraResults =
+      if (sys.env.get("GRAFT_BENCH_EXTRAS").contains("0")) Seq.empty
+      else extras.map(n => n -> run(n))
     val qs = (results ++ extraResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // headline only

@@ -69,6 +69,7 @@ object SparkEntry {
     "d_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "d_decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "d_cross_dedup" -> ((s, d) => Dedup.crossDedup(s, d)),
     // Vector (SURVEY §2 V1–V6)
     "v_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "v_semantic_cache" -> ((s, d) => VectorOps.semanticCache(s, d)),
@@ -623,6 +624,23 @@ object SparkEntry {
         |  CAST(SUM(xd) AS DOUBLE)/COUNT(*) AS mean,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // Cross-dedup: D4's capped-shingle Jaccard, asymmetric new×old split.
+    "d_cross_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
+        |       FROM d WHERE len(w) >= 2),
+        |rare AS (SELECT s FROM sh0 GROUP BY s
+        |         HAVING COUNT(*) <= 0.2 * (SELECT COUNT(*) FROM documents)),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id dn, b.doc_id do_, COUNT(*) ni
+        |       FROM sh a JOIN sh b ON a.s=b.s
+        |       WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7 GROUP BY 1,2)
+        |SELECT dn AS doc_new, do_ AS doc_old,
+        |  ROUND(CAST(ni AS DOUBLE)/(sa.n+sb.n-ni),6) AS jacc
+        |FROM pr JOIN sz sa ON dn=sa.doc_id JOIN sz sb ON do_=sb.doc_id
+        |WHERE CAST(ni AS DOUBLE)/(sa.n+sb.n-ni) >= 0.5
+        |ORDER BY doc_new, doc_old""".stripMargin,
     // Semantic decontamination: train×eval cosine through the same
     // list_transform dot-product shape as d_embedding_neardup.
     "d_decontaminate_semantic" ->

@@ -439,6 +439,34 @@ object Dedup {
     }
   }
 
+  // D9 — incremental cross-dedup: a NEW ingest batch (the deterministic
+  // doc_id%10=7 slice here; a daily crawl increment in production) near-
+  // dup-checked against the STANDING corpus only — new×old pairs, never
+  // corpus×corpus. This is the shape that keeps dedup affordable once the
+  // corpus exists: the increment is small relative to the corpus, the
+  // inverted-index join shuffles on the df-capped shingle key exactly as
+  // D4 does, and the pair volume is increment-driven. At 100 TB the
+  // corpus-side shingle index is a maintained bucketed table, so the
+  // daily cost scales with the increment, not the archive. (IngestDedup
+  // is the EXACT-duplicate streaming leg; this is the near-dup batch leg.)
+  def crossDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = cappedShingles(s, dir) // df cap computed over the FULL corpus
+    val sets = docSets(s, dir)
+    val cand = sh.as("nw").filter($"doc_id" % 10 === 7)
+      .join(sh.as("old").filter($"doc_id" % 10 =!= 7), $"nw.s" === $"old.s")
+      .select($"nw.doc_id".as("doc_new"), $"old.doc_id".as("doc_old"))
+      .distinct()
+    cand
+      .join(sets.select($"doc_id".as("doc_new"), $"ss".as("sa"), $"n".as("na")), "doc_new")
+      .join(sets.select($"doc_id".as("doc_old"), $"ss".as("sb"), $"n".as("nb")), "doc_old")
+      .withColumn("ni", size(array_intersect($"sa", $"sb")).cast("long"))
+      .withColumn("jacc_raw", $"ni".cast("double") / ($"na" + $"nb" - $"ni"))
+      .filter($"jacc_raw" >= 0.5)
+      .select($"doc_new", $"doc_old", round($"jacc_raw", 6).as("jacc"))
+      .orderBy($"doc_new", $"doc_old")
+  }
+
   // D7 — near-dup CLUSTER resolution: connected components over the
   // MinHash pair graph. Pairwise removal is not transitive (A~B and B~C
   // do not imply A~C), so principled dedup keeps one doc per CLUSTER:

@@ -235,6 +235,21 @@ class OperatorSpec extends SparkSpecBase {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("cross dedup equals the full Jaccard relation restricted to new×old") {
+    val full = Dedup.ngramJaccard(spark, sfDir).collect()
+    val want = full.flatMap { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      Seq((a, b), (b, a)).collect {
+        case (n, o) if n % 10 == 7 && o % 10 != 7 => (n, o, j)
+      }
+    }.toSet
+    val got = Dedup.crossDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.forall { case (n, o, _) => n % 10 == 7 && o % 10 != 7 })
+  }
+
   test("semantic decontamination agrees with the all-pairs cosine relation") {
     // independent derivation: take the exact all-pairs τ-relation and fold
     // it to per-train-vector (hits, max sim) over eval-side partners
