@@ -235,6 +235,31 @@ class OperatorSpec extends SparkSpecBase {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("unigram score ignores word order; bigram score punishes it") {
+    // planted corpus: doc 0 alternates "a b" (natural order), doc 1 is the
+    // same multiset re-ordered into runs ("a a … b b"); background docs
+    // make "a b" the dominant corpus bigram. Same words ⇒ identical
+    // unigram score; broken order ⇒ strictly worse bigram score.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    import spark.implicits._
+    val natural = Seq.fill(10)("a b").mkString(" ")
+    val scrambled = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).mkString(" ")
+    val docs = Seq(
+      (0L, natural, "en", "src0", natural.length.toLong),
+      (1L, scrambled, "en", "src0", scrambled.length.toLong),
+      (2L, natural, "en", "src1", natural.length.toLong),
+      (3L, natural, "en", "src1", natural.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val uni = TextOps.unigramLogprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(0L) == uni(1L), s"unigram must ignore order: ${uni(0L)} vs ${uni(1L)}")
+    val bi = TextOps.bigramLogprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(1L) < bi(0L), s"scrambled doc must score worse: ${bi(1L)} vs ${bi(0L)}")
+    Caches.clearAll()
+  }
+
   test("cross dedup equals the full Jaccard relation restricted to new×old") {
     val full = Dedup.ngramJaccard(spark, sfDir).collect()
     val want = full.flatMap { r =>
