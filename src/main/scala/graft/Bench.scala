@@ -30,8 +30,8 @@ object Bench {
     "q_fuzzy_search", "g_pagerank_weighted", "v_chunk_recursive",
     // r6b additions
     "g_node_similarity", "g_node_similarity_lsh", "d_decontaminate_semantic",
-    "t_tfidf_keywords", "t_unigram_logprob", "t_bigram_logprob",
-    "t_more_like_this", "t_quality_tiers")
+    "d_cross_dedup", "t_tfidf_keywords", "t_unigram_logprob",
+    "t_bigram_logprob", "t_more_like_this", "t_quality_tiers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
