@@ -449,22 +449,71 @@ object Dedup {
   // corpus-side shingle index is a maintained bucketed table, so the
   // daily cost scales with the increment, not the archive. (IngestDedup
   // is the EXACT-duplicate streaming leg; this is the near-dup batch leg.)
-  def crossDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = cappedShingles(s, dir) // df cap computed over the FULL corpus
-    val sets = docSets(s, dir)
-    val cand = sh.as("nw").filter($"doc_id" % 10 === 7)
-      .join(sh.as("old").filter($"doc_id" % 10 =!= 7), $"nw.s" === $"old.s")
-      .select($"nw.doc_id".as("doc_new"), $"old.doc_id".as("doc_old"))
-      .distinct()
-    cand
-      .join(sets.select($"doc_id".as("doc_new"), $"ss".as("sa"), $"n".as("na")), "doc_new")
-      .join(sets.select($"doc_id".as("doc_old"), $"ss".as("sb"), $"n".as("nb")), "doc_old")
-      .withColumn("ni", size(array_intersect($"sa", $"sb")).cast("long"))
-      .withColumn("jacc_raw", $"ni".cast("double") / ($"na" + $"nb" - $"ni"))
-      .filter($"jacc_raw" >= 0.5)
-      .select($"doc_new", $"doc_old", round($"jacc_raw", 6).as("jacc"))
-      .orderBy($"doc_new", $"doc_old")
+  def crossDedup(s: SparkSession, dir: String): DataFrame =
+    crossDedupOn(Tables.documents(s, dir), dir)
+
+  /** D9 core, collapse-first like the rest of the near-dup family (the
+    * sf1 probe made the flat form FILL THE DISK with spill: a clone group
+    * of size g contributes g_new × g_old rows to every shared-shingle
+    * bucket — the same g² amplification D4 had, on the asymmetric join).
+    * Collapsed path: candidates and re-rank run on representatives
+    * (weighted-df capped sets, bit-equal — the D4b argument), rep pairs
+    * keep only orientations some (new, old) expansion can use, and the
+    * expansion back is output-sized; same-group (new, old) clone pairs
+    * score exactly 1.0 when the rep's capped set is non-empty, exactly
+    * as the flat join would. */
+  private[graft] def crossDedupOn(docs: DataFrame, keyPrefix: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    def rerankAsym(sets: DataFrame, cand: DataFrame): DataFrame =
+      cand
+        .join(sets.select($"doc_id".as("doc_new"), $"ss".as("sa"), $"n".as("na")), "doc_new")
+        .join(sets.select($"doc_id".as("doc_old"), $"ss".as("sb"), $"n".as("nb")), "doc_old")
+        .withColumn("ni", size(array_intersect($"sa", $"sb")).cast("long"))
+        .withColumn("jacc_raw", $"ni".cast("double") / ($"na" + $"nb" - $"ni"))
+        .filter($"jacc_raw" >= 0.5)
+        .select($"doc_new", $"doc_old", round($"jacc_raw", 6).as("jacc"))
+    if (!hasExactClones(docs.select($"doc_id", $"text"), s"clonechk:$keyPrefix")) {
+      val sh = cappedShinglesFlatOf(docs, s"ngram-sh:$keyPrefix")
+      val cand = sh.as("nw").filter($"doc_id" % 10 === 7)
+        .join(sh.as("old").filter($"doc_id" % 10 =!= 7), $"nw.s" === $"old.s")
+        .select($"nw.doc_id".as("doc_new"), $"old.doc_id".as("doc_old"))
+        .distinct()
+      rerankAsym(docSetsOf(sh, s"ngram-docsets:$keyPrefix"), cand)
+        .orderBy($"doc_new", $"doc_old")
+    } else {
+      val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$keyPrefix")
+      val capped = cappedRepShinglesOf(docs, keyPrefix)
+      val repSets = docSetsOf(capped, s"ngram-repsets:$keyPrefix")
+      val members = groups.select($"doc_id", $"rep")
+      val newM = members.filter($"doc_id" % 10 === 7)
+      val oldM = members.filter($"doc_id" % 10 =!= 7)
+      // per-rep slice flags: a rep pair is worth re-ranking only in the
+      // orientations some (new, old) expansion will actually use
+      val flags = Caches.cached(s"cross-flags:$keyPrefix") {
+        members.groupBy($"rep").agg(
+          max(when($"doc_id" % 10 === 7, 1).otherwise(0)).as("has_new"),
+          max(when($"doc_id" % 10 =!= 7, 1).otherwise(0)).as("has_old"))
+      }
+      val cand = capped.as("a")
+        .join(capped.as("b"), $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
+        .select($"a.doc_id".as("doc_new"), $"b.doc_id".as("doc_old"))
+        .distinct()
+        .join(flags.filter($"has_new" === 1).select($"rep".as("doc_new")), "doc_new")
+        .join(flags.filter($"has_old" === 1).select($"rep".as("doc_old")), "doc_old")
+      val repPairs = rerankAsym(repSets, cand)
+        .select($"doc_new".as("ra"), $"doc_old".as("rb"), $"jacc")
+      val cross = repPairs
+        .join(newM.select($"doc_id".as("doc_new"), $"rep".as("ra")), "ra")
+        .join(oldM.select($"doc_id".as("doc_old"), $"rep".as("rb")), "rb")
+        .select($"doc_new", $"doc_old", $"jacc")
+      // same-group clone pairs: identical capped sets ⇒ jacc exactly 1.0;
+      // only reps with a non-empty capped set pair up in the flat form
+      val within = newM.select($"doc_id".as("doc_new"), $"rep")
+        .join(oldM.select($"doc_id".as("doc_old"), $"rep"), "rep")
+        .join(repSets.select($"doc_id".as("rep")), "rep")
+        .select($"doc_new", $"doc_old", lit(1.0).as("jacc"))
+      cross.unionAll(within).orderBy($"doc_new", $"doc_old")
+    }
   }
 
   // D7 — near-dup CLUSTER resolution: connected components over the

@@ -275,6 +275,41 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.forall { case (n, o, _) => n % 10 == 7 && o % 10 != 7 })
   }
 
+  test("collapse-first cross-dedup ≡ brute force on a clone-heavy corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    def doc() = Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = Vector.fill(10)(doc())
+    val nears = bases.map { t =>
+      val w = t.split(" "); w(15) = "zulu"; w.mkString(" ")
+    }
+    // ids straddle the %10==7 split on both sides of each clone group
+    val all0 = (bases ++ nears).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val clones = (0 until 5).flatMap(i =>
+      Seq((1007L + 10 * i, bases(i)), (2000L + 10 * i, bases(i)),
+        (3007L + 10 * i, bases(i))))
+    val rows = all0 ++ clones // Σg² = 95 > 2n = 70 → collapsed path
+    val got = Dedup.crossDedupOn(rows.toDF("doc_id", "text"), "clone-cross-fix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val n = rows.size.toDouble
+    val sets0 = rows.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").sliding(2).map(_.mkString(" ")).toSet }
+    val dfc = sets0.flatMap(_._2.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val capped = sets0.map { case (id, ss) =>
+      id -> ss.filter(sh => dfc(sh) <= n * 0.2) }.toMap
+    val ids = rows.map(_._1)
+    val want = (for {
+      a <- ids if a % 10 == 7; b <- ids if b % 10 != 7
+      sa = capped(a); sb = capped(b) if sa.nonEmpty && sb.nonEmpty
+      ni = sa.intersect(sb).size
+      jacc = r6(ni.toDouble / (sa.size + sb.size - ni)) if jacc >= 0.5
+    } yield (a, b, jacc)).toSet
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(got.exists(_._3 == 1.0), "clone cross pairs must surface at jacc 1.0")
+  }
+
   test("semantic decontamination agrees with the all-pairs cosine relation") {
     // independent derivation: take the exact all-pairs τ-relation and fold
     // it to per-train-vector (hits, max sim) over eval-side partners
