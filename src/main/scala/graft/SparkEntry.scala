@@ -123,6 +123,7 @@ object SparkEntry {
     "s_attribution" -> ((s, d) => streaming.EventOps.attributionQuery(s, d)),
     "s_attribution_outer" -> ((s, d) => streaming.EventOps.attributionOuterQuery(s, d)),
     "s_scd2_dim" -> ((s, d) => streaming.EventOps.scd2Query(s, d)),
+    "s_value_anomaly" -> ((s, d) => streaming.EventOps.valueAnomalyQuery(s, d)),
     // Transactional write-path folds (SURVEY §2 / VERDICT r2 missing #1)
     "s_place_order" -> ((s, d) => streaming.OrderFold.placeOrderQuery(s, d)),
     // Temporal joins (SURVEY §2 J1–J2)
@@ -1144,6 +1145,26 @@ object SparkEntry {
         |FROM (SELECT event_type, TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) k
         |      FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Anomaly flags: values pass through DECIMAL so windowed sums are
+    // exact at any frame-evaluation order; mean/σ derive from the exact
+    // sums through the identical IEEE expression shape; the flag compares
+    // UNROUNDED quantities on both engines.
+    "s_value_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, value,
+        |            CAST(value AS DECIMAL(18,6)) vd FROM events),
+        |w AS (SELECT event_id, user_id, value,
+        |        COUNT(vd) OVER fr AS n,
+        |        SUM(vd) OVER fr AS sum_d,
+        |        SUM(vd*vd) OVER fr AS sumsq_d
+        |      FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value,
+        |  ROUND(CAST(sum_d AS DOUBLE)/n, 6) AS mean,
+        |  ROUND(sqrt(GREATEST(0.0,
+        |    (CAST(sumsq_d AS DOUBLE) - CAST(sum_d AS DOUBLE)*CAST(sum_d AS DOUBLE)/n)/(n-1))), 6) AS sigma,
+        |  abs(value - CAST(sum_d AS DOUBLE)/n) > 3.0*sqrt(GREATEST(0.0,
+        |    (CAST(sumsq_d AS DOUBLE) - CAST(sum_d AS DOUBLE)*CAST(sum_d AS DOUBLE)/n)/(n-1))) AS is_anomaly
+        |FROM w WHERE n >= 3 ORDER BY event_id""".stripMargin,
     "s_enrich" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         | c_name, c_mktsegment

@@ -51,6 +51,43 @@ object EventOps {
     slidingAgg(Tables.events(s, dir)).orderBy($"win_start", $"event_type")
   }
 
+  // S15 — sliding-window anomaly flags: each event's value scored against
+  // the mean/σ of its user's previous W events (the ingest-monitoring op:
+  // bot bursts and price glitches surface as |z| > 3 at arrival). Keyed
+  // by user_id (high cardinality → scales out); the trailing frame makes
+  // the flag CAUSAL — computable at arrival, so the streaming twin is a
+  // flatMapGroupsWithState fold holding the last W values per user.
+  // Float parity for the oracle: values pass through DECIMAL(18,6) so
+  // the windowed sums are exact at any frame evaluation order (DuckDB
+  // evaluates window aggregates via segment trees — double sums would
+  // diverge), and mean/σ² derive from the exact sums through the same
+  // IEEE expression shape on both engines.
+  def valueAnomaly(events: DataFrame, w: Int = 10, z: Double = 3.0): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val frame = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-w, -1)
+    events
+      .withColumn("vd", $"value".cast("decimal(18,6)"))
+      .withColumn("n", count($"vd").over(frame))
+      .withColumn("sum_d", sum($"vd").over(frame))
+      .withColumn("sumsq_d", sum($"vd" * $"vd").over(frame))
+      .filter($"n" >= 3) // no meaningful σ below 3 observations
+      .withColumn("mean", $"sum_d".cast("double") / $"n")
+      .withColumn("varr", greatest(lit(0.0),
+        ($"sumsq_d".cast("double") - $"sum_d".cast("double") * $"sum_d".cast("double") / $"n")
+          / ($"n" - 1)))
+      .withColumn("is_anomaly", abs($"value" - $"mean") > lit(z) * sqrt($"varr"))
+      .select($"event_id", $"user_id", $"value",
+        round($"mean", 6).as("mean"), round(sqrt($"varr"), 6).as("sigma"),
+        $"is_anomaly")
+  }
+
+  def valueAnomalyQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    valueAnomaly(Tables.events(s, dir)).orderBy($"event_id")
+  }
+
   // S2 — gap-based sessionization (30-min inactivity closes a session).
   // Batch form uses lag/running-sum windows partitioned by user_id (high
   // cardinality → scales out); the streaming twin is

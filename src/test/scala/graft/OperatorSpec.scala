@@ -465,6 +465,34 @@ class OperatorSpec extends SparkSpecBase {
     assert(covered == nodes)
   }
 
+  test("value anomaly flags equal a causal per-user replay") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    def d6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP) // DECIMAL(18,6) cast
+    val want = evs.groupBy(_._2).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._1))
+      ordered.zipWithIndex.collect { case ((id, u, _, v), i) if i >= 3 =>
+        val win = ordered.slice(math.max(0, i - 10), i).map(r => d6(r._4))
+        val n = win.length
+        val sum = win.reduce(_.add(_)).doubleValue
+        val sumsq = win.map(x => x.multiply(x)).reduce(_.add(_)).doubleValue
+        val mean = sum / n
+        val varr = math.max(0.0, (sumsq - sum * sum / n) / (n - 1))
+        (id, u, v, math.abs(v - mean) > 3.0 * math.sqrt(varr))
+      }
+    }.toSet
+    val got = streaming.EventOps.valueAnomalyQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(5))).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // the corpus actually exercises both branches
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
   test("funnel stages partition the user base") {
     val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
     val staged = streaming.EventOps.funnelQuery(spark, sfDir)
