@@ -31,7 +31,8 @@ object Bench {
     // r6b additions
     "g_node_similarity", "g_node_similarity_lsh", "d_decontaminate_semantic",
     "d_cross_dedup", "t_tfidf_keywords", "t_unigram_logprob",
-    "t_bigram_logprob", "t_more_like_this", "t_quality_tiers")
+    "t_bigram_logprob", "t_more_like_this", "t_quality_tiers",
+    "s_value_anomaly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
