@@ -135,6 +135,60 @@ class GraphSpec extends SparkSpecBase {
     lsh.foreach { case (p, v) => assert(exact.get(p).contains(v), s"phantom pair $p") }
   }
 
+  test("node similarity: super-connector cap drops hub-only pairs, stays exact elsewhere") {
+    // hub 99 connects to 1..5 (deg 5); 1 and 2 also share real neighbor 10.
+    // With maxDeg = 4 the hub is a stop-neighbor: it leaves every neighbor
+    // SET (degrees and common counts both recompute on the filtered arcs),
+    // so pairs whose only common neighbor was the hub (all of 3,4,5's)
+    // vanish, and the surviving pairs are exact Jaccard on hub-filtered
+    // sets: (1,2) share {10} of capped-deg-1 sets → 1.0; (10,99) share
+    // {1,2} with capped degs 2 and 5 → 2/(2+5−2) = 0.4.
+    val g = edges((99L, 1L), (99L, 2L), (99L, 3L), (99L, 4L), (99L, 5L),
+      (1L, 10L), (2L, 10L))
+    val capped = GraphOps.nodeSimilarityOf(g, k = 100, maxDeg = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(capped == Map(
+      (1L, 2L) -> (1L, 1.0),
+      (10L, 99L) -> (2L, 0.4)
+    ), s"got $capped")
+    // uncapped control: the hub manufactures all C(5,2) pairs among 1..5
+    val full = GraphOps.nodeSimilarityOf(g, k = 100).collect()
+    assert(full.length == 11, s"uncapped pair count ${full.length}") // 10 hub pairs (incl. (1,2)) + (10,99)
+  }
+
+  test("node similarity: pair-work budget reroutes to the LSH twin") {
+    // same planted fixture the LSH recall test uses; Σ deg² far exceeds a
+    // budget of 1, so the exact entry point must return the LSH plan's
+    // result bit-for-bit (schema, values, ordering)
+    val shared = (100L to 119L)
+    val pairs =
+      shared.map(n => (1L, n)) ++ shared.map(n => (2L, n)) ++
+        Seq((1L, 200L), (2L, 201L), (300L, 301L), (301L, 302L), (302L, 303L))
+    val g = edges(pairs: _*)
+    val rerouted = GraphOps.nodeSimilarityOf(g, k = 500, maxPairWork = 1L).collect().toSeq
+    val lsh = GraphOps.nodeSimilarityLshOf(g, k = 500).collect().toSeq
+    assert(rerouted == lsh, s"reroute diverged from LSH twin:\n$rerouted\nvs\n$lsh")
+    assert(rerouted.nonEmpty)
+  }
+
+  test("node similarity: duplicate and mirrored arc rows do not inflate the exact path") {
+    // triangle + pendant fixture with every edge duplicated and one edge
+    // also mirrored — degrees/common counts must match the clean frame
+    // (ADVICE r6: the exact path counted raw arc rows where the LSH twin
+    // collect_set-dedup'd, so the two disagreed on non-canonical input)
+    val g = edges((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L),
+      (2L, 3L), (2L, 3L), (3L, 4L), (3L, 4L), (4L, 4L)) // + a self-loop
+    val got = GraphOps.nodeSimilarityOf(g, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (1L, 4L) -> (1L, 0.5),
+      (2L, 4L) -> (1L, 0.5),
+      (1L, 2L) -> (1L, 0.333333),
+      (1L, 3L) -> (1L, 0.25),
+      (2L, 3L) -> (1L, 0.25)
+    ), s"got $got")
+  }
+
   test("connected components: planted two-island graph has exact sizes") {
     // island A = path 1-2-3 (3 nodes), island B = edge 10-11 (2 nodes)
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L))
