@@ -19,6 +19,9 @@ object SparkEntry {
     "q_category_search" -> ((s, d) => Relational.categorySearch(s, d)),
     "q_broad_search" -> ((s, d) => Relational.broadSearch(s, d)),
     "q_catalog_page" -> ((s, d) => Relational.catalogPage(s, d)),
+    "q_product_bm25" -> ((s, d) => Relational.productBm25(s, d)),
+    "q_product_by_sku" -> ((s, d) => Relational.productBySku(s, d)),
+    "q_customer_list" -> ((s, d) => Relational.customerList(s, d)),
     "q_order_form" -> ((s, d) => Relational.orderFormProducts(s, d)),
     "q_check_stock" -> ((s, d) => Relational.checkStock(s, d)),
     "q_user_orders" -> ((s, d) => Relational.userOrders(s, d)),
@@ -224,6 +227,33 @@ object SparkEntry {
     "q_catalog_page" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE p_partkey > 100 ORDER BY p_partkey LIMIT 10""".stripMargin,
+    // Product BM25: the same Okapi formulation (and float-parity rules)
+    // as t_bm25, over p_name tokens with query terms red/bolt.
+    "q_product_bm25" ->
+      """WITH d AS (SELECT p_partkey, p_name, string_split(lower(p_name),' ') w FROM part),
+        |dd AS (SELECT p_partkey, p_name, CAST(len(w) AS DOUBLE) dl, w FROM d),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+        |        CAST(SUM(len(w)) AS DOUBLE)/COUNT(*) avgdl FROM d),
+        |tf AS (SELECT p_partkey, p_name, dl, wrd, CAST(COUNT(*) AS DOUBLE) tf
+        |       FROM (SELECT p_partkey, p_name, dl, unnest(w) wrd FROM dd) x
+        |       WHERE wrd IN ('red','bolt') GROUP BY p_partkey, p_name, dl, wrd),
+        |dfx AS (SELECT wrd, CAST(COUNT(*) AS DOUBLE) df FROM tf GROUP BY wrd),
+        |ts AS (SELECT t.p_partkey, t.p_name,
+        |        ROUND(ln((st.n - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0)
+        |          * (t.tf * 2.2)
+        |          / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / st.avgdl)), 6) term_score
+        |       FROM tf t JOIN dfx ON t.wrd = dfx.wrd CROSS JOIN st)
+        |SELECT p_partkey, p_name,
+        |  ROUND(CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25,
+        |  COUNT(*) AS n_terms
+        |FROM ts GROUP BY p_partkey, p_name
+        |ORDER BY bm25 DESC, p_partkey LIMIT 10""".stripMargin,
+    "q_product_by_sku" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part WHERE p_partkey = 42""".stripMargin,
+    "q_customer_list" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey DESC""".stripMargin,
     "q_order_form" ->
       """SELECT p_partkey AS sku, p_name AS name, p_retailprice AS price,
         | p_type AS category

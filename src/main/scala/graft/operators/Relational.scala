@@ -99,6 +99,50 @@ object Relational {
       .limit(10)
   }
 
+  // R2c — BM25-scored product fulltext (neo4j_service.py:71-79: the
+  // fulltext index's queryNodes returns Lucene relevance scores — a
+  // BM25-family model, not R2's contains-count heuristic). T9's Okapi
+  // scorer (TextOps.bm25) composed over p_name tokens: idf weights rare
+  // terms higher, so a product matching a rare term outranks one matching
+  // a ubiquitous term where R2 ties them (spec-pinned divergence). Same
+  // shapes and float-parity discipline as T9: doc-keyed tf aggregation,
+  // tiny df/corpus-stat broadcasts, TakeOrdered ranking, 6dp-rounded
+  // term scores summed as DECIMAL.
+  def productBm25(s: SparkSession, dir: String,
+      query: String = "red bolt", topK: Int = 10): DataFrame =
+    productBm25Of(Tables.part(s, dir), query, topK)
+
+  /** R2c core over an arbitrary (p_partkey, p_name) frame (fixture-testable). */
+  private[graft] def productBm25Of(parts: DataFrame, query: String,
+      topK: Int): DataFrame = {
+    val s = parts.sparkSession
+    import s.implicits._
+    val terms = query.toLowerCase.split(" ").toSeq.distinct
+    val docs = parts
+      .select($"p_partkey", $"p_name", split(lower($"p_name"), " ").as("w"))
+      .withColumn("dl", size($"w").cast("double"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(size($"w")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select($"p_partkey", $"p_name", $"dl", explode($"w").as("wrd"))
+      .filter($"wrd".isInCollection(terms))
+      .groupBy($"p_partkey", $"p_name", $"dl", $"wrd")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfx = tf.groupBy($"wrd").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfx), "wrd")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", round(
+        log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+          * ($"tf" * 2.2)
+          / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")), 6))
+      .groupBy($"p_partkey", $"p_name")
+      .agg(
+        round(sum($"term_score".cast("decimal(18,6)")).cast("double"), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy($"bm25".desc, $"p_partkey")
+      .limit(topK)
+  }
+
   // R3 — category containment search (neo4j_service.py:77: Category name
   // CONTAINS keyword → products). Category dimension here is p_type.
   def categorySearch(s: SparkSession, dir: String, keyword: String = "small"): DataFrame = {
@@ -132,6 +176,31 @@ object Relational {
       .select($"p_partkey", $"p_name", $"p_retailprice")
       .orderBy($"p_partkey")
       .limit(pageSize)
+  }
+
+  // R4d — point product read by SKU (routers/admin.py:218
+  // get_product_by_sku; db_service.py:84: filter(sku ==).first()). A
+  // single-key dimension lookup: the equality predicate pushes to the
+  // parquet scan (PushedFilters), so with key-sorted/partitioned files the
+  // read min-max-prunes to one row group — a point read, not a table scan.
+  def productBySku(s: SparkSession, dir: String, sku: Long = 42L): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_partkey" === sku)
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size",
+        $"p_retailprice")
+  }
+
+  // R4e — admin customer listing (routers/admin.py:291 get_all_customers;
+  // db_service.py:181: ORDER BY created_at DESC). The customer dim carries
+  // no timestamp; newest-first = highest key first (keys are assigned in
+  // insert order). Distributed range sort over the dimension — Spark
+  // samples split points, so no single-partition stage (the R4c argument).
+  def customerList(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"c_acctbal")
+      .orderBy($"c_custkey".desc)
   }
 
   // R4c — order-form product dropdown (neo4j_products.py:37: MATCH

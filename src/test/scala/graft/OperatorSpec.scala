@@ -35,6 +35,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(keyed.toSeq == sorted.toSeq)
   }
 
+  test("product bm25: rare-term match outranks common-term match where R2's heuristic ties them") {
+    import spark.implicits._
+    // 'red' appears in 3 names, 'bolt' in 1. R2's contains-count scores
+    // every single-term match 1 and falls back to key order — product 1
+    // first. Lucene-family BM25 weights the rarer term higher (idf), so
+    // the bolt product must rank first despite its highest key.
+    val parts = Seq(
+      (1L, "red widget"), (2L, "red gear"), (3L, "red ring"), (4L, "blue bolt"))
+      .toDF("p_partkey", "p_name")
+    val bm = Relational.productBm25Of(parts, "red bolt", topK = 10).collect()
+    assert(bm.length == 4)
+    assert(bm.head.getAs[Long]("p_partkey") == 4L, s"bm25 head ${bm.head}")
+    assert(bm.map(_.getAs[Double]("bm25")).toSeq == bm.map(_.getAs[Double]("bm25")).sorted.reverse.toSeq)
+    // R2 heuristic on the same catalog: all four tie at score 1 → key order
+    val heur = Seq((1L, "red widget"), (2L, "red gear"), (3L, "red ring"), (4L, "blue bolt"))
+      .sortBy(_._1).head._1
+    assert(heur == 1L && bm.head.getAs[Long]("p_partkey") != heur)
+  }
+
   test("catalog keyset pagination: pages chain without overlap or gaps") {
     import spark.implicits._
     val page1 = Relational.catalogPage(spark, sfDir, afterKey = -1L)
