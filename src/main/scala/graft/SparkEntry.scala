@@ -68,6 +68,9 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d_ngram_jaccard_lsh" -> ((s, d) => Dedup.ngramJaccardLsh(s, d)),
     "d_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // hash-matched since r7: the sign-bit hyperplanes are md5-derived and
+    // deterministic — the oracle replays all 96 planes, the band buckets,
+    // and the exact cosine re-rank in SQL
     "d_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "d_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "d_decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
@@ -104,9 +107,11 @@ object SparkEntry {
     "g_pagerank_weighted" -> ((s, d) => GraphOps.pageRankWeighted(s, d)),
     "g_connected_components" -> ((s, d) => GraphOps.connectedComponents(s, d)),
     "g_node_similarity" -> ((s, d) => GraphOps.nodeSimilarity(s, d)),
-    // rows-only by design: banded-MinHash candidates are probabilistic;
-    // G9 is the oracle-checked exact definition, the planted-fixture spec
-    // pins recall on a true near-identical neighborhood
+    // hash-matched since r7: the banded MinHash is md5-derived and fully
+    // deterministic, so the oracle replays the 24 permutations + band
+    // join + exact re-rank in SQL (the D4b argument — a fixed fact of
+    // the data, not a coin flip); the planted-fixture spec still pins
+    // recall on a true near-identical neighborhood
     "g_node_similarity_lsh" -> ((s, d) => GraphOps.nodeSimilarityLsh(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
@@ -716,6 +721,31 @@ object SparkEntry {
         |   ROUND(list_sum(list_transform(range(1,len(a.v)+1), i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm), 6) sim
         | FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT va AS vec_a, vb AS vec_b, sim FROM p WHERE sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    // D5b replay: the md5-derived hyperplanes (VectorOps.hyperplanes),
+    // 16 bands × 6 sign bits, band-bucket candidates, exact cosine
+    // re-rank — bit-for-bit the distributed plan's arithmetic (the
+    // 15-hex-char md5 prefix parses via per-digit shifts; plane values
+    // and dot products use the same IEEE double ops in the same order).
+    "d_embedding_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),
+        |u AS (SELECT vec_id, list_transform(v, x -> x/nrm) uv FROM n),
+        |pl AS (SELECT CAST(p AS INT) p, list_transform(range(0,64), i ->
+        |        CAST(list_sum(list_transform(range(1,16), c ->
+        |          (strpos('0123456789abcdef', substring(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), CAST(c AS INT), 1))-1)::BIGINT << CAST(4*(15-c) AS INT)
+        |        )) % 2001 AS DOUBLE) / 1000.0 - 1.0) plane
+        |       FROM range(0,96) t(p)),
+        |sb AS (SELECT u.vec_id, pl.p // 6 k,
+        |        CASE WHEN list_sum(list_transform(range(1,65), i -> u.uv[CAST(i AS INT)]*pl.plane[CAST(i AS INT)])) >= 0
+        |             THEN (1 << CAST(pl.p % 6 AS INT)) ELSE 0 END sbit
+        |       FROM u CROSS JOIN pl),
+        |sig AS (SELECT vec_id, k, SUM(sbit) bv FROM sb GROUP BY vec_id, k),
+        |cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb FROM sig a
+        |         JOIN sig b ON a.k=b.k AND a.bv=b.bv AND a.vec_id<b.vec_id),
+        |p2 AS (SELECT c.va, c.vb,
+        |        ROUND(list_sum(list_transform(range(1,len(na.v)+1), i -> na.v[i]*nb.v[i]))/(na.nrm*nb.nrm),6) sim
+        |       FROM cand c JOIN n na ON na.vec_id=c.va JOIN n nb ON nb.vec_id=c.vb)
+        |SELECT va AS vec_a, vb AS vec_b, sim FROM p2 WHERE sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
     "v_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x->x*x))) nrm FROM e),
@@ -910,6 +940,31 @@ object SparkEntry {
         |SELECT cm.pa AS part_a, cm.pb AS part_b, cm.n_common,
         |  ROUND(CAST(cm.n_common AS DOUBLE)/(da.d + db.d - cm.n_common), 6) AS jacc
         |FROM cm JOIN deg da ON cm.pa = da.a JOIN deg db ON cm.pb = db.a
+        |ORDER BY jacc DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // G9b replay: Dedup.minhashBandSigs' 24 md5-derived permutations over
+    // each node's neighbor set (12 bands of 2), band-bucket candidates,
+    // exact Jaccard re-rank — deterministic, so the LSH output is a fixed
+    // fact of the data and replays exactly in SQL.
+    "g_node_similarity_lsh" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |nb AS (SELECT src a, dst nb FROM e UNION ALL SELECT dst, src FROM e),
+        |hv AS (SELECT a, (list_sum(list_transform(range(1,16), c ->
+        |        (strpos('0123456789abcdef', substring(md5(CAST(nb AS VARCHAR)), CAST(c AS INT), 1))-1)::BIGINT << CAST(4*(15-c) AS INT)
+        |       )) % 1000000007) hv FROM nb),
+        |mh AS (SELECT a, j, MIN(((2*j+1)*hv + 17*j+3) % 1000000007) m
+        |       FROM hv CROSS JOIN range(0,24) t(j) GROUP BY a, j),
+        |sigs AS (SELECT a, j//2 band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) sig
+        |         FROM mh GROUP BY a, j//2),
+        |cand AS (SELECT DISTINCT x.a pa, y.a pb FROM sigs x
+        |         JOIN sigs y ON x.band=y.band AND x.sig=y.sig AND x.a<y.a),
+        |deg AS (SELECT a, COUNT(*) d FROM nb GROUP BY a),
+        |nc AS (SELECT c.pa, c.pb, COUNT(*) n_common
+        |       FROM cand c JOIN nb n1 ON n1.a = c.pa JOIN nb n2 ON n2.a = c.pb AND n2.nb = n1.nb
+        |       GROUP BY c.pa, c.pb)
+        |SELECT nc.pa AS part_a, nc.pb AS part_b, nc.n_common,
+        |  ROUND(CAST(nc.n_common AS DOUBLE)/(da.d + db.d - nc.n_common), 6) AS jacc
+        |FROM nc JOIN deg da ON nc.pa=da.a JOIN deg db ON nc.pb=db.a
         |ORDER BY jacc DESC, part_a, part_b LIMIT 20""".stripMargin,
     "g_two_hop" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
