@@ -177,6 +177,10 @@ object TextOps {
       .select(explode(split(lower($"text"), " ")).as("wrd"))
       .groupBy($"wrd").agg(count(lit(1)).as("tf"))
     val total = counts.agg(sum($"tf").as("tot"))
+    // partition-less by design: the window input is the ≤ topK rows the
+    // TakeOrdered limit just produced, so the "No Partition Defined"
+    // WindowExec warning it triggers is expected and bounded — the
+    // single partition holds K rows, never the corpus
     val byFreq = Window.orderBy($"tf".desc, $"wrd")
     counts.orderBy($"tf".desc, $"wrd").limit(topK)
       .crossJoin(broadcast(total))

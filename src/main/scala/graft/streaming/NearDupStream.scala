@@ -45,7 +45,12 @@ object NearDupStream {
     * 16-permutation minhash (documents under 3 words carry no signature,
     * exactly as the distributed form's size(w) >= 3 filter). */
   private[graft] def bandSigsOf(d: Doc): Seq[BandRow] = {
-    val words = d.text.toLowerCase.split(" ")
+    // Locale.ROOT + limit -1: Spark's lower() is locale-independent and
+    // split(text,' ') keeps trailing empty strings — JVM-default-locale
+    // toLowerCase (e.g. Turkish dotless-i) or Java's trailing-empty
+    // stripping split would shift the word array and break the
+    // bit-identical stream ≡ batch signature contract (ADVICE r6)
+    val words = d.text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (words.length < 3) return Seq.empty
     val hvs = words.sliding(3).map(w => h64m(w.mkString(" "))).toSeq
     val mins = (0 until 16).map { j =>
@@ -82,12 +87,17 @@ object NearDupStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** Distributed band signatures for a (doc_id, text) frame — the frame
+    * `bandSigsOf` must replay bit-identically (tokenization-parity spec). */
+  private[graft] def batchBandSigs(docs: DataFrame): DataFrame =
+    Dedup.minhashBandSigs(
+      Dedup.shinglesOf(docs, 3, dedup = false), nPerm = 16, bandSize = 4)
+
   /** Batch twin: the distributed D2 band join on the same corpus —
     * candidate pairs with the bands they collide in. */
   def batchCandidates(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val sigs = Dedup.minhashBandSigs(
-      Dedup.shinglesOf(docs, 3, dedup = false), nPerm = 16, bandSize = 4)
+    val sigs = batchBandSigs(docs)
     sigs.as("a")
       .join(sigs.as("b"),
         $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")

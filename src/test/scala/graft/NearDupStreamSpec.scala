@@ -48,4 +48,25 @@ class NearDupStreamSpec extends SparkSpecBase {
     // unrelated docs never pair
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
+
+  test("scalar band signatures match the distributed ones on trailing-space text") {
+    val s = spark
+    import s.implicits._
+    // Spark's split(text, ' ') keeps trailing empty strings; a JVM split
+    // without limit -1 would drop them and shift every shingle (ADVICE
+    // r6). Docs with trailing/double spaces must produce the same band
+    // rows on both paths.
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta "),
+      (2L, "alpha bravo  charlie delta"),
+      (3L, "alpha bravo charlie delta"))
+    val scalar = docs.flatMap { case (id, t) => NearDupStream.bandSigsOf(Doc(id, t)) }
+      .map(b => (b.doc_id, b.band, b.sig)).toSet
+    val dist = NearDupStream.batchBandSigs(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("band"), r.getAs[String]("sig"))).toSet
+    assert(scalar == dist,
+      s"scalar-only=${(scalar -- dist).take(5)} dist-only=${(dist -- scalar).take(5)}")
+    // the trailing space genuinely changes doc 1's shingle set vs doc 3
+    assert(scalar.filter(_._1 == 1L).map(_._3) != scalar.filter(_._1 == 3L).map(_._3))
+  }
 }
