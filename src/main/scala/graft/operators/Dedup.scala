@@ -231,7 +231,7 @@ object Dedup {
   // job per corpus per session, amortized against the passes it decides.
   private val cloneCheckMemo = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  private def hasExactClones(docs: DataFrame, cacheKey: String): Boolean =
+  private[graft] def hasExactClones(docs: DataFrame, cacheKey: String): Boolean =
     cloneCheckMemo.getOrElseUpdate(cacheKey, {
       import docs.sparkSession.implicits._
       val r = docs.groupBy(md5($"text")).agg(count(lit(1)).as("g"))
@@ -405,7 +405,8 @@ object Dedup {
     * a linear pass (Σg² ≤ 2n) takes the flat path — collapse would be
     * pure overhead — and a clone-heavy one collapses first. */
   private[graft] def ngramJaccardLshOn(docs: DataFrame, keyPrefix: String,
-      nPerm: Int = 24, bandSize: Int = 2): DataFrame = {
+      nPerm: Int = 24, bandSize: Int = 2,
+      collapseOverride: Option[Boolean] = None): DataFrame = {
     import docs.sparkSession.implicits._
     // cached sigs: the self-join reads the signature frame twice, and
     // Catalyst does not reuse the minhash groupBy across join sides
@@ -419,7 +420,11 @@ object Dedup {
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .distinct()
     }
-    if (!hasExactClones(docs.select($"doc_id", $"text"), s"clonechk:$keyPrefix")) {
+    // collapseOverride: test hook — the gate-equivalence property spec
+    // forces BOTH paths on the same corpus to assert flat ≡ collapsed
+    val collapse = collapseOverride.getOrElse(
+      hasExactClones(docs.select($"doc_id", $"text"), s"clonechk:$keyPrefix"))
+    if (!collapse) {
       val capped = cappedShinglesFlatOf(docs, s"ngram-sh:$keyPrefix")
       jaccardRerank(docSetsOf(capped, s"ngram-docsets:$keyPrefix"),
         candidatesOf(capped, ""))

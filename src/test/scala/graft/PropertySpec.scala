@@ -69,6 +69,45 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  // Random duplicate-group profiles: each group is g exact clones of a
+  // short random text; distinct groups may still be near-dups (shared
+  // vocabulary) or even accidentally identical — the gate criterion is
+  // computed over ACTUAL identical-text groups, not the planted profile.
+  private val cloneCorpusGen: Gen[List[(Long, String)]] = for {
+    nGroups <- Gen.choose(1, 5)
+    groups <- Gen.listOfN(nGroups, for {
+      size <- Gen.frequency(3 -> Gen.choose(1, 2), 2 -> Gen.choose(3, 9))
+      nw <- Gen.choose(1, 7)
+      ws <- Gen.listOfN(nw, Gen.oneOf("alpha", "beta", "gamma", "delta", "x1"))
+    } yield (size, ws.mkString(" ")))
+  } yield groups.flatMap { case (size, text) => List.fill(size)(text) }
+    .zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+
+  test("collapse gate: fires iff clone mass exceeds the corpus; flat ≡ collapsed always") {
+    val s = spark
+    import s.implicits._
+    var n = 0
+    samples(cloneCorpusGen, 6).foreach { docs =>
+      n += 1
+      val df = docs.toDF("doc_id", "text")
+      // the Σg² > 2n criterion replayed in memory over identical-text groups
+      val wantCollapse = docs.groupBy(_._2).values
+        .map(g => g.size.toLong * g.size).sum > 2L * docs.size
+      assert(operators.Dedup.hasExactClones(df, s"clonechk:prop-gate-$n") == wantCollapse,
+        s"gate disagrees with Σg²>2n on $docs")
+      // both pipelines forced on the SAME corpus must emit identical pairs
+      val flat = operators.Dedup.ngramJaccardLshOn(df, s"prop-gate-$n-f",
+        collapseOverride = Some(false)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val coll = operators.Dedup.ngramJaccardLshOn(df, s"prop-gate-$n-c",
+        collapseOverride = Some(true)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(flat == coll,
+        s"paths disagree on $docs:\nflat-only=${flat -- coll}\ncoll-only=${coll -- flat}")
+      Caches.clearAll()
+    }
+  }
+
   private val textGen: Gen[String] = for {
     n <- Gen.choose(1, 50)
     ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2"))
