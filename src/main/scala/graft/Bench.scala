@@ -28,11 +28,17 @@ object Bench {
     "d_decontaminate", "s_scd2_dim", "v_maxsim", "v_mmr_rerank",
     // r6 additions
     "q_fuzzy_search", "g_pagerank_weighted", "v_chunk_recursive",
-    // r6b additions
-    "g_node_similarity", "g_node_similarity_lsh", "d_decontaminate_semantic",
+    // r6b additions. Exact g_node_similarity left out deliberately (r7):
+    // the repo documents it as bounded-subgraph-only — its Σ deg² pair
+    // term costs 10-17 s at sf0.1 and reroutes to the LSH twin above the
+    // pair-work budget anyway, so the sanctioned scale path (the LSH
+    // twin below) is what gets timed.
+    "g_node_similarity_lsh", "d_decontaminate_semantic",
     "d_cross_dedup", "t_tfidf_keywords", "t_unigram_logprob",
     "t_bigram_logprob", "t_more_like_this", "t_quality_tiers",
-    "s_value_anomaly")
+    "s_value_anomaly",
+    // r7 additions
+    "q_product_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -52,6 +52,15 @@ class PlanInvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("r7 reads: SKU point lookup pushes its key, BM25 broadcasts stats and takes top-k") {
+    val ps = plan("q_product_by_sku")
+    assert(ps.contains("EqualTo(p_partkey,42)"), s"point-read key not pushed:\n$ps")
+    val pb = plan("q_product_bm25")
+    assert(pb.contains("TakeOrderedAndProject"), s"bm25 ranking lost top-k:\n$pb")
+    assert(pb.contains("BroadcastExchange"), s"bm25 df/corpus stats not broadcast:\n$pb")
+    assert(!pb.contains("CartesianProduct"), "product bm25 plans a cartesian")
+  }
+
   test("projection pruning: q1 scans only the columns it aggregates") {
     val p = plan("q1_pricing_summary")
     // ReadSchema must not include the wide comment/address columns
