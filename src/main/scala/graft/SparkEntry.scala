@@ -119,6 +119,8 @@ object SparkEntry {
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
     "p_train_mix" -> ((s, d) => pipeline.CorpusPipeline.trainMix(s, d)),
+    "p_split_leakproof" -> ((s, d) => pipeline.CorpusPipeline.splitLeakproof(s, d)),
+    "p_data_card" -> ((s, d) => pipeline.CorpusPipeline.dataCard(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
     "s_sliding_agg" -> ((s, d) => streaming.EventOps.slidingAggQuery(s, d)),
@@ -746,6 +748,34 @@ object SparkEntry {
         |        ROUND(list_sum(list_transform(range(1,len(na.v)+1), i -> na.v[i]*nb.v[i]))/(na.nrm*nb.nrm),6) sim
         |       FROM cand c JOIN n na ON na.vec_id=c.va JOIN n nb ON nb.vec_id=c.vb)
         |SELECT va AS vec_a, vb AS vec_b, sim FROM p2 WHERE sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    // V4 replay: same md5-derived hyperplanes as D5b above but the ANN
+    // configuration (16 bands × 8 bits, multi-probe Hamming radius 1
+    // within a band), then the exact cosine re-rank and top-5. The
+    // sign-bit signatures are deterministic, so the "approximate" path
+    // replays exactly — what stays approximate is recall vs V1, which
+    // the planted-fixture spec covers.
+    "v_lsh_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),
+        |u AS (SELECT vec_id, list_transform(v, x -> x/nrm) uv FROM n),
+        |pl AS (SELECT CAST(p AS INT) p, list_transform(range(0,64), i ->
+        |        CAST(list_sum(list_transform(range(1,16), c ->
+        |          (strpos('0123456789abcdef', substring(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), CAST(c AS INT), 1))-1)::BIGINT << CAST(4*(15-c) AS INT)
+        |        )) % 2001 AS DOUBLE) / 1000.0 - 1.0) plane
+        |       FROM range(0,128) t(p)),
+        |sb AS (SELECT u.vec_id, pl.p // 8 k,
+        |        CASE WHEN list_sum(list_transform(range(1,65), i -> u.uv[CAST(i AS INT)]*pl.plane[CAST(i AS INT)])) >= 0
+        |             THEN (1 << CAST(pl.p % 8 AS INT)) ELSE 0 END sbit
+        |       FROM u CROSS JOIN pl),
+        |sig AS (SELECT vec_id, k, SUM(sbit) bv FROM sb GROUP BY vec_id, k),
+        |qs AS (SELECT k, bv qbv FROM sig WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT s.vec_id FROM sig s JOIN qs ON s.k = qs.k
+        |         WHERE s.vec_id <> 0 AND bit_count(xor(s.bv, qs.qbv)) <= 1),
+        |q AS (SELECT v qv, nrm qnrm FROM n WHERE vec_id = 0)
+        |SELECT n.vec_id,
+        |  ROUND(list_sum(list_transform(range(1,len(n.v)+1), i -> n.v[i]*qv[i]))/(n.nrm*qnrm), 6) AS sim
+        |FROM n JOIN cand ON n.vec_id = cand.vec_id, q
+        |ORDER BY sim DESC, n.vec_id LIMIT 5""".stripMargin,
     "v_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x->x*x))) nrm FROM e),
@@ -1173,6 +1203,32 @@ object SparkEntry {
         |)
         |SELECT lang, shard, doc_id, tokens, bin_id, fill AS fill_after
         |FROM st WHERE rn > 0 ORDER BY lang, shard, doc_id""".stripMargin,
+    // P4: D7's component closure + a deterministic md5 draw on the
+    // CLUSTER id — near-dup docs share a cluster, hence a split.
+    "p_split_leakproof" -> (s"WITH RECURSIVE $minhashPairsCtes,\n" +
+      """arcs AS (SELECT doc_a s, doc_b dd FROM mpairs
+        |          UNION ALL SELECT doc_b, doc_a FROM mpairs),
+        |reach AS (
+        |  SELECT s AS node, dd AS r FROM arcs
+        |  UNION
+        |  SELECT reach.node, arcs.dd FROM reach JOIN arcs ON arcs.s = reach.r
+        |),
+        |lbl AS (SELECT node, LEAST(node, MIN(r)) lbl FROM reach GROUP BY node),
+        |cl AS (SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster_id
+        |       FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN CAST(('0x'||substr(md5('split:'||CAST(cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST(('0x'||substr(md5('split:'||CAST(cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin),
+    "p_data_card" ->
+      """SELECT COALESCE(source, 'ALL') AS source, COUNT(*) AS n_docs,
+        | SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
+        | COUNT(DISTINCT md5(text)) AS n_unique,
+        | ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
+        | COUNT(DISTINCT lang) AS n_langs,
+        | ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+        |FROM documents GROUP BY ROLLUP(source) ORDER BY source""".stripMargin,
     "s_window_agg" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS win_start,
         | event_type, COUNT(*) AS n_events,

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Packing, Sampling}
+import graft.operators.{Dedup, Packing, Sampling, TextOps}
 
 /** The end-to-end LLM training-data prep flow, composed from the §2
   * operators: exact dedup → near-dup removal → quality filter → chunking.
@@ -84,5 +84,50 @@ object CorpusPipeline {
     Packing.packDocs(Packing.docsWithTokensOf(survivors, nShards), budget)
       .toDF()
       .orderBy($"lang", $"shard", $"doc_id")
+  }
+
+  /** P4 — leakage-proof split assignment (`p_split_leakproof`): every
+    * document gets a train/val/test label (90/5/5) by a deterministic
+    * md5 draw on its near-dup CLUSTER id (D7's components over the
+    * MinHash pair graph), not its doc id. Doc-level hash splits leak: a
+    * val doc whose near-clone landed in train is memorised, not held
+    * out — the split boundary must respect the duplicate graph's
+    * transitive closure. Cost over D7 is one map-side hash (no extra
+    * shuffle); the draw is engine-independent, so the whole assignment
+    * replays exactly in the oracle. */
+  def splitLeakproof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val draw = TextOps.h64(concat(lit("split:"), $"cluster_id")) % 100
+    Dedup.dupClusters(s, dir)
+      .withColumn("split",
+        when(draw < 90, "train").when(draw < 95, "val").otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
+  /** P5 — corpus data card (`p_data_card`): the per-source manifest a
+    * training run publishes next to its checkpoints — doc/token counts,
+    * exact-duplicate fraction (distinct md5 of the text), language
+    * spread, mean length — with an ALL rollup row for the corpus total.
+    * One pass, one rollup shuffle keyed by source; the distinct-hash
+    * count is the only two-phase aggregate (swap in approx_count_distinct
+    * at 100 TB if ±2% duplicate fraction is acceptable — the exact form
+    * is the contract here). */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .rollup($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+        countDistinct(md5($"text")).as("n_unique"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n_chars").as("sum_chars"))
+      .select(
+        coalesce($"source", lit("ALL")).as("source"),
+        $"n_docs", $"n_tokens", $"n_unique",
+        round(lit(1.0) - $"n_unique".cast("double") / $"n_docs", 6).as("dup_frac"),
+        $"n_langs",
+        round($"sum_chars".cast("double") / $"n_docs", 6).as("avg_chars"))
+      .orderBy($"source")
   }
 }

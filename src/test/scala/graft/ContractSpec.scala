@@ -13,20 +13,21 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the six documented non-SQL-expressible ops") {
+  test("the rows-only set is exactly the five documented non-SQL-expressible ops") {
     // r4: triangle counting (3-way join) and landmark BFS (bounded
     // recursive CTE) turned out to be SQL-expressible after all; r6:
     // pagerank and connected components followed (window-aggregation in
-    // the recursive term); r7: the two deterministic LSH twins (md5-
-    // derived bands replay exactly in SQL). What remains is genuinely
-    // seeded/approximate or stubbed — sketches, trained ANN, the
-    // codec-less frame sampler.
+    // the recursive term); r7: the three deterministic LSH paths (md5-
+    // derived bands/planes replay exactly in SQL, including v_lsh_ann's
+    // multi-probe). What remains is genuinely seeded/approximate or
+    // stubbed — sketches, trained (k-means-seeded) ANN, the codec-less
+    // frame sampler.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set(
       "m_frame_sample",          // decode stub, no SQL analogue
       "q_approx_distinct",       // sketch; exact count + error bound specced
       "q_approx_percentiles",    // sketch; exact quantiles ride along, error specced
-      "v_ivf_ann", "v_lsh_ann",  // ANN; recall specs vs exact top-k (k-means/probe-seeded)
+      "v_ivf_ann",               // ANN; recall spec vs exact top-k (k-means-seeded)
       "v_pq_ann")                // ADC is approximate; recall spec vs exact top-k
     assert(rowsOnly == documented,
       s"missing oracle: ${rowsOnly -- documented}; stale doc: ${documented -- rowsOnly}")

@@ -50,4 +50,46 @@ class PipelineSpec extends SparkSpecBase {
     assert(texts.distinct.length == texts.length, "packed set contains exact clones")
     docs.unpersist(); out.unpersist()
   }
+
+  test("leakproof split: clusters never straddle splits, near-dup pairs co-split") {
+    import spark.implicits._
+    val out = CorpusPipeline.splitLeakproof(spark, sfDir).cache()
+    // total = corpus, every doc labeled
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    // the defining invariant: one split per cluster
+    val mixed = out.groupBy("cluster_id")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+    assert(mixed == 0, "a near-dup cluster straddles a split boundary")
+    // hence every MinHash near-dup pair is co-split (leakage-free)
+    val splitOf = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashLsh(spark, sfDir).select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(splitOf(r.getLong(0)) == splitOf(r.getLong(1)),
+        s"near-dup pair (${r.getLong(0)},${r.getLong(1)}) split across splits")
+    }
+    // all three splits materialize at this corpus size
+    assert(out.select("split").distinct().count() == 3)
+    out.unpersist()
+  }
+
+  test("data card: rollup total row is consistent with the per-source rows") {
+    import spark.implicits._
+    val out = CorpusPipeline.dataCard(spark, sfDir).collect()
+    val (all, per) = out.partition(_.getString(0) == "ALL")
+    assert(all.length == 1 && per.nonEmpty)
+    val t = all.head
+    assert(t.getAs[Long]("n_docs") == per.map(_.getAs[Long]("n_docs")).sum)
+    assert(t.getAs[Long]("n_tokens") == per.map(_.getAs[Long]("n_tokens")).sum)
+    // distinct hashes are NOT additive across sources when clones span
+    // sources — the total can only be <= the per-source sum
+    assert(t.getAs[Long]("n_unique") <= per.map(_.getAs[Long]("n_unique")).sum)
+    // dup_frac consistent with its own row's counts
+    out.foreach { r =>
+      val expect = BigDecimal(1.0 - r.getAs[Long]("n_unique").toDouble / r.getAs[Long]("n_docs"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("dup_frac") - expect) < 1e-9)
+    }
+  }
 }
