@@ -38,7 +38,8 @@ object Bench {
     "t_bigram_logprob", "t_more_like_this", "t_quality_tiers",
     "s_value_anomaly",
     // r7 additions
-    "q_product_bm25")
+    "q_product_bm25", "v_lsh_ann", "p_split_leakproof", "p_data_card",
+    "p_dsir_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

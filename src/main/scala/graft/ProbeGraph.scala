@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.GraphOps
+
+/** Scale-probe main for the graph leg (SURVEY §5): times GraphX
+  * staticPageRank against the checkpointed-DataFrame fixpoint
+  * (`GraphOps.pageRankDF`) on the same co-purchase edge frame, so the
+  * documented "DF iteration is the fallback when GraphX runs out of
+  * memory" claim carries a measured number at every probed SF.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.ProbeGraph [iters] [mode]
+  * mode ∈ {both, graphx, df} — df-only exists to test the fallback in a
+  * deliberately small heap where GraphX itself would OOM first.
+  * Prints one JSON line {"graphx":s,"df":s,"iters":n,"sf":dir}.
+  */
+object ProbeGraph {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iters = if (args.nonEmpty) args(0).toInt else 10
+    val mode = if (args.length > 1) args(1) else "both"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val edges = GraphOps.edgesUnsorted(spark, sfDir)
+    // warm the edge build once so both timings measure iteration, not scan
+    edges.write.format("noop").mode("overwrite").save()
+    val tGx = if (mode == "df") -1.0 else time {
+      GraphOps.pageRankOf(edges, iters)
+        .write.format("noop").mode("overwrite").save()
+    }
+    Caches.clearAll()
+    val tDf = if (mode == "graphx") -1.0 else time {
+      GraphOps.pageRankDF(edges, iters)
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"""{"graphx":$tGx%.3f,"df":$tDf%.3f,"iters":$iters,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -121,6 +121,7 @@ object SparkEntry {
     "p_train_mix" -> ((s, d) => pipeline.CorpusPipeline.trainMix(s, d)),
     "p_split_leakproof" -> ((s, d) => pipeline.CorpusPipeline.splitLeakproof(s, d)),
     "p_data_card" -> ((s, d) => pipeline.CorpusPipeline.dataCard(s, d)),
+    "p_dsir_sample" -> ((s, d) => Sampling.dsirSample(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
     "s_sliding_agg" -> ((s, d) => streaming.EventOps.slidingAggQuery(s, d)),
@@ -1221,6 +1222,26 @@ object SparkEntry {
         |       WHEN CAST(('0x'||substr(md5('split:'||CAST(cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM cl ORDER BY doc_id""".stripMargin),
+    // P6: DSIR replay — unigram likelihood-ratio weights (add-1
+    // smoothing, 6dp-rounded lns, decimal term sums) + the deterministic
+    // Gumbel-max draw from the md5 hash; decimal key ⇒ identical order.
+    "p_dsir_sample" ->
+      """WITH w AS (SELECT doc_id, lang, unnest(string_split(lower(text),' ')) w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) tf FROM w GROUP BY doc_id, w),
+        |cnt AS (SELECT w, COUNT(*) cs, SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) ct FROM w GROUP BY w),
+        |st AS (SELECT SUM(cs) ns, SUM(ct) nt, COUNT(*) v FROM cnt),
+        |t AS (SELECT tf.doc_id,
+        |        CAST(ROUND(tf.tf * ROUND(ln(CAST(cnt.ct+1 AS DOUBLE)/(st.nt+st.v))
+        |                               - ln(CAST(cnt.cs+1 AS DOUBLE)/(st.ns+st.v)), 6), 6)
+        |             AS DECIMAL(18,6)) term
+        |      FROM tf JOIN cnt USING (w) CROSS JOIN st),
+        |lw AS (SELECT doc_id, SUM(term) logw FROM t GROUP BY doc_id),
+        |g AS (SELECT doc_id, logw,
+        |       logw + CAST(ROUND(-ln(-ln((CAST(('0x'||substr(md5('dsir:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) + 0.5)
+        |                                  / 1152921504606846976.0)), 6) AS DECIMAL(18,6)) gkey
+        |      FROM lw)
+        |SELECT doc_id, CAST(logw AS DOUBLE) AS logw, CAST(gkey AS DOUBLE) AS gkey
+        |FROM g ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin,
     "p_data_card" ->
       """SELECT COALESCE(source, 'ALL') AS source, COUNT(*) AS n_docs,
         | SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,

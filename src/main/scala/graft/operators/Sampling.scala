@@ -48,6 +48,51 @@ object Sampling {
       .orderBy($"source", $"doc_id")
   }
 
+  /** P6 — DSIR-style importance resampling (`p_dsir_sample`): select the
+    * k documents most like a TARGET distribution (here the `lang='en'`
+    * slice) under a unigram likelihood-ratio weight, the data-selection
+    * method of Xie et al. 2023 ("Data Selection for Language Models via
+    * Importance Resampling"). Per-doc importance logw = Σ_w tf_w ·
+    * (ln P_target(w) − ln P_source(w)) with add-1 smoothing; sampling
+    * uses the Gumbel-max trick — key = logw + Gumbel(hash(doc_id)) — so
+    * the weighted draw is deterministic, cluster-independent, and
+    * oracle-replayable (same md5 draw discipline as T5a-c).
+    *
+    * Parity discipline (see unigramLogprob): every transcendental lands
+    * in a 6dp round, per-term products round then sum as DECIMAL(18,6)
+    * (exact, order-independent), the ranking key is a DECIMAL add — both
+    * engines order identically, so the selected SET mirrors exactly.
+    * Scale: two keyed shuffles (word counts, per-doc sum) + one
+    * broadcast scalar row; top-k is a TakeOrdered, never a global sort. */
+  def dsirSample(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(split(lower($"text"), " ")).as("w"))
+    val tf = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val cnt = words.groupBy($"w").agg(
+      count(lit(1)).as("cs"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+    val stats = cnt.agg(
+      sum($"cs").as("ns"), sum($"ct").as("nt"), count(lit(1)).as("v"))
+    val terms = tf.join(cnt, "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("lr", round(
+        log(($"ct" + lit(1)).cast("double") / ($"nt" + $"v")) -
+        log(($"cs" + lit(1)).cast("double") / ($"ns" + $"v")), 6))
+      .withColumn("term", round($"tf" * $"lr", 6).cast("decimal(18,6)"))
+    val logw = terms.groupBy($"doc_id").agg(sum($"term").as("logw"))
+    // Gumbel(0,1) from the 60-bit md5 draw: u=(h+0.5)/2^60, g=-ln(-ln u)
+    val u = (h64(concat(lit("dsir:"), $"doc_id")).cast("double") + lit(0.5)) /
+      lit(1.152921504606846976e18)
+    logw
+      .withColumn("gum", round(-log(-log(u)), 6).cast("decimal(18,6)"))
+      .withColumn("gkey", $"logw" + $"gum")
+      .orderBy($"gkey".desc, $"doc_id")
+      .limit(k)
+      .select($"doc_id", $"logw".cast("double").as("logw"),
+        $"gkey".cast("double").as("gkey"))
+  }
+
   /** T5b — stratified sample: a fixed quota per language, taking each
     * stratum's lowest hash draws (a deterministic reservoir). One shuffle
     * by stratum; quota rank via window — at scale the stratum key is

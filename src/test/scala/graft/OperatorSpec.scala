@@ -108,6 +108,29 @@ class OperatorSpec extends SparkSpecBase {
     assert(first == again)
   }
 
+  test("DSIR sample: selection skews toward the target slice and is deterministic") {
+    import spark.implicits._
+    val out = Sampling.dsirSample(spark, sfDir).cache()
+    assert(out.count() == 100)
+    // the likelihood-ratio weight must pull the en (target) share of the
+    // selected set above the corpus share — that's the whole point of
+    // importance resampling toward a target distribution
+    val docs = Tables.documents(spark, sfDir)
+    val corpusEn = docs.filter($"lang" === "en").count().toDouble / docs.count()
+    val sel = out.join(docs, "doc_id")
+    val selEn = sel.filter($"lang" === "en").count().toDouble / sel.count()
+    assert(selEn > corpusEn,
+      f"selected en share $selEn%.3f not above corpus share $corpusEn%.3f")
+    // en docs must carry higher mean importance than non-en docs
+    val meanBy = sel.groupBy($"lang" === "en")
+      .agg(avg($"logw")).collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    if (meanBy.size == 2) assert(meanBy(true) > meanBy(false))
+    // deterministic draw: re-evaluation selects the identical set
+    val again = Sampling.dsirSample(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet == again)
+    out.unpersist()
+  }
+
   test("collapse-first Jaccard-LSH ≡ brute force on a clone-heavy corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -61,6 +61,13 @@ class PlanInvariantSpec extends SparkSpecBase {
     assert(!pb.contains("CartesianProduct"), "product bm25 plans a cartesian")
   }
 
+  test("DSIR sample: corpus stats broadcast, weighted draw is a top-k not a global sort") {
+    val p = plan("p_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"Gumbel-max draw lost top-k:\n$p")
+    assert(p.contains("BroadcastExchange"), s"scalar corpus stats not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "dsir plans a cartesian")
+  }
+
   test("projection pruning: q1 scans only the columns it aggregates") {
     val p = plan("q1_pricing_summary")
     // ReadSchema must not include the wide comment/address columns
