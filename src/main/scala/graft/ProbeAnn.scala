@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.VectorOps
+
+/** Scale-probe for the ANN serving split (SURVEY §5): one offline
+  * `lshIndexBuild`, then per-query `lshAnnIndexed` vs the inline
+  * `lshAnn` that re-derives every signature per query.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.ProbeAnn
+  * Prints {"build":s,"indexed_query":s,"inline_query":s,"sf":dir}.
+  */
+object ProbeAnn {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-ann-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tBuild = time(VectorOps.lshIndexBuild(spark, sfDir, "lsh_sigs"))
+    Caches.clearAll()
+    def q(id: Long) = time {
+      VectorOps.lshAnnIndexed(spark, sfDir, "lsh_sigs", queryId = id)
+        .write.format("noop").mode("overwrite").save()
+    }
+    q(1L) // warm-up: normed() cache + codegen
+    val tIdx = Seq(q(0L), q(2L), q(3L)).min
+    def qi(id: Long) = {
+      val t = time {
+        VectorOps.lshAnn(spark, sfDir, queryId = id)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t
+    }
+    val tInl = Seq(qi(0L), qi(2L), qi(3L)).min
+    println(f"""{"build":$tBuild%.3f,"indexed_query":$tIdx%.3f,"inline_query":$tInl%.3f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -274,6 +274,59 @@ object VectorOps {
       .limit(k)
   }
 
+  /** V4c — the SERVING shape of banded LSH ANN: the band signatures are
+    * query-independent, so a deployment computes them ONCE and persists
+    * them bucketed by `sig_key = band * 2^bits + bv` (TableWriter's
+    * layout). Per query the scan then reads only the probed buckets —
+    * bucket pruning, no signature recomputation, no corpus scan. The
+    * sf1/sf3 probes showed the inline form (`lshAnn`) is linear in the
+    * corpus precisely because it re-derives 128 dot products per vector
+    * per query; this splits that cost into one offline build. */
+  def lshIndexBuild(s: SparkSession, dir: String, table: String,
+      bands: Int = 16, bits: Int = 8, nBuckets: Int = 64): Unit = {
+    import s.implicits._
+    val sigs = bandSigs(normed(s, dir).select($"vec_id", $"u"), bands, bits)
+      .select($"vec_id", ($"k" * (1 << bits) + $"bv").as("sig_key"))
+    graft.sinks.TableWriter.writeBucketed(sigs, table, "sig_key", nBuckets)
+  }
+
+  /** Query against a prebuilt `lshIndexBuild` table: the query row's
+    * `bands` signatures (bounded driver state — one row) expand to the
+    * multi-probe key set (exact bucket + all radius-1 bit flips, the
+    * same candidate set as lshAnn's `bit_count(bv^qbv) <= 1`), the
+    * bucketed scan prunes to those buckets, and the short candidate
+    * list exact-re-ranks. Returns identical rows to `lshAnn` at
+    * probeRadius=1 — asserted in VectorScaleSpec.
+    *
+    * Serving config: Spark's DisableUnnecessaryBucketedScan rule drops
+    * the bucketed layout when no join/agg keys on it (this query only
+    * FILTERS on the bucket key), which silently forfeits bucket pruning
+    * — a serving session must set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` for
+    * the probed-bucket read to materialize (the spec pins this). */
+  def lshAnnIndexed(s: SparkSession, dir: String, table: String,
+      queryId: Long = 0L, k: Int = 5, bands: Int = 16, bits: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = normed(s, dir)
+    val q = e.filter($"vec_id" === queryId)
+      .select($"u", $"v".as("qv"), $"nrm".as("qnrm"))
+    val qSigs = bandSigs(q.select(lit(queryId).as("vec_id"), $"u"), bands, bits)
+      .select($"k", $"bv").collect() // `bands` rows: bounded driver state
+    val probeKeys = qSigs.flatMap { r =>
+      val band = r.getInt(0); val bv = r.getInt(1)
+      (bv +: (0 until bits).map(t => bv ^ (1 << t))).map(band * (1 << bits) + _)
+    }.distinct.toSeq
+    val cands = s.table(table)
+      .filter($"sig_key".isin(probeKeys: _*) && $"vec_id" =!= queryId)
+      .select($"vec_id").distinct()
+    e.join(cands, "vec_id")
+      .crossJoin(broadcast(q.select($"qv", $"qnrm")))
+      .withColumn("sim", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
+      .select($"vec_id", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+
   // V4b — IVF ANN (the other scale path): k-means coarse quantizer
   // (VecCluster, Lloyd in DataFrames); every vector sits in its nearest
   // centroid cell, the query probes only the nProbe nearest cells and

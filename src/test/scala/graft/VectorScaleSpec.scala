@@ -123,6 +123,30 @@ class VectorScaleSpec extends SparkSpecBase {
     assert(cands >= 5, "too few candidates to rank top-5")
   }
 
+  test("indexed LSH ANN: prebuilt bucketed sigs give identical results, scan prunes buckets") {
+    // without this, DisableUnnecessaryBucketedScan silently drops the
+    // bucketed layout (the query only FILTERS on the bucket key) and the
+    // scan reads every bucket — the serving-session config documented on
+    // lshAnnIndexed
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+    VectorOps.lshIndexBuild(spark, sfDir, "lsh_sigs")
+    val indexed = VectorOps.lshAnnIndexed(spark, sfDir, "lsh_sigs")
+    // the serving path must return byte-identical rows to the inline form
+    val inline = VectorOps.lshAnn(spark, sfDir).collect().toSeq
+    assert(indexed.collect().toSeq == inline)
+    // and the per-query scan must touch only the probed buckets — the
+    // whole point of persisting the query-independent signatures
+    val plan = indexed.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: \\d+ out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in:\n$plan")
+    val pruned = sel.get.group(0).split(" ")(1).toInt
+    assert(pruned < sel.get.group(1).toInt, s"scan read every bucket: ${sel.get.group(0)}")
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
   test("IVF ANN: k-means cells + nProbe probing recall beats probing budget share") {
     val brute = VectorOps.cosineTopK(spark, sfDir).collect()
       .map(_.getAs[Long]("vec_id")).toSet
