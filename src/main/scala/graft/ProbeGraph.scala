@@ -11,7 +11,8 @@ import graft.operators.GraphOps
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.ProbeGraph [iters] [mode]
   * mode ∈ {both, graphx, df} — df-only exists to test the fallback in a
-  * deliberately small heap where GraphX itself would OOM first.
+  * deliberately small heap where GraphX itself would OOM first — or
+  * {tri, tri-graphx, tri-df} to time the G7 triangle legs instead.
   * Prints one JSON line {"graphx":s,"df":s,"iters":n,"sf":dir}.
   */
 object ProbeGraph {
@@ -35,13 +36,16 @@ object ProbeGraph {
     val edges = GraphOps.edgesUnsorted(spark, sfDir)
     // warm the edge build once so both timings measure iteration, not scan
     edges.write.format("noop").mode("overwrite").save()
-    val tGx = if (mode == "df") -1.0 else time {
-      GraphOps.pageRankOf(edges, iters)
+    val tri = mode.startsWith("tri")
+    val tGx = if (mode == "df" || mode == "tri-df") -1.0 else time {
+      (if (tri) GraphOps.triangleCountGraphX(edges)
+       else GraphOps.pageRankOf(edges, iters))
         .write.format("noop").mode("overwrite").save()
     }
     Caches.clearAll()
-    val tDf = if (mode == "graphx") -1.0 else time {
-      GraphOps.pageRankDF(edges, iters)
+    val tDf = if (mode == "graphx" || mode == "tri-graphx") -1.0 else time {
+      (if (tri) GraphOps.triangleCountDF(edges)
+       else GraphOps.pageRankDF(edges, iters))
         .write.format("noop").mode("overwrite").save()
     }
     println(f"""{"graphx":$tGx%.3f,"df":$tDf%.3f,"iters":$iters,"sf":"$sfDir"}""")

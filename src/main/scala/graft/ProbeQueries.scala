@@ -23,6 +23,7 @@ object ProbeQueries {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def runOnce(name: String): Double = {
+      System.err.println(s"[probe] running $name") // attributes a fatal OOM
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -68,52 +68,72 @@ object Dedup {
   // collisions). Oracle (quadratic DuckDB definition) unchanged.
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val M = 1000000007L
     val docs = Tables.documents(s, dir)
-    // dedup = false: min() is idempotent over duplicate shingles, so the
-    // distinct shuffle would only burn a pass (the oracle's DISTINCT sh
-    // yields the same minima)
-    def bandsOf(input: DataFrame, tag: String): (DataFrame, DataFrame) = {
-      val h = shinglesOf(input, 3, dedup = false)
-        .select($"doc_id", (h64($"s") % M).as("hv"))
-      def perm(j: Int): Column =
-        min((lit(2L * j + 1) * $"hv" + lit(17L * j + 3)) % M).as(s"m$j")
-      val mh = Caches.cached(s"minhash-sigs$tag:$dir") {
-        h.groupBy($"doc_id").agg(perm(0), (1 until 16).map(perm): _*)
-      }
-      // cached: the self-join reads it twice and Catalyst would otherwise
-      // recompute the whole shingle->minhash->band pipeline per side
-      val bands = Caches.cached(s"minhash-bands$tag:$dir") {
-        val bandStructs = array((0 until 4).map { b =>
-          struct(lit(b.toLong).as("band"),
-            concat_ws(",", (0 until 4).map(k => col(s"m${4 * b + k}").cast("string")): _*).as("sig"))
-        }: _*)
-        mh.select($"doc_id", explode(bandStructs).as("e"))
-          .select($"doc_id", $"e.band", $"e.sig")
-      }
-      (mh, bands)
-    }
-    def bandPairs(bands: DataFrame) = bands.as("a")
-      .join(bands.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
-        $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
     if (!hasExactClones(docs.select($"doc_id", $"text"), s"clonechk:$dir")) {
-      val (_, bands) = bandsOf(docs, "")
-      bandPairs(bands).orderBy($"doc_a", $"doc_b")
+      val (_, bands) = minhashBandsOf(docs, "", dir)
+      minhashBandPairs(bands).orderBy($"doc_a", $"doc_b")
     } else {
-      val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$dir")
-      val reps = docs.join(groups.filter($"doc_id" === $"rep").select($"doc_id"), "doc_id")
-      val (mh, bands) = bandsOf(reps, "-rep")
-      val repPairs = bandPairs(bands)
-        .select($"doc_a".as("ra"), $"doc_b".as("rb"), $"n_bands".as("sim"))
-      // clone pairs collide in every band; only reps with a signature (≥1
-      // 3-gram, i.e. ≥3 words) generate candidates in the uncollapsed form
-      val selfPairs = mh.select($"doc_id".as("rep"), lit(4L).as("sim"))
+      val (groups, repPairs, selfPairs) = minhashRepGraph(s, dir)
       expandPairs(groups, repPairs, selfPairs)
         .select($"doc_a", $"doc_b", $"sim".as("n_bands"))
         .orderBy($"doc_a", $"doc_b")
     }
+  }
+
+  // dedup = false: min() is idempotent over duplicate shingles, so the
+  // distinct shuffle would only burn a pass (the oracle's DISTINCT sh
+  // yields the same minima)
+  private def minhashBandsOf(input: DataFrame, tag: String,
+      dir: String): (DataFrame, DataFrame) = {
+    import input.sparkSession.implicits._
+    val M = 1000000007L
+    val h = shinglesOf(input, 3, dedup = false)
+      .select($"doc_id", (h64($"s") % M).as("hv"))
+    def perm(j: Int): Column =
+      min((lit(2L * j + 1) * $"hv" + lit(17L * j + 3)) % M).as(s"m$j")
+    val mh = Caches.cached(s"minhash-sigs$tag:$dir") {
+      h.groupBy($"doc_id").agg(perm(0), (1 until 16).map(perm): _*)
+    }
+    // cached: the self-join reads it twice and Catalyst would otherwise
+    // recompute the whole shingle->minhash->band pipeline per side
+    val bands = Caches.cached(s"minhash-bands$tag:$dir") {
+      val bandStructs = array((0 until 4).map { b =>
+        struct(lit(b.toLong).as("band"),
+          concat_ws(",", (0 until 4).map(k => col(s"m${4 * b + k}").cast("string")): _*).as("sig"))
+      }: _*)
+      mh.select($"doc_id", explode(bandStructs).as("e"))
+        .select($"doc_id", $"e.band", $"e.sig")
+    }
+    (mh, bands)
+  }
+
+  private def minhashBandPairs(bands: DataFrame): DataFrame = {
+    import bands.sparkSession.implicits._
+    bands.as("a")
+      .join(bands.as("b"), $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+        $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** The REPRESENTATIVE-level MinHash graph behind D2's collapsed path:
+    * (groups, repPairs(ra,rb,sim), selfPairs(rep,sim)). D2 expands it to
+    * the doc-level pair contract; D7's collapse-first closure consumes
+    * it directly — components over g-sized clone groups need the rep
+    * graph, not the Σ C(g,2) expanded pair list (24.7M rows at sf10). */
+  private[graft] def minhashRepGraph(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$dir")
+    val reps = docs.join(groups.filter($"doc_id" === $"rep").select($"doc_id"), "doc_id")
+    val (mh, bands) = minhashBandsOf(reps, "-rep", dir)
+    val repPairs = minhashBandPairs(bands)
+      .select($"doc_a".as("ra"), $"doc_b".as("rb"), $"n_bands".as("sim"))
+    // clone pairs collide in every band; only reps with a signature (≥1
+    // 3-gram, i.e. ≥3 words) generate candidates in the uncollapsed form
+    val selfPairs = mh.select($"doc_id".as("rep"), lit(4L).as("sim"))
+    (groups, repPairs, selfPairs)
   }
 
   // D3 — SimHash near-dup: 64-bit tf-weighted fingerprint (classical
@@ -532,9 +552,43 @@ object Dedup {
   // localCheckpoint — iterations ≤ cluster diameter, which for near-dup
   // clusters is a handful. The per-iteration driver round-trip is one
   // COUNT of changed labels (convergence test), never the data.
-  def dupClusters(s: SparkSession, dir: String): DataFrame =
-    dupClustersOf(Tables.documents(s, dir).select(col("doc_id")),
-      minhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+  //
+  // r7, collapse-first like the pair operators: on a clone-heavy corpus
+  // the expanded pair list is Σ C(g,2) rows (24.7M at sf10) and every
+  // closure iteration shuffles it, but the components of the expanded
+  // graph are recoverable from the REP graph alone — a clone group is a
+  // complete subgraph hanging off its representative (when the rep has a
+  // MinHash signature; sub-3-word groups emit no pairs and stay
+  // singletons, exactly as the flat form leaves them), and cross-group
+  // edges exist precisely where rep pairs do. So: components over rep
+  // pairs, then one join expands labels to members. cluster_id is
+  // preserved exactly: the rep IS its group's min doc_id, so the
+  // component-min rep is the component-min doc. The clone-fixture spec
+  // pins collapsed ≡ closure-over-expanded-pairs, sub-3-word group
+  // included.
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    if (!hasExactClones(docs.select($"doc_id", $"text"), s"clonechk:$dir"))
+      dupClustersOf(docs.select($"doc_id"),
+        minhashLsh(s, dir).select($"doc_a", $"doc_b"))
+    else {
+      val (groups, repPairs, selfPairs) = minhashRepGraph(s, dir)
+      val repClusters = dupClustersOf(
+        groups.select($"rep".as("doc_id")).distinct(),
+        repPairs.select($"ra".as("doc_a"), $"rb".as("doc_b")))
+        .select($"doc_id".as("rep"), $"cluster_id".as("rl"))
+      val sigReps = selfPairs.select($"rep", lit(1).as("has_sig"))
+      docs.select($"doc_id")
+        .join(groups.select($"doc_id", $"rep"), "doc_id")
+        .join(sigReps, Seq("rep"), "left")
+        .join(repClusters, Seq("rep"), "left")
+        .select($"doc_id",
+          when($"has_sig".isNotNull, coalesce($"rl", $"rep"))
+            .otherwise($"doc_id").as("cluster_id"))
+        .orderBy($"doc_id")
+    }
+  }
 
   /** D7 core: components of an undirected pair list, joined back to the
     * full id universe (fixture-testable). */

@@ -488,7 +488,9 @@ object GraphOps {
     shortestPathsOf(edgesUnsorted(s, dir), nLandmarks)
 
   /** Per-node triangle counts for an arbitrary canonical edge frame. */
-  private[graft] def triangleCountOf(edges: DataFrame): DataFrame = {
+  /** GraphX leg of G7 — kept for the regime where the replicated
+    * per-vertex neighbor sets fit memory (see triangleCountOf's gate). */
+  private[graft] def triangleCountGraphX(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val tc = graphOf(edges)
@@ -499,8 +501,77 @@ object GraphOps {
       .orderBy($"part")
   }
 
-  // G7 — per-node triangle counts (GraphX; clustering structure;
-  // GraphSpec asserts exact counts on a planted fixture graph).
+  /** DataFrame leg of G7 — the compact-forward / degree-oriented exact
+    * triangle count (Latapy 2008, the standard external-memory-friendly
+    * formulation): orient every canonical edge from its (deg, id)-smaller
+    * endpoint, enumerate out-wedges at each triangle's unique order-
+    * minimum apex, close them against the canonical edge set. Degree
+    * orientation bounds out-degrees by ~√(2m) on any graph (d/2 on
+    * uniform ones), so wedge volume is Σ C(outdeg,2) streaming through
+    * an ordinary keyed shuffle join — it SPILLS under pressure instead
+    * of dying: GraphX's replicated VertexSets OOM'd a 64 GiB JVM on the
+    * sf10 co-purchase graph (dense uniform deg ≈ 222, replication ≈
+    * partition count) where this plan completes. */
+  private[graft] def triangleCountDF(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+    val deg = arcs.groupBy($"src".as("n")).agg(count(lit(1)).as("d"))
+    val fwd = $"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst")
+    val orient = edges
+      .join(deg.select($"n".as("src"), $"d".as("ds")), "src")
+      .join(deg.select($"n".as("dst"), $"d".as("dd")), "dst")
+      .select(when(fwd, $"src").otherwise($"dst").as("u"),
+        when(fwd, $"dst").otherwise($"src").as("w"))
+    // wedge pair key keeps ID order so it joins the canonical (src<dst)
+    // edge list directly; the apex u is the triangle's (deg,id) minimum,
+    // so each triangle materializes exactly once
+    val tri = orient.as("x")
+      .join(orient.as("y"), $"x.u" === $"y.u" && $"x.w" < $"y.w")
+      .select($"x.u".as("tu"), $"x.w".as("tv"), $"y.w".as("tw"))
+      .join(edges, $"tv" === $"src" && $"tw" === $"dst")
+      .select($"tu", $"tv", $"tw")
+    val perNode = tri
+      .select(explode(array($"tu", $"tv", $"tw")).as("part"))
+      .groupBy($"part").agg(count(lit(1)).as("triangles"))
+    arcs.select($"src".as("part")).distinct()
+      .join(perNode, Seq("part"), "left")
+      .select($"part", coalesce($"triangles", lit(0L)).as("triangles"))
+      .orderBy($"part")
+  }
+
+  /** G7 core with the same gate discipline as node similarity: the two
+    * legs are result-identical (fixture spec pins it), so the choice is
+    * purely a memory regime. GraphX replicates each vertex's neighbor
+    * SET to every edge partition that touches it; measured on the
+    * co-purchase graph (r7): fatal at 12M canonical edges in a 16 GiB
+    * JVM and at 120M edges in 64 GiB, while it wins over the DF leg
+    * whenever it does fit (34 s vs 46 s at 12M edges / 64 GiB). The
+    * default bound keeps a DEFAULT-8-GiB JVM safe (sf0.1's 1.2M edges
+    * pass everywhere; 2.5× that as margin); deployments with 64 GiB
+    * executors can raise it ~10× (12M measured good). Above the bound
+    * the DF plan completes by spilling — 46 s at 12M edges in 16 GiB
+    * where GraphX is context-fatal; at 120M dense edges its ~10B wedge
+    * shuffle runs long but finishes, which is what exact per-node
+    * counts cost there (an edge-sampling estimator is the cheap
+    * alternative if ±ε suffices). The gate counts canonical edges (one
+    * memoized scalar per corpus). */
+  private val edgeCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[graft] def triangleCountOf(edges: DataFrame,
+      cacheKey: Option[String] = None,
+      maxGraphXEdges: Long = 3000000L): DataFrame = {
+    def count = edges.count()
+    val m = cacheKey.fold(count)(key => edgeCountMemo.getOrElseUpdate(key, count))
+    if (m > maxGraphXEdges) triangleCountDF(edges)
+    else triangleCountGraphX(edges)
+  }
+
+  // G7 — per-node triangle counts (clustering structure; GraphSpec
+  // asserts exact counts on a planted fixture graph and that both legs
+  // agree there).
   def triangleCount(s: SparkSession, dir: String): DataFrame =
-    triangleCountOf(edgesUnsorted(s, dir))
+    triangleCountOf(edgesUnsorted(s, dir), Some(s"tri-edges:$dir"))
 }

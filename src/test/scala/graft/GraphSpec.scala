@@ -47,6 +47,23 @@ class GraphSpec extends SparkSpecBase {
     assert(tc == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0), s"got $tc")
   }
 
+  test("triangle count: degree-oriented DF leg ≡ GraphX leg (incl. above-gate reroute)") {
+    // overlapping triangles + K4 stress the one-apex-per-triangle claim:
+    // K4 {1,2,3,4} has 4 triangles (3 per node), 5 closes two more with
+    // {1,2} and {2,3}... plus an isolated-from-triangles pendant
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (3L, 5L), (5L, 6L))
+    val gx = GraphOps.triangleCountGraphX(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = GraphOps.triangleCountDF(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df == gx, s"df $df vs graphx $gx")
+    // a gate of 0 forces the DF leg through the public entry point
+    val gated = GraphOps.triangleCountOf(g, maxGraphXEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated == gx, s"gated $gated vs graphx $gx")
+  }
+
   test("DataFrame pagerank matches GraphX on the fixture fixpoints") {
     val star = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
     val gx = GraphOps.pageRankOf(star, iters = 60).collect()

@@ -108,6 +108,44 @@ class OperatorSpec extends SparkSpecBase {
     assert(first == again)
   }
 
+  test("collapse-first clusters ≡ closure over expanded pairs on a clone-heavy corpus") {
+    import spark.implicits._
+    // clone-heavy (Σg² = 3·25+9 = 84 > 2n = 66) so the collapsed cluster
+    // path engages; two near-dup rep groups that must MERGE via a rep
+    // pair, one independent group, a sub-3-word clone group (no MinHash
+    // signature -> every member stays its own singleton cluster, exactly
+    // as the flat pair form leaves them), and true singletons
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val b = a + " kilo" // near-dup of a: shares band signatures
+    val c = "nova orbit pulsar quasar rocket stellar titan umbra vortex warp"
+    val tiny = "two words"
+    val docs =
+      (0L until 5L).map(i => (i, a)) ++ // group A, rep 0
+      (10L until 15L).map(i => (i, b)) ++ // group B, rep 10 — merges with A
+      (20L until 25L).map(i => (i, c)) ++ // group C, rep 20 — stays apart
+      (30L until 33L).map(i => (i, tiny)) ++ // sub-3-word clones: singletons
+      Seq((40L, "lone document number forty whatever else it says"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-clones").toString
+    docs.map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val collapsed = Dedup.dupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = Dedup.dupClustersOf(
+      Tables.documents(spark, dir).select($"doc_id"),
+      Dedup.minhashLsh(spark, dir).select($"doc_a", $"doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed == flat, s"collapsed $collapsed vs flat $flat")
+    // the structural expectations, pinned explicitly
+    assert(collapsed(14L) == 0L, "near-dup groups A+B must merge under rep 0")
+    assert(collapsed(24L) == 20L, "group C clusters to its own rep")
+    assert((30L until 33L).forall(i => collapsed(i) == i),
+      "sub-3-word clones have no signature and must stay singletons")
+    assert(collapsed(40L) == 40L)
+    Caches.clearAll()
+  }
+
   test("DSIR sample: selection skews toward the target slice and is deterministic") {
     import spark.implicits._
     val out = Sampling.dsirSample(spark, sfDir).cache()
