@@ -96,6 +96,27 @@ class EdgeCaseSpec extends SparkSpecBase {
     Caches.clearAll()
   }
 
+  test("r7 operators behave on empty and single-row corpora") {
+    import graft.pipeline.CorpusPipeline
+    import graft.operators.Sampling
+    assert(CorpusPipeline.splitLeakproof(spark, emptyDir).count() == 0)
+    assert(Sampling.dsirSample(spark, emptyDir).count() == 0)
+    assert(Dedup.dupClusters(spark, emptyDir).count() == 0)
+    // empty rollup: engines agree there are zero groups (no ALL row from
+    // a zero-row scan would differ from DuckDB's — pin the count)
+    assert(CorpusPipeline.dataCard(spark, emptyDir).count() <= 1)
+    assert(GraphOps.triangleCountDF(
+      spark.emptyDataFrame.selectExpr("1L as src", "2L as dst").limit(0)).count() == 0)
+    Caches.clearAll()
+    // one doc: its own cluster, its own split; one source row + ALL row
+    val split = CorpusPipeline.splitLeakproof(spark, oneRowDir).collect()
+    assert(split.length == 1 && split(0).getLong(1) == 0L)
+    assert(Sampling.dsirSample(spark, oneRowDir).count() == 1)
+    val card = CorpusPipeline.dataCard(spark, oneRowDir).collect()
+    assert(card.length == 2 && card.map(_.getString(0)).contains("ALL"))
+    Caches.clearAll()
+  }
+
   test("graph operators behave on an edgeless and single-edge graph") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")

@@ -64,6 +64,32 @@ class GraphSpec extends SparkSpecBase {
     assert(gated == gx, s"gated $gated vs graphx $gx")
   }
 
+  test("sampled triangle estimate: exact at p=1, within band on a dense fixture") {
+    // K20: every node closes C(19,2) = 171 triangles — dense enough for
+    // the p³-scaled estimate to concentrate
+    val k20 = edges((for {
+      a <- 1L to 20L; b <- (a + 1) to 20L
+    } yield (a, b)): _*)
+    val exact = GraphOps.triangleCountDF(k20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.values.forall(_ == 171L), s"got $exact")
+    val atOne = GraphOps.triangleCountSampled(k20, 1.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atOne == exact, "p=1 must be the exact count")
+    // p=0.6 on a fixed hash draw: deterministic, so the band is stable —
+    // the estimator must land within 2x of truth for every surviving node
+    val est = GraphOps.triangleCountSampled(k20, 0.6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    est.foreach { case (n, e) =>
+      assert(e <= 171L * 2 && e >= 171L / 4, s"node $n estimate $e far from 171")
+    }
+    // determinism: same call, same estimate
+    val again = GraphOps.triangleCountSampled(k20, 0.6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == again)
+  }
+
   test("DataFrame pagerank matches GraphX on the fixture fixpoints") {
     val star = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
     val gx = GraphOps.pageRankOf(star, iters = 60).collect()
