@@ -449,19 +449,41 @@ object Dedup {
       jaccardRerank(docSetsOf(capped, s"ngram-docsets:$keyPrefix"),
         candidatesOf(capped, ""))
     } else {
-      val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$keyPrefix")
-      val capped = cappedRepShinglesOf(docs, keyPrefix)
-      val repSets = docSetsOf(capped, s"ngram-repsets:$keyPrefix")
-      val repPairs = jaccardRerank(repSets, candidatesOf(capped, "-rep"))
-        .select($"doc_a".as("ra"), $"doc_b".as("rb"), $"jacc".as("sim"))
-      // clone pairs: identical capped sets ⇒ Jaccard exactly 1.0; only
-      // reps with a non-empty capped set generate candidates in the
-      // uncollapsed pipeline, and repSets contains exactly those
-      val selfPairs = repSets.select($"doc_id".as("rep"), lit(1.0).as("sim"))
+      val (groups, repPairs, selfPairs) =
+        ngramRepGraph(docs, keyPrefix, nPerm, bandSize)
       expandPairs(groups, repPairs, selfPairs)
         .select($"doc_a", $"doc_b", $"sim".as("jacc"))
         .orderBy($"doc_a", $"doc_b")
     }
+  }
+
+  /** The REPRESENTATIVE-level Jaccard graph behind D4b's collapsed path
+    * (mirror of minhashRepGraph for the word-set family): (groups,
+    * repPairs(ra,rb,sim≥0.5), selfPairs(rep,1.0)). D4b expands it to the
+    * doc-level pair contract; P1's cluster closure consumes it directly. */
+  private[graft] def ngramRepGraph(docs: DataFrame, keyPrefix: String,
+      nPerm: Int = 24, bandSize: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
+    def candidatesOf(capped: DataFrame, tag: String): DataFrame = {
+      val sigs = Caches.cached(s"ngram-sigs$tag:$keyPrefix:$nPerm:$bandSize") {
+        minhashBandSigs(capped, nPerm, bandSize)
+      }
+      sigs.as("a")
+        .join(sigs.as("b"),
+          $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+    }
+    val groups = exactGroupsOf(docs.select($"doc_id", $"text"), s"ngram-groups:$keyPrefix")
+    val capped = cappedRepShinglesOf(docs, keyPrefix)
+    val repSets = docSetsOf(capped, s"ngram-repsets:$keyPrefix")
+    val repPairs = jaccardRerank(repSets, candidatesOf(capped, "-rep"))
+      .select($"doc_a".as("ra"), $"doc_b".as("rb"), $"jacc".as("sim"))
+    // clone pairs: identical capped sets ⇒ Jaccard exactly 1.0; only
+    // reps with a non-empty capped set generate candidates in the
+    // uncollapsed pipeline, and repSets contains exactly those
+    val selfPairs = repSets.select($"doc_id".as("rep"), lit(1.0).as("sim"))
+    (groups, repPairs, selfPairs)
   }
 
   // D9 — incremental cross-dedup: a NEW ingest batch (the deterministic
@@ -574,19 +596,48 @@ object Dedup {
         minhashLsh(s, dir).select($"doc_a", $"doc_b"))
     else {
       val (groups, repPairs, selfPairs) = minhashRepGraph(s, dir)
-      val repClusters = dupClustersOf(
-        groups.select($"rep".as("doc_id")).distinct(),
-        repPairs.select($"ra".as("doc_a"), $"rb".as("doc_b")))
-        .select($"doc_id".as("rep"), $"cluster_id".as("rl"))
-      val sigReps = selfPairs.select($"rep", lit(1).as("has_sig"))
-      docs.select($"doc_id")
-        .join(groups.select($"doc_id", $"rep"), "doc_id")
-        .join(sigReps, Seq("rep"), "left")
-        .join(repClusters, Seq("rep"), "left")
-        .select($"doc_id",
-          when($"has_sig".isNotNull, coalesce($"rl", $"rep"))
-            .otherwise($"doc_id").as("cluster_id"))
+      clustersFromRepGraph(docs.select($"doc_id"), groups, repPairs, selfPairs)
         .orderBy($"doc_id")
+    }
+  }
+
+  /** Collapse-first component closure shared by D7 (MinHash graph) and
+    * P1 (Jaccard graph): components over rep pairs, labels expanded to
+    * members. A member clusters with its rep iff the rep has a
+    * signature/non-empty set (`selfReps`) — otherwise the flat pair form
+    * emits nothing for the group and every member stays a singleton. */
+  private[graft] def clustersFromRepGraph(ids: DataFrame, groups: DataFrame,
+      repPairs: DataFrame, selfReps: DataFrame): DataFrame = {
+    import ids.sparkSession.implicits._
+    val repClusters = dupClustersOf(
+      groups.select($"rep".as("doc_id")).distinct(),
+      repPairs.select($"ra".as("doc_a"), $"rb".as("doc_b")))
+      .select($"doc_id".as("rep"), $"cluster_id".as("rl"))
+    val sigReps = selfReps.select($"rep").distinct()
+      .withColumn("has_sig", lit(1))
+    ids
+      .join(groups.select($"doc_id", $"rep"), "doc_id")
+      .join(sigReps, Seq("rep"), "left")
+      .join(repClusters, Seq("rep"), "left")
+      .select($"doc_id",
+        when($"has_sig".isNotNull, coalesce($"rl", $"rep"))
+          .otherwise($"doc_id").as("cluster_id"))
+  }
+
+  /** P1's loser set through the collapsed closure: every doc that is not
+    * its D4b-near-dup CLUSTER's smallest id, computed from the rep graph
+    * without materializing the Σ C(g,2) expanded pair list. Falls back
+    * to the flat closure below the clone-mass gate (identical result;
+    * the fixture spec pins equivalence). */
+  private[graft] def ngramDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    if (!hasExactClones(docs.select($"doc_id", $"text"), s"clonechk:$dir"))
+      dupClustersOf(docs.select($"doc_id"),
+        ngramJaccardLsh(s, dir).select($"doc_a", $"doc_b"))
+    else {
+      val (groups, repPairs, selfPairs) = ngramRepGraph(docs, dir)
+      clustersFromRepGraph(docs.select($"doc_id"), groups, repPairs, selfPairs)
     }
   }
 

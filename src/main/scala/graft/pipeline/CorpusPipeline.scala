@@ -31,8 +31,10 @@ object CorpusPipeline {
     //    path) resolve to connected components (D7), and every doc except
     //    its component's smallest id is dropped. Pairwise doc_b-dropping
     //    is not transitive — a chain A~B~C kept B; the closure drops it.
-    val pairs = Dedup.ngramJaccardLsh(s, dir).select($"doc_a", $"doc_b")
-    val dupLosers = Dedup.dupClustersOf(docs.select($"doc_id"), pairs)
+    //    r7: the closure is collapse-first too — components run over the
+    //    REPRESENTATIVE Jaccard graph when the clone-mass gate fires, so
+    //    the Σ C(g,2) expanded pair list never feeds the iteration.
+    val dupLosers = Dedup.ngramDupClusters(s, dir)
       .filter($"cluster_id" =!= $"doc_id")
       .select($"doc_id")
 

@@ -143,6 +143,16 @@ class OperatorSpec extends SparkSpecBase {
     assert((30L until 33L).forall(i => collapsed(i) == i),
       "sub-3-word clones have no signature and must stay singletons")
     assert(collapsed(40L) == 40L)
+    // the D4b (Jaccard) closure P1 consumes gets the same guarantee:
+    // collapsed rep-graph components ≡ closure over the expanded pairs
+    val ngramCollapsed = Dedup.ngramDupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ngramFlat = Dedup.dupClustersOf(
+      Tables.documents(spark, dir).select($"doc_id"),
+      Dedup.ngramJaccardLsh(spark, dir).select($"doc_a", $"doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ngramCollapsed == ngramFlat,
+      s"ngram collapsed $ngramCollapsed vs flat $ngramFlat")
     Caches.clearAll()
   }
 
