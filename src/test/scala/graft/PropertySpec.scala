@@ -159,6 +159,62 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("collapsed rep-graph clusters ≡ closure over expanded pairs (random clone profiles)") {
+    // the closure-equivalence claim behind D7/P1/split's collapse-first
+    // path, randomized: for ANY grouping into clone groups, ANY rep pair
+    // set, and ANY signature subset, components of the rep graph expanded
+    // to members must equal components of the expandPairs-style flat list
+    val s = spark
+    import s.implicits._
+    val profileGen = for {
+      nGroups <- Gen.choose(1, 8)
+      sizes <- Gen.listOfN(nGroups, Gen.choose(1, 5))
+      nPairs <- Gen.choose(0, 6)
+      pairIdx <- Gen.listOfN(nPairs, for {
+        a <- Gen.choose(0, nGroups - 1)
+        b <- Gen.choose(0, nGroups - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      sigMask <- Gen.listOfN(nGroups, Gen.oneOf(true, false))
+    } yield (sizes, pairIdx.distinct, sigMask)
+    samples(profileGen, 8).foreach { case (sizes, pairIdx, sigMask) =>
+      // groups: group g occupies ids [100g, 100g + size); rep = 100g
+      val members = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (0 until sz).map(i => (100L * g + i, 100L * g))
+      }
+      val reps = sizes.indices.map(g => 100L * g)
+      // a rep pair can only arise between reps with signatures — enforce
+      // the same precondition the real graphs satisfy by construction
+      val pairs = pairIdx.filter { case (a, b) => sigMask(a) && sigMask(b) }
+        .map { case (a, b) => (100L * a, 100L * b) }
+      val sigReps = reps.zip(sigMask).collect { case (r, true) => r }
+      val ids = members.map(_._1).toDF("doc_id")
+      val groups = members.toDF("doc_id", "rep")
+      val repPairs = pairs.toDF("ra", "rb")
+      val selfReps = sigReps.toDF("rep")
+      // flat reference: expandPairs semantics — cross pairs between any
+      // members of paired groups, within pairs for signature groups
+      val memberOf = members.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val cross = pairs.flatMap { case (ra, rb) =>
+        for (x <- memberOf(ra); y <- memberOf(rb))
+          yield (math.min(x, y), math.max(x, y))
+      }
+      val within = sigReps.flatMap { r =>
+        val m = memberOf(r)
+        for (x <- m; y <- m if x < y) yield (x, y)
+      }
+      val flatPairs = (cross ++ within).distinct
+      val want = graft.operators.Dedup.dupClustersOf(ids,
+        flatPairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = graft.operators.Dedup.clustersFromRepGraph(
+        ids, groups, repPairs, selfReps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Caches.clearAll()
+      assert(got == want,
+        s"sizes $sizes pairs $pairs sigs $sigReps:\ngot  $got\nwant $want")
+    }
+  }
+
   test("salted join equals plain join on random key distributions") {
     val s = spark
     import s.implicits._
