@@ -19,6 +19,18 @@ object Bench {
     "v_cosine_topk", "d_minhash_lsh", "d_embedding_neardup",
     "s_window_agg", "s_sessionize")
 
+  /** GRAFT_NEARDUP=clusters swaps D2's pair list for the D7 cluster
+    * labels in the headline — the pair-list CONTRACT is intrinsically
+    * Σ C(g,2) in clone-group size (24.7M rows at sf10, mostly output
+    * cost), so large-SF scaling probes time the sanctioned linear-output
+    * contract instead; sf≤0.1 rounds keep the pair list for
+    * round-over-round comparability. The emitted JSON carries the key
+    * actually run. */
+  private def headlineFor(env: Map[String, String]): Seq[String] =
+    if (env.get("GRAFT_NEARDUP").contains("clusters"))
+      headline.map(q => if (q == "d_minhash_lsh") "d_dup_clusters" else q)
+    else headline
+
   // r3+ additions, timed and reported per-query but excluded from `total`
   // so the headline total stays comparable across rounds
   private val extras = Seq(
@@ -39,7 +51,11 @@ object Bench {
     "s_value_anomaly",
     // r7 additions
     "q_product_bm25", "v_lsh_ann", "p_split_leakproof", "p_data_card",
-    "p_dsir_sample")
+    "p_dsir_sample",
+    // r8 additions: the sanctioned scale contract for near-dup output
+    // (cluster labels — linear in docs — vs D2's Σ C(g,2) pair list) and
+    // the new admin listing
+    "d_dup_clusters", "q_all_orders")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,6 +66,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", // the serving-split index table
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
     var spark = newSession()
     spark.sparkContext.setLogLevel("WARN")
@@ -81,13 +99,52 @@ object Bench {
     }
 
     runOnce("q1_pricing_summary") // warm-up: JIT, codegen, FS metadata
-    val results = headline.map(n => n -> run(n))
+    val results = headlineFor(sys.env).map(n => n -> run(n))
     // GRAFT_BENCH_EXTRAS=0 → headline only (large-SF scaling probes where
     // the extras' exact-similarity legs would dominate the wall-clock)
+    val extrasOff = sys.env.get("GRAFT_BENCH_EXTRAS").contains("0")
     val extraResults =
-      if (sys.env.get("GRAFT_BENCH_EXTRAS").contains("0")) Seq.empty
+      if (extrasOff) Seq.empty
       else extras.map(n => n -> run(n))
-    val qs = (results ++ extraResults)
+    // r8: the ANN serving split, timed as build-once (reported separately,
+    // a deployment amortizes it) + per-query bucket-pruned probe. The
+    // serving session disables DisableUnnecessaryBucketedScan as
+    // documented on lshAnnIndexed.
+    val servingResults: Seq[(String, Double)] =
+      if (extrasOff) Seq.empty
+      else {
+        val t0 = System.nanoTime()
+        val buildSec =
+          try {
+            graft.operators.VectorOps.lshIndexBuild(spark, sfDir, "bench_lsh_sigs")
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] lshIndexBuild failed: ${e.getMessage}")
+            -1.0
+          }
+        val querySec =
+          if (buildSec < 0) -1.0
+          else {
+            val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            val prior = spark.conf.get(key)
+            spark.conf.set(key, "false")
+            try {
+              def once(): Double = {
+                val t = System.nanoTime()
+                graft.operators.VectorOps.lshAnnIndexed(spark, sfDir, "bench_lsh_sigs")
+                  .write.format("noop").mode("overwrite").save()
+                Caches.clearAll()
+                (System.nanoTime() - t) / 1e9
+              }
+              Seq.fill(3)(once()).min
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] v_lsh_ann_indexed failed: ${e.getMessage}")
+              -1.0
+            } finally spark.conf.set(key, prior)
+          }
+        Seq("v_lsh_ann_index_build" -> buildSec, "v_lsh_ann_indexed" -> querySec)
+      }
+    val qs = (results ++ extraResults ++ servingResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // headline only
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -25,6 +25,7 @@ object SparkEntry {
     "q_order_form" -> ((s, d) => Relational.orderFormProducts(s, d)),
     "q_check_stock" -> ((s, d) => Relational.checkStock(s, d)),
     "q_user_orders" -> ((s, d) => Relational.userOrders(s, d)),
+    "q_all_orders" -> ((s, d) => Relational.allOrders(s, d)),
     "q_order_status_counts" -> ((s, d) => Relational.orderStatusCounts(s, d)),
     "q_cancel_eligible" -> ((s, d) => Relational.cancelEligible(s, d)),
     "q_top_customers" -> ((s, d) => Relational.topCustomers(s, d)),
@@ -281,6 +282,11 @@ object SparkEntry {
         | l_linenumber, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_custkey = 42
+        |ORDER BY o_orderdate DESC, o_orderkey, l_linenumber""".stripMargin,
+    "q_all_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice,
+        | l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY o_orderdate DESC, o_orderkey, l_linenumber""".stripMargin,
     "q_order_status_counts" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
@@ -961,6 +967,10 @@ object SparkEntry {
         |GROUP BY part ORDER BY part""".stripMargin,
     // Node similarity: Jaccard over neighbor sets via the shared-neighbor
     // inverted index — the same candidate pattern as the Jaccard dedup.
+    // VALIDITY: this exact-Jaccard oracle holds only below the operator's
+    // Σdeg² pair-work budget (5e8 — all of sf≤0.1); above it the call
+    // reroutes to the probabilistic LSH twin (logged) and would not hash-
+    // match. The correctness harness runs at sf0.01, well inside budget.
     "g_node_similarity" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
         |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
@@ -1243,8 +1253,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(logw AS DOUBLE) AS logw, CAST(gkey AS DOUBLE) AS gkey
         |FROM g ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin,
     "p_data_card" ->
-      """SELECT COALESCE(source, 'ALL') AS source, COUNT(*) AS n_docs,
-        | SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
+      """SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+        | COUNT(*) AS n_docs,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
         | COUNT(DISTINCT md5(text)) AS n_unique,
         | ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
         | COUNT(DISTINCT lang) AS n_langs,

@@ -25,6 +25,8 @@ import graft.{Caches, Tables}
   */
 object GraphOps {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Canonical co-purchase edges (src < dst, weight = #co-occurring
     * orders), built in ONE pass: per-order sorted distinct part list →
     * in-row pair expansion → pair count. Two shuffles total (by orderkey,
@@ -301,7 +303,15 @@ object GraphOps {
     * the number of super-connectors (deg > maxDeg) and the candidate rows
     * the shared-neighbor self-join will emit after they are dropped —
     * Σ_{deg(n) ≤ maxDeg} deg(n)². One scalar aggregate over the cached
-    * arcs, amortized against the quadratic join it sizes. */
+    * arcs, amortized against the quadratic join it sizes.
+    *
+    * Unfiltered degrees are the RIGHT group sizes here, not a conservative
+    * proxy (ADVICE r7 re-derived): the self-join groups on the shared-
+    * neighbor key `nb`, the hub filter only removes rows whose nb IS a
+    * hub, and on the mirrored-symmetric arc frame the nb-group size of a
+    * surviving (non-hub) key v is #{a : a→v kept} = every neighbor of v —
+    * i.e. v's UNFILTERED degree. So Σ_{non-hub} deg² is exactly the
+    * filtered join's candidate volume. */
   private val pairWorkMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), (Long, Long)]
 
@@ -373,8 +383,15 @@ object GraphOps {
     import s.implicits._
     val nbrs = mirroredNbrs(e, cacheKey)
     val (nHubs, cappedWork) = pairWorkOf(nbrs, maxDeg, cacheKey)
-    if (cappedWork > maxPairWork)
+    if (cappedWork > maxPairWork) {
+      // surfaced, not silent (ADVICE r7): above budget the exact operator
+      // answers with the probabilistic banding twin — callers needing the
+      // exact-Jaccard contract (and its SQL oracle) must stay below budget.
+      log.warn(s"g_node_similarity: pair work $cappedWork exceeds budget " +
+        s"$maxPairWork — rerouting to MinHash-LSH banding (probabilistic); " +
+        "exact-Jaccard oracle parity does not hold for this run")
       return nodeSimilarityLshOf(e, k, cacheKey)
+    }
     // hub filter engages only when super-connectors exist — the plan (and
     // the oracle hash) is byte-identical to the unguarded form otherwise
     val capped =
@@ -482,10 +499,68 @@ object GraphOps {
       .orderBy($"part", $"landmark")
   }
 
-  // G8 — hop distances to landmark products (GraphX Pregel ShortestPaths —
-  // the Cypher shortestPath((a)-[*]-(b)) shape, batched over all nodes).
+  /** DataFrame leg of G8 — frontier-iteration multi-source BFS (the
+    * recursive-CTE oracle shape, run level-synchronously): seed each
+    * landmark at hop 0, then per level join the frontier against the
+    * cached arc list and anti-join out (node, landmark) pairs already
+    * labeled — BFS discovers each pair at its minimum hop, so first
+    * discovery IS the distance. Each level is two keyed shuffles of the
+    * FRONTIER (≤ V×L rows), never of the full distance table;
+    * localCheckpoint truncates lineage per level (the iterative-DataFrame
+    * pitfall, same as pageRankDF). Levels run to the landmark
+    * eccentricity (~3-4 on the co-purchase graph; `maxHops` bounds
+    * pathological chains). Unreachable pairs emit no row — the Pregel
+    * ShortestPaths contract. Unlike GraphX's replicated per-vertex
+    * Map[landmark→dist] state, every structure here is a flat keyed
+    * frame that spills under pressure instead of dying. */
+  private[graft] def shortestPathsDF(edges: DataFrame, nLandmarks: Int,
+      maxHops: Int = 64): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint(eager = true)
+    // same landmark choice as the GraphX leg: smallest nLandmarks node ids
+    val landmarks = arcs.select($"src").distinct().as[Long]
+      .orderBy($"src").limit(nLandmarks).collect().toSeq
+    var dist = landmarks.toDF("part")
+      .select($"part", $"part".as("landmark"), lit(0L).as("hops"))
+      .localCheckpoint(eager = true)
+    var frontier = dist
+    var hop = 1L
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(arcs, $"part" === $"src")
+        .select($"dst".as("part"), $"landmark").distinct()
+        .join(dist.select($"part", $"landmark"), Seq("part", "landmark"), "left_anti")
+        .select($"part", $"landmark", lit(hop).as("hops"))
+        .localCheckpoint(eager = true)
+      dist = dist.unionAll(next).localCheckpoint(eager = true)
+      frontier = next
+      hop += 1
+    }
+    dist.orderBy($"part", $"landmark")
+  }
+
+  // G8 — hop distances to landmark products (the Cypher
+  // shortestPath((a)-[*]-(b)) shape, batched over all nodes). Gated like
+  // G7: GraphX Pregel ShortestPaths replicates a Map[landmark→dist] per
+  // vertex into every edge partition that touches it — the same
+  // replicated-state regime that OOMs triangleCount — and was the
+  // slowest sf10 graph query (239 s, r7); above the arc budget the
+  // frontier-iteration DataFrame leg (flat keyed shuffles, spills
+  // instead of dying) answers. Both legs are result-identical (GraphSpec
+  // pins fixture + corpus identity).
   def shortestPaths(s: SparkSession, dir: String, nLandmarks: Int = 3): DataFrame =
-    shortestPathsOf(edgesUnsorted(s, dir), nLandmarks)
+    shortestPathsGated(edgesUnsorted(s, dir), nLandmarks, Some(s"tri-edges:$dir"))
+
+  private[graft] def shortestPathsGated(edges: DataFrame, nLandmarks: Int,
+      cacheKey: Option[String] = None,
+      maxGraphXEdges: Long = 3000000L): DataFrame = {
+    def count = edges.count()
+    val m = cacheKey.fold(count)(key => edgeCountMemo.getOrElseUpdate(key, count))
+    if (m > maxGraphXEdges) shortestPathsDF(edges, nLandmarks)
+    else shortestPathsOf(edges, nLandmarks)
+  }
 
   /** Per-node triangle counts for an arbitrary canonical edge frame. */
   /** GraphX leg of G7 — kept for the regime where the replicated
@@ -512,18 +587,24 @@ object GraphOps {
     * of dying: GraphX's replicated VertexSets OOM'd a 64 GiB JVM on the
     * sf10 co-purchase graph (dense uniform deg ≈ 222, replication ≈
     * partition count) where this plan completes. */
-  private[graft] def triangleCountDF(edges: DataFrame): DataFrame = {
+  private[graft] def triangleCountDF(edges: DataFrame,
+      cacheKey: Option[String] = None): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val arcs = edges.select($"src", $"dst")
       .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
     val deg = arcs.groupBy($"src".as("n")).agg(count(lit(1)).as("d"))
     val fwd = $"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst")
-    val orient = edges
-      .join(deg.select($"n".as("src"), $"d".as("ds")), "src")
-      .join(deg.select($"n".as("dst"), $"d".as("dd")), "dst")
-      .select(when(fwd, $"src").otherwise($"dst").as("u"),
-        when(fwd, $"dst").otherwise($"src").as("w"))
+    // orient feeds BOTH wedge self-join sides — persist it (SURVEY §5
+    // self-join discipline) so the two deg joins run once, not per side
+    val orient = {
+      def build = edges
+        .join(deg.select($"n".as("src"), $"d".as("ds")), "src")
+        .join(deg.select($"n".as("dst"), $"d".as("dd")), "dst")
+        .select(when(fwd, $"src").otherwise($"dst").as("u"),
+          when(fwd, $"dst").otherwise($"src").as("w"))
+      cacheKey.fold(build)(key => Caches.cached(s"$key:orient")(build))
+    }
     // wedge pair key keeps ID order so it joins the canonical (src<dst)
     // edge list directly; the apex u is the triangle's (deg,id) minimum,
     // so each triangle materializes exactly once
@@ -565,7 +646,7 @@ object GraphOps {
       maxGraphXEdges: Long = 3000000L): DataFrame = {
     def count = edges.count()
     val m = cacheKey.fold(count)(key => edgeCountMemo.getOrElseUpdate(key, count))
-    if (m > maxGraphXEdges) triangleCountDF(edges)
+    if (m > maxGraphXEdges) triangleCountDF(edges, cacheKey)
     else triangleCountGraphX(edges)
   }
 

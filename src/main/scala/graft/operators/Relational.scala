@@ -252,6 +252,24 @@ object Relational {
       .orderBy($"o_orderdate".desc, $"o_orderkey", $"l_linenumber")
   }
 
+  // R6b — admin all-orders listing with nested items, newest first
+  // (db_service.py:131 get_all_orders + joinedload(items), served by
+  // routers/admin.py:266). Same join as userOrders without the customer
+  // filter: both sides are fact-sized, so this is a shuffle sort-merge join
+  // on the order key followed by a distributed range sort — no broadcast, no
+  // single-partition stage. At dashboard scale the keyset-paginated shape
+  // (catalogPage, R4b) is the serving path; this is the full export contract.
+  def allOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o  = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderdate",
+        $"o_totalprice", $"l_linenumber", $"l_partkey", $"l_quantity",
+        $"l_extendedprice")
+      .orderBy($"o_orderdate".desc, $"o_orderkey", $"l_linenumber")
+  }
+
   // R7 — order status counts (admin oversight, routers/admin.py:267).
   def orderStatusCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -119,13 +119,16 @@ object CorpusPipeline {
     Tables.documents(s, dir)
       .rollup($"source")
       .agg(
+        // grouping() — not a NULL coalesce — marks the rollup total, so a
+        // real NULL source value can never collide with the 'ALL' row.
+        grouping($"source").as("is_total"),
         count(lit(1)).as("n_docs"),
         sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
         countDistinct(md5($"text")).as("n_unique"),
         countDistinct($"lang").as("n_langs"),
         sum($"n_chars").as("sum_chars"))
       .select(
-        coalesce($"source", lit("ALL")).as("source"),
+        when($"is_total" === 1, lit("ALL")).otherwise($"source").as("source"),
         $"n_docs", $"n_tokens", $"n_unique",
         round(lit(1.0) - $"n_unique".cast("double") / $"n_docs", 6).as("dup_frac"),
         $"n_langs",

@@ -11,11 +11,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * clone or junk page never costs its storage, its shuffle, or any
   * downstream pass (the batch pipeline cleans after the fact).
   *
-  * Semantics mirror `CorpusPipeline.corpusClean` exactly: the dedup
-  * decision is quality-INDEPENDENT (a low-quality keeper still claims
-  * its text group, so a later high-quality clone stays a dup — in batch
-  * the whole group dies with its keeper, and the stream must agree),
-  * and `exact_dup` takes precedence over `low_quality` in the verdict
+  * Semantics mirror `CorpusPipeline.corpusClean` UNDER IN-ORDER ARRIVAL
+  * (the IngestDedup convention, ADVICE r7): the streaming keeper is
+  * first-arrival while the batch keeper is the group's global min
+  * doc_id, so stream ≡ batch holds exactly when doc_ids arrive in
+  * nondecreasing order across micro-batches — a crawler assigning
+  * monotone ids satisfies this; replaying shuffled history does not
+  * (a later batch carrying a smaller-id clone swaps the kept/dup
+  * roles). Within that precondition the dedup decision is
+  * quality-INDEPENDENT (a low-quality keeper still claims its text
+  * group, so a later high-quality clone stays a dup — in batch the
+  * whole group dies with its keeper, and the stream must agree), and
+  * `exact_dup` takes precedence over `low_quality` in the verdict
   * label. Dedup state is IngestDedup's shape: one row per distinct
   * content hash, sharded by hash key; the quality gate is stateless.
   *

@@ -266,6 +266,29 @@ class GraphSpec extends SparkSpecBase {
     assert(got == want, s"got $got") // islands carry no rows: unreachable
   }
 
+  test("shortest paths: frontier-BFS DF leg ≡ GraphX leg (fixture + gated reroute)") {
+    // same planted path + island; both legs and the gate's reroute side
+    // must agree cell-for-cell, including absent rows for the island
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gx = toMap(GraphOps.shortestPathsOf(g, nLandmarks = 2))
+    val df = toMap(GraphOps.shortestPathsDF(g, nLandmarks = 2))
+    assert(df == gx, s"DF leg diverges: $df vs $gx")
+    val rerouted = toMap(GraphOps.shortestPathsGated(g, 2, maxGraphXEdges = 0L))
+    assert(rerouted == gx, "gate reroute changes the result")
+  }
+
+  test("shortest paths: both legs agree on the sf0.001 co-purchase graph") {
+    val e = GraphOps.copurchaseEdges(spark, sfDir)
+      .select("src", "dst", "weight")
+    val gx = GraphOps.shortestPathsOf(e, nLandmarks = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val df = GraphOps.shortestPathsDF(e, nLandmarks = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(df == gx, s"corpus divergence: ${(df diff gx).take(5)} / ${(gx diff df).take(5)}")
+  }
+
   test("pagerank on the corpus: positive ranks, top-k size, deterministic order") {
     val rows = GraphOps.pageRank(spark, sfDir).collect()
     assert(rows.length == 20)

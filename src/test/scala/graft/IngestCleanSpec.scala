@@ -11,6 +11,8 @@ import graft.streaming.IngestClean.{Doc, Verdict}
   * dies with its keeper; the stream must agree, not "rescue" it). */
 class IngestCleanSpec extends SparkSpecBase {
 
+  // equivalence precondition (documented on IngestClean): doc_ids arrive
+  // in nondecreasing order across micro-batches — the batches below do.
   test("stream verdicts ≡ batch verdicts, incl. low-quality keeper claiming its group") {
     val s = spark
     import s.implicits._

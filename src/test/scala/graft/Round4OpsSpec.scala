@@ -8,6 +8,18 @@ import graft.streaming.EventOps
   * decontamination, repetition signals, PII redaction, SCD2 history. */
 class Round4OpsSpec extends SparkSpecBase {
 
+  test("all orders: one row per lineitem, newest order first, dates nonincreasing") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = operators.Relational.allOrders(spark, sfDir)
+    assert(out.count() === li.count(), "admin listing must cover every item row")
+    val dates = out.select("o_orderdate").collect().map(_.get(0).toString)
+    assert(dates.zip(dates.tail).forall { case (a, b) => a >= b }, "not newest-first")
+    val maxDate = Tables.orders(spark, sfDir)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(max("o_orderdate")).collect()(0).get(0).toString
+    assert(dates.head === maxDate)
+  }
+
   test("decontaminate: flags exactly the train docs sharing a 5-gram with the bench set") {
     import spark.implicits._
     // doc_id % 10 == 0 → benchmark. doc 11 copies bench doc 10's opening

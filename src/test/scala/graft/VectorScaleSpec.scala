@@ -128,6 +128,7 @@ class VectorScaleSpec extends SparkSpecBase {
     // bucketed layout (the query only FILTERS on the bucket key) and the
     // scan reads every bucket — the serving-session config documented on
     // lshAnnIndexed
+    val prior = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try {
     VectorOps.lshIndexBuild(spark, sfDir, "lsh_sigs")
@@ -144,7 +145,7 @@ class VectorScaleSpec extends SparkSpecBase {
     val pruned = sel.get.group(0).split(" ")(1).toInt
     assert(pruned < sel.get.group(1).toInt, s"scan read every bucket: ${sel.get.group(0)}")
     } finally spark.conf
-      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prior)
   }
 
   test("IVF ANN: k-means cells + nProbe probing recall beats probing budget share") {
