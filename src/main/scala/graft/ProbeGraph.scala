@@ -12,7 +12,8 @@ import graft.operators.GraphOps
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.ProbeGraph [iters] [mode]
   * mode ∈ {both, graphx, df} — df-only exists to test the fallback in a
   * deliberately small heap where GraphX itself would OOM first — or
-  * {tri, tri-graphx, tri-df} to time the G7 triangle legs instead.
+  * {tri, tri-graphx, tri-df} to time the G7 triangle legs, or
+  * {sp, sp-graphx, sp-df} for the G8 landmark-BFS legs (r8).
   * Prints one JSON line {"graphx":s,"df":s,"iters":n,"sf":dir}.
   */
 object ProbeGraph {
@@ -37,14 +38,17 @@ object ProbeGraph {
     // warm the edge build once so both timings measure iteration, not scan
     edges.write.format("noop").mode("overwrite").save()
     val tri = mode.startsWith("tri")
-    val tGx = if (mode == "df" || mode == "tri-df") -1.0 else time {
+    val sp = mode.startsWith("sp")
+    val tGx = if (mode.endsWith("-df") || mode == "df") -1.0 else time {
       (if (tri) GraphOps.triangleCountGraphX(edges)
+       else if (sp) GraphOps.shortestPathsOf(edges, nLandmarks = 3)
        else GraphOps.pageRankOf(edges, iters))
         .write.format("noop").mode("overwrite").save()
     }
     Caches.clearAll()
-    val tDf = if (mode == "graphx" || mode == "tri-graphx") -1.0 else time {
-      (if (tri) GraphOps.triangleCountDF(edges)
+    val tDf = if (mode.endsWith("-graphx") || mode == "graphx") -1.0 else time {
+      (if (tri) GraphOps.triangleCountDF(edges, Some(s"probe-tri:$sfDir"))
+       else if (sp) GraphOps.shortestPathsDF(edges, nLandmarks = 3)
        else GraphOps.pageRankDF(edges, iters))
         .write.format("noop").mode("overwrite").save()
     }
