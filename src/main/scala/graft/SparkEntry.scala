@@ -123,6 +123,7 @@ object SparkEntry {
     "p_split_leakproof" -> ((s, d) => pipeline.CorpusPipeline.splitLeakproof(s, d)),
     "p_data_card" -> ((s, d) => pipeline.CorpusPipeline.dataCard(s, d)),
     "p_dsir_sample" -> ((s, d) => Sampling.dsirSample(s, d)),
+    "p_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
     "s_sliding_agg" -> ((s, d) => streaming.EventOps.slidingAggQuery(s, d)),
@@ -1252,6 +1253,17 @@ object SparkEntry {
         |      FROM lw)
         |SELECT doc_id, CAST(logw AS DOUBLE) AS logw, CAST(gkey AS DOUBLE) AS gkey
         |FROM g ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin,
+    // P7: shard = md5 draw % 8, pos = rank of the same draw within the
+    // shard — the whole layout rides one deterministic hash, so both
+    // engines produce the identical shuffle.
+    "p_shuffle_shards" ->
+      """SELECT CAST(h % 8 AS INT) AS shard,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+        | doc_id
+        |FROM (SELECT doc_id,
+        |        CAST(('0x'||substr(md5('shuffle:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |      FROM documents) t
+        |ORDER BY shard, pos""".stripMargin,
     "p_data_card" ->
       """SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
         | COUNT(*) AS n_docs,

@@ -93,6 +93,35 @@ object Sampling {
         $"gkey".cast("double").as("gkey"))
   }
 
+  /** P7 — `p_shuffle_shards`: the deterministic GLOBAL SHUFFLE + shard
+    * assignment a training run consumes (the last batch stage of every
+    * LLM data pipeline: break source/temporal locality, write N shard
+    * files a loader streams sequentially). `rand()`-based shuffles
+    * re-roll per retry and differ per cluster; here both the shard and
+    * the within-shard order ride the same keyed md5 draw as T5a-c, so
+    * the layout is bit-reproducible on any engine/partitioning — which
+    * is what makes a training run resumable and its data order
+    * auditable. shard = h % nShards needs no global coordination
+    * (embarrassingly parallel), and pos is a per-shard window rank —
+    * one shuffle by shard, each shard sorts independently. At 100 TB
+    * nShards scales with the corpus (real pipelines write 10k+ shards,
+    * each executor-sized), so the per-shard sort stays bounded; there
+    * is deliberately NO global row_number (a single-reducer rank is the
+    * anti-pattern this shape avoids). Reference behavior: the batch
+    * corpus export (backend/scrapers/product_scraper.py:221
+    * save_to_csv materializes one ordered file); this is that step made
+    * distributed, shuffled, and reproducible. */
+  def shuffleShards(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", h64(concat(lit("shuffle:"), $"doc_id")).as("h"))
+      .withColumn("shard", ($"h" % nShards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select($"shard", $"pos", $"doc_id")
+      .orderBy($"shard", $"pos")
+  }
+
   /** T5b — stratified sample: a fixed quota per language, taking each
     * stratum's lowest hash draws (a deterministic reservoir). One shuffle
     * by stratum; quota rank via window — at scale the stratum key is

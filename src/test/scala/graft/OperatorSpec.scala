@@ -108,6 +108,29 @@ class OperatorSpec extends SparkSpecBase {
     assert(first == again)
   }
 
+  test("shuffle shards: exact-once coverage, dense per-shard positions, deterministic, order broken") {
+    import spark.implicits._
+    val df = Sampling.shuffleShards(spark, sfDir).cache()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(df.count() == n)
+    assert(df.select("doc_id").distinct().count() == n) // exact-once
+    // pos is dense 0..cnt-1 within every shard (a loader can stream it)
+    val bad = df.groupBy($"shard")
+      .agg(count(lit(1)).as("cnt"), min($"pos").as("mn"), max($"pos").as("mx"))
+      .filter($"mn" =!= 0L || $"mx" =!= $"cnt" - 1)
+    assert(bad.isEmpty)
+    // deterministic layout: a fresh plan reproduces it bit-for-bit
+    val again = Sampling.shuffleShards(spark, sfDir).collect().map(_.toString)
+    assert(df.orderBy($"shard", $"pos").collect().map(_.toString).sameElements(again))
+    // it actually shuffles: within each shard the pos-ordered doc_id
+    // sequence is not id-sorted (P(sorted by chance) ≈ 1/cnt!)
+    val sortedShards = df.groupBy($"shard")
+      .agg(collect_list(struct($"pos", $"doc_id")).as("l"))
+      .select($"shard", expr("transform(array_sort(l), x -> x.doc_id)").as("ids"))
+      .filter(expr("ids = array_sort(ids)"))
+    assert(sortedShards.isEmpty)
+  }
+
   test("collapse-first clusters ≡ closure over expanded pairs on a clone-heavy corpus") {
     import spark.implicits._
     // clone-heavy (Σg² = 3·25+9 = 84 > 2n = 66) so the collapsed cluster
