@@ -111,10 +111,13 @@ object Sampling {
     * corpus export (backend/scrapers/product_scraper.py:221
     * save_to_csv materializes one ordered file); this is that step made
     * distributed, shuffled, and reproducible. */
-  def shuffleShards(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
-    import s.implicits._
+  def shuffleShards(s: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    shuffleShardsOf(Tables.documents(s, dir), nShards)
+
+  private[graft] def shuffleShardsOf(docs: DataFrame, nShards: Int): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", h64(concat(lit("shuffle:"), $"doc_id")).as("h"))
       .withColumn("shard", ($"h" % nShards).cast("int"))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))

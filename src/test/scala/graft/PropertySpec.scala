@@ -231,4 +231,24 @@ class PropertySpec extends SparkSpecBase {
       assert(salted == plain)
     }
   }
+
+  test("shuffle shards: permutation-partition with dense positions for any ids and shard count") {
+    val s = spark
+    import s.implicits._
+    val idsGen = for {
+      n <- Gen.choose(1, 120)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 100000L))
+      shards <- Gen.choose(1, 16)
+    } yield (ids.distinct, shards)
+    samples(idsGen, 5).foreach { case (ids, nShards) =>
+      val out = operators.Sampling.shuffleShardsOf(ids.toDF("doc_id"), nShards).collect()
+      // exact-once: the output doc_id multiset IS the input set
+      assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == ids.sorted)
+      // every shard in range; pos dense 0..cnt-1 within each shard
+      out.groupBy(_.getAs[Int]("shard")).foreach { case (sh, rows) =>
+        assert(sh >= 0 && sh < nShards)
+        assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until rows.length).toSeq)
+      }
+    }
+  }
 }
