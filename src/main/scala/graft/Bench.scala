@@ -55,7 +55,7 @@ object Bench {
     // r8 additions: the sanctioned scale contract for near-dup output
     // (cluster labels — linear in docs — vs D2's Σ C(g,2) pair list) and
     // the new admin listing
-    "d_dup_clusters", "q_all_orders", "p_shuffle_shards")
+    "d_dup_clusters", "q_all_orders", "p_shuffle_shards", "d_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -77,6 +77,7 @@ object SparkEntry {
     "d_decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "d_cross_dedup" -> ((s, d) => Dedup.crossDedup(s, d)),
+    "d_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
     // Vector (SURVEY §2 V1–V6)
     "v_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "v_semantic_cache" -> ((s, d) => VectorOps.semanticCache(s, d)),
@@ -687,6 +688,23 @@ object SparkEntry {
         |FROM pr JOIN sz sa ON dn=sa.doc_id JOIN sz sb ON do_=sb.doc_id
         |WHERE CAST(ni AS DOUBLE)/(sa.n+sb.n-ni) >= 0.5
         |ORDER BY doc_new, doc_old""".stripMargin,
+    // D10: positional 5-grams (NO distinct — repeats count), a position
+    // is dup iff its gram occurs >1 time corpus-wide; short docs emit
+    // n_grams = 0 via the left join.
+    "d_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1,len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) s
+        |      FROM d WHERE len(w) >= 5),
+        |pd AS (SELECT doc_id, s, COUNT(*) c FROM g GROUP BY doc_id, s),
+        |gl AS (SELECT s, SUM(c) cnt FROM pd GROUP BY s),
+        |r AS (SELECT pd.doc_id, SUM(pd.c) gr, SUM(CASE WHEN gl.cnt > 1 THEN pd.c ELSE 0 END) du
+        |      FROM pd JOIN gl USING (s) GROUP BY pd.doc_id)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(r.gr, 0) AS BIGINT) AS n_grams,
+        | CAST(COALESCE(r.du, 0) AS BIGINT) AS n_dup,
+        | COALESCE(ROUND(CAST(r.du AS DOUBLE)/r.gr, 6), 0.0) AS dup_frac
+        |FROM d LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Semantic decontamination: train×eval cosine through the same
     // list_transform dot-product shape as d_embedding_neardup.
     "d_decontaminate_semantic" ->

@@ -738,6 +738,45 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  // D10 — duplicated-span coverage (`d_dup_spans`): the ExactSubstr idea
+  // of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  // Models Better") re-expressed at n-gram granularity — a position is
+  // duplicated if its n-gram occurs more than once in the CORPUS
+  // (another doc or a repeat in the same doc), and the per-doc signal is
+  // the fraction of positions so covered. Doc-level dedup (D1-D7) keeps
+  // one copy of a page; THIS catches the boilerplate/quote/template mass
+  // that survives it, which is what substring-level scrubs remove at
+  // pretraining scale (there via suffix arrays; the n-gram form is the
+  // shuffle-keyed approximation a Spark cluster runs well).
+  // Shape: positional 5-grams (no distinct), pre-aggregated per
+  // (doc, gram) — groupBy gets map-side combine, so a hot boilerplate
+  // gram arrives at the shuffle as one partial row per map task, where a
+  // window-over-gram would ship every occurrence to one reducer. Global
+  // counts re-aggregate from the SAME per-doc partials (one extra keyed
+  // shuffle of the pre-shrunk frame), the dup flag joins back on the
+  // gram key (AQE-skew-tolerant), and the doc rollup is the final keyed
+  // shuffle. Short docs (< n words) emit no grams and re-enter via the
+  // left join with n_grams = 0.
+  def dupSpans(s: SparkSession, dir: String, n: Int = 5): DataFrame =
+    dupSpansOf(Tables.documents(s, dir), n)
+
+  /** D10 core over an arbitrary (doc_id, text) frame. */
+  private[graft] def dupSpansOf(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val perDoc = shinglesOf(docs.select($"doc_id", $"text"), n, dedup = false)
+      .groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
+    val global = perDoc.groupBy($"s").agg(sum($"c").as("cnt"))
+    val rolled = perDoc.join(global, "s")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("g"), sum(when($"cnt" > 1, $"c").otherwise(0L)).as("d"))
+    docs.select($"doc_id").join(rolled, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"g", lit(0L)).as("n_grams"),
+        coalesce($"d", lit(0L)).as("n_dup"),
+        coalesce(round($"d".cast("double") / $"g", 6), lit(0.0)).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
   // D5 — embedding-cosine near-dup on `embeddings`, exact at threshold τ,
   // restructured from the r1 all-pairs self-join into a k-means cell-pair
   // block join with triangle-inequality pruning:

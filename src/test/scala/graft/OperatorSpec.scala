@@ -131,6 +131,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(sortedShards.isEmpty)
   }
 
+  test("dup spans: cross-doc shares, self-repeats, unique and short docs scored correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot"), // 2 grams, 1 shared with doc 2
+      (2L, "alpha bravo charlie delta echo golf"),    // 2 grams, 1 shared with doc 1
+      (3L, "nova orbit pulsar quasar rocket"),        // 1 gram, unique
+      (4L, "two words"),                              // short: no grams
+      (5L, "p q r s t p q r s t p q r s t")           // every position self-repeated
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpansOf(docs, 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"), r.getAs[Double]("dup_frac"))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    assert(got(5L) == ((11L, 11L, 1.0))) // self-repetition counts: the boilerplate signal
+  }
+
   test("collapse-first clusters ≡ closure over expanded pairs on a clone-heavy corpus") {
     import spark.implicits._
     // clone-heavy (Σg² = 3·25+9 = 84 > 2n = 66) so the collapsed cluster
