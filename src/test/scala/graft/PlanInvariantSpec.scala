@@ -185,4 +185,29 @@ class PlanInvariantSpec extends SparkSpecBase {
     val byUser = p.split("Exchange hashpartitioning\\(user_id").length - 1
     assert(byUser == 1, s"expected one user_id hash exchange in:\n$p")
   }
+
+  test("r8 operators: all-orders keyed join, shuffle-shards single fold shuffle, dup-spans no gram window") {
+    // q_all_orders: the unbounded fact-fact listing must join on the key —
+    // never a cartesian/nested-loop — and sort distributed (range), not
+    // collapse to a single partition
+    val po = plan("q_all_orders")
+    assert(!po.contains("CartesianProduct") && !po.contains("BroadcastNestedLoopJoin"),
+      s"all-orders plans a non-equi join:\n$po")
+    assert(po.contains("rangepartitioning"), s"listing sort not distributed:\n$po")
+    // p_shuffle_shards: pure layout op — no join anywhere, the pos rank
+    // rides ONE hash exchange on the shard key (plus the presentation
+    // range sort), and the window is the only fold
+    val ps = plan("p_shuffle_shards")
+    assert(!ps.contains("Join"), s"shuffle-shards grew a join:\n$ps")
+    assert(ps.contains("Window"), s"per-shard rank lost its window:\n$ps")
+    val byShard = ps.split("Exchange hashpartitioning\\(shard").length - 1
+    assert(byShard == 1, s"expected one shard hash exchange in:\n$ps")
+    // d_dup_spans: the design choice under test — gram counts aggregate
+    // (map-side combine) and NEVER ride a window over the gram key, where
+    // a hot boilerplate gram would pile every occurrence on one reducer
+    val pd = plan("d_dup_spans")
+    assert(!pd.contains("Window"), s"dup-spans counts gram occurrences via a window:\n$pd")
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"),
+      s"dup-spans plans a non-equi join:\n$pd")
+  }
 }
