@@ -62,6 +62,7 @@ object SparkEntry {
     "t_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
     "t_bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
     "t_more_like_this" -> ((s, d) => TextOps.moreLikeThis(s, d)),
+    "t_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -117,6 +118,7 @@ object SparkEntry {
     "g_node_similarity_lsh" -> ((s, d) => GraphOps.nodeSimilarityLsh(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
+    "g_also_bought" -> ((s, d) => GraphOps.alsoBought(s, d)),
     // Pipeline composition (SURVEY §2 P1–P2)
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
@@ -534,6 +536,32 @@ object SparkEntry {
         |  ROUND(CAST(ni.n_shared AS DOUBLE)/(sz.n + qn.qn - ni.n_shared), 6) AS jacc
         |FROM ni JOIN sz ON ni.doc_id = sz.doc_id CROSS JOIN qn
         |ORDER BY jacc DESC, ni.doc_id LIMIT 10""".stripMargin,
+    // CCNet tercile buckets over the T11 score: the rank replay is a
+    // plain ROW_NUMBER window (exact semantics of Ranking.rowNumberWithin,
+    // which the Spark side computes without a per-group window); bucket
+    // edges are integer comparisons (3·rk vs n) — no division to round.
+    "t_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) wrd FROM documents),
+        |tf AS (SELECT doc_id, wrd, COUNT(*) tf FROM w GROUP BY 1,2),
+        |wf AS (SELECT wrd, SUM(tf) cf FROM tf GROUP BY wrd),
+        |tot AS (SELECT CAST(SUM(cf) AS DOUBLE) tot FROM wf),
+        |t AS (SELECT tf.doc_id, tf.tf,
+        |        CAST(ROUND(tf.tf * ROUND(log10(CAST(wf.cf AS DOUBLE)/tot.tot), 6), 6)
+        |          AS DECIMAL(18,6)) term
+        |      FROM tf JOIN wf ON tf.wrd = wf.wrd CROSS JOIN tot),
+        |lp AS (SELECT doc_id, CAST(SUM(term) AS DOUBLE)/CAST(SUM(tf) AS BIGINT) mean_logprob
+        |       FROM t GROUP BY doc_id),
+        |j AS (SELECT lp.doc_id, d.lang, lp.mean_logprob
+        |      FROM lp JOIN documents d ON lp.doc_id = d.doc_id),
+        |n AS (SELECT lang, COUNT(*) n FROM j GROUP BY lang),
+        |r AS (SELECT j.doc_id, j.lang, j.mean_logprob, n.n,
+        |        ROW_NUMBER() OVER (PARTITION BY j.lang
+        |          ORDER BY j.mean_logprob DESC, j.doc_id) rk
+        |      FROM j JOIN n ON j.lang = n.lang)
+        |SELECT doc_id, lang, mean_logprob,
+        |  CASE WHEN rk*3 <= n THEN 'head'
+        |       WHEN rk*3 <= n*2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "s_attribution" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
         |v AS (SELECT user_id vu, event_id view_id, ts vts FROM e WHERE event_type='view'),
@@ -978,6 +1006,25 @@ object SparkEntry {
         |SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS weight
         |FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk
         |GROUP BY a.pk, b.pk ORDER BY src, dst""".stripMargin,
+    // Association rules on the mirrored edge list: lift divides two exact
+    // BIGINT products in one IEEE op, ranking orders by the ROUNDED lift
+    // (+ dst) so tie-breaks agree across engines.
+    "g_also_bought" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) n_orders FROM lp),
+        |ic AS (SELECT pk, COUNT(*) n_ord FROM lp GROUP BY pk),
+        |e AS (SELECT a.pk src, b.pk dst, COUNT(*) w
+        |      FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |r AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+        |sc AS (SELECT r.src, r.dst, r.w weight,
+        |         ROUND(CAST(r.w AS DOUBLE)/n.n_orders, 6) support,
+        |         ROUND(CAST(r.w AS DOUBLE)/a.n_ord, 6) confidence,
+        |         ROUND(CAST(r.w*n.n_orders AS DOUBLE)/CAST(a.n_ord*b.n_ord AS DOUBLE), 6) lift
+        |       FROM r JOIN ic a ON r.src=a.pk JOIN ic b ON r.dst=b.pk CROSS JOIN n),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |         (PARTITION BY src ORDER BY lift DESC, dst) AS BIGINT) rk FROM sc)
+        |SELECT src, dst, weight, support, confidence, lift, rk
+        |FROM rk WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
     "g_degree" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
         |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2)

@@ -678,4 +678,43 @@ object GraphOps {
       .select($"part",
         round($"triangles" / (p * p * p)).cast("long").as("triangles_est"))
   }
+
+  // G10 — "also bought" recommendations as association rules over the
+  // co-purchase graph (the market-basket classic — Agrawal & Srikant
+  // 1994's measures, computed directly on G1's edge list rather than
+  // via frequent-itemset mining since the pairs already exist):
+  //   support(a,b)    = w(a,b) / N        N = orders with ≥1 item
+  //   confidence(a→b) = w(a,b) / n(a)     n(x) = orders containing x
+  //   lift(a→b)       = w·N / (n(a)·n(b))
+  // top-k consequents per antecedent by (lift desc, dst). Shapes: edges
+  // mirror once (rules are directional), the item-order counts join rides
+  // the product key, N is a single-row broadcast, and the per-antecedent
+  // top-k window partitions by product — bounded by co-purchase degree,
+  // never a whole-corpus group. Floats: lift = one IEEE division of two
+  // exact BIGINT products, rounded to 6dp, and the ranking orders by the
+  // ROUNDED value (+ dst tiebreak) so both engines break ties identically.
+  def alsoBought(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lp = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val nOrders = lp.agg(countDistinct($"ok").as("n_orders"))
+    val itemCnt = lp.groupBy($"pk").agg(count(lit(1)).as("n_ord"))
+    val e = edgesUnsorted(s, dir)
+    val rules = e.select($"src", $"dst", $"weight")
+      .unionAll(e.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    rules
+      .join(itemCnt.select($"pk".as("src"), $"n_ord".as("n_src")), "src")
+      .join(itemCnt.select($"pk".as("dst"), $"n_ord".as("n_dst")), "dst")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("support", round($"weight".cast("double") / $"n_orders", 6))
+      .withColumn("confidence", round($"weight".cast("double") / $"n_src", 6))
+      .withColumn("lift", round(($"weight" * $"n_orders").cast("double")
+        / ($"n_src" * $"n_dst").cast("double"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"src").orderBy($"lift".desc, $"dst")).cast("long"))
+      .filter($"rk" <= k)
+      .select($"src", $"dst", $"weight", $"support", $"confidence", $"lift", $"rk")
+      .orderBy($"src", $"rk")
+  }
 }

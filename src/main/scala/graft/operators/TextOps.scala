@@ -362,4 +362,32 @@ object TextOps {
       regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"),
         phoneRe, "<PHONE>").as("redacted"))
   }
+
+  // T14 — CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+  // every document within its language by the corpus-LM mean logprob
+  // (T11's score) and cut the ranking into head/middle/tail terciles —
+  // the classic "keep the head, sample the middle, drop the tail"
+  // pretraining quality split. The rank is NOT a window function: a
+  // per-language ROW_NUMBER window funnels a whole language stratum
+  // through one task (a 50 TB language at 100 TB), so the tercile rank
+  // comes from Ranking.rowNumberWithin (range-partition + boundary
+  // offsets — no group ever on one task). Bucket membership is pure
+  // integer arithmetic on (rank, n): head iff 3·rk ≤ n, middle iff
+  // 3·rk ≤ 2n — no division, no percentile interpolation to disagree on.
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = unigramLogprob(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"lang", $"mean_logprob")
+    val ranked = Ranking.rowNumberWithin(scored, "lang",
+      Seq($"mean_logprob".desc, $"doc_id"), "rk", s"ppl-rank:$dir")
+    val n = scored.groupBy($"lang").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(n), "lang")
+      .withColumn("ppl_bucket",
+        when($"rk" * 3 <= $"n", "head")
+          .when($"rk" * 3 <= $"n" * 2, "middle")
+          .otherwise("tail"))
+      .select($"doc_id", $"lang", $"mean_logprob", $"ppl_bucket")
+      .orderBy($"doc_id")
+  }
 }
