@@ -119,6 +119,7 @@ object SparkEntry {
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
     "g_also_bought" -> ((s, d) => GraphOps.alsoBought(s, d)),
+    "g_communities" -> ((s, d) => GraphOps.communities(s, d)),
     // Pipeline composition (SURVEY §2 P1–P2)
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
@@ -127,6 +128,7 @@ object SparkEntry {
     "p_data_card" -> ((s, d) => pipeline.CorpusPipeline.dataCard(s, d)),
     "p_dsir_sample" -> ((s, d) => Sampling.dsirSample(s, d)),
     "p_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
+    "p_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
     "s_sliding_agg" -> ((s, d) => streaming.EventOps.slidingAggQuery(s, d)),
@@ -1025,6 +1027,28 @@ object SparkEntry {
         |         (PARTITION BY src ORDER BY lift DESC, dst) AS BIGINT) rk FROM sc)
         |SELECT src, dst, weight, support, confidence, lift, rk
         |FROM rk WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
+    // G11: recursive-CTE replay of the synchronous LPA rounds — votes are
+    // BIGINT weight sums (no float), argmax per node by (vote desc, label
+    // asc) mirrors the Spark window's tie-break exactly.
+    "g_communities" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst, COUNT(*) AS w FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+        |lab AS (
+        |  SELECT 0 AS it, src AS v, src AS lbl FROM (SELECT DISTINCT src FROM arcs)
+        |  UNION ALL
+        |  SELECT it, v, lbl FROM (
+        |    SELECT it, v, lbl, ROW_NUMBER() OVER (PARTITION BY it, v
+        |        ORDER BY vote DESC, lbl) AS rk
+        |    FROM (
+        |      SELECT DISTINCT l.it + 1 AS it, a.dst AS v, l.lbl AS lbl,
+        |        SUM(a.w) OVER (PARTITION BY a.dst, l.lbl) AS vote
+        |      FROM lab l JOIN arcs a ON a.src = l.v
+        |      WHERE l.it < 5)
+        |  ) WHERE rk = 1
+        |)
+        |SELECT v AS part, lbl AS community FROM lab WHERE it = 5
+        |ORDER BY part""".stripMargin,
     "g_degree" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
         |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2)
@@ -1329,6 +1353,25 @@ object SparkEntry {
         |        CAST(('0x'||substr(md5('shuffle:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
         |      FROM documents) t
         |ORDER BY shard, pos""".stripMargin,
+    // P8: z-order replay — per-dim ROW_NUMBER → equal-depth 8-bit bucket
+    // (exact integer floor division), Morton interleave as plain bit
+    // arithmetic, shard = equal-depth cut of the z rank. All-integer.
+    "p_zorder_layout" ->
+      """WITH l AS (SELECT o_orderkey ok, o_orderdate od, o_custkey ck FROM orders),
+        |n AS (SELECT COUNT(*) n FROM l),
+        |rd AS (SELECT ok, ROW_NUMBER() OVER (ORDER BY od, ok) - 1 AS r FROM l),
+        |rp AS (SELECT ok, ROW_NUMBER() OVER (ORDER BY ck, ok) - 1 AS r FROM l),
+        |b AS (SELECT rd.ok, (rd.r*256)//n.n AS bd, (rp.r*256)//n.n AS bp
+        |      FROM rd JOIN rp ON rd.ok=rp.ok CROSS JOIN n),
+        |z AS (SELECT ok, CAST(
+        |   ((bd>>0)&1)*2+((bd>>1)&1)*8+((bd>>2)&1)*32+((bd>>3)&1)*128
+        |  +((bd>>4)&1)*512+((bd>>5)&1)*2048+((bd>>6)&1)*8192+((bd>>7)&1)*32768
+        |  +((bp>>0)&1)*1+((bp>>1)&1)*4+((bp>>2)&1)*16+((bp>>3)&1)*64
+        |  +((bp>>4)&1)*256+((bp>>5)&1)*1024+((bp>>6)&1)*4096+((bp>>7)&1)*16384
+        |  AS BIGINT) AS z FROM b),
+        |zr AS (SELECT ok, z, ROW_NUMBER() OVER (ORDER BY z, ok) - 1 AS r FROM z)
+        |SELECT ok, z, CAST((zr.r*16)//n.n AS BIGINT) AS shard
+        |FROM zr CROSS JOIN n ORDER BY ok""".stripMargin,
     "p_data_card" ->
       """SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
         | COUNT(*) AS n_docs,

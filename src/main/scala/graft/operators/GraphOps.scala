@@ -717,4 +717,53 @@ object GraphOps {
       .select($"src", $"dst", $"weight", $"support", $"confidence", $"lift", $"rk")
       .orderBy($"src", $"rk")
   }
+
+  /** Synchronous weighted label propagation (Raghavan et al. 2007's LPA,
+    * made deterministic): every node starts as its own label; each round,
+    * every node adopts the label with the largest incident edge-weight
+    * mass among its neighbors, ties broken by the SMALLEST label. Fixed
+    * round count + deterministic tie-break = a pure function of the edge
+    * list (the async/random variant converges faster but is a coin flip —
+    * useless for an auditable pipeline or a SQL oracle). Per round: one
+    * join of the label table against the cached mirrored arcs, one
+    * (node, label) count-sum with map-side partials, and a per-node
+    * argmax window whose groups are bounded by the node's distinct
+    * neighbor-label count (≤ degree) — never a whole-graph group.
+    * localCheckpoint truncates lineage like the PageRank loop. Votes are
+    * BIGINT weight sums — no float drift between engines. */
+  private[graft] def communitiesOf(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val arcs = edges.select($"src", $"dst", $"weight")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+      .localCheckpoint(eager = true)
+    var labels = arcs.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("lbl"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val votes = arcs.join(labels, $"src" === $"v")
+        .groupBy($"dst", $"lbl").agg(sum($"weight").as("vote"))
+      labels = votes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"dst").orderBy($"vote".desc, $"lbl")))
+        .filter($"rk" === 1)
+        .select($"dst".as("v"), $"lbl")
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
+  // G11 — co-purchase communities via deterministic synchronous LPA
+  // (the modularity-free community primitive next to G6's connectivity:
+  // CC answers "reachable at all", LPA answers "densely co-purchased").
+  // Reference scope: the Neo4j product graph is the natural home of a
+  // community query (neo4j_service.py builds the graph; GDS labelPropagation
+  // is the standard call on such a store).
+  def communities(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    import s.implicits._
+    communitiesOf(edgesUnsorted(s, dir), iters)
+      .select($"v".as("part"), $"lbl".as("community"))
+      .orderBy($"part")
+  }
 }

@@ -296,4 +296,33 @@ class GraphSpec extends SparkSpecBase {
     assert(ranks.forall(_ > 0))
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
   }
+
+  test("communities: two heavy cliques with a weak bridge resolve to two labels") {
+    val s = spark
+    import s.implicits._
+    // cliques {1,2,3} and {10,11,12} with internal weight 10, bridged 3-10
+    // at weight 1: LPA must keep the cliques apart and label each by its
+    // minimum member (the deterministic tie-break)
+    def clique(ids: Seq[Long], w: Long) =
+      for { a <- ids; b <- ids if a < b } yield (a, b, w)
+    val edges = (clique(Seq(1L, 2L, 3L), 10L) ++
+      clique(Seq(10L, 11L, 12L), 10L) :+ ((3L, 10L, 1L)))
+      .toDF("src", "dst", "weight")
+    val got = GraphOps.communitiesOf(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(got).distinct.length == 1)
+    assert(Seq(10L, 11L, 12L).map(got).distinct.length == 1)
+    assert(got(1L) != got(10L))
+  }
+
+  test("communities: deterministic on the corpus, labels are member nodes") {
+    val a = GraphOps.communities(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = GraphOps.communities(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    val nodes = a.map(_._1).toSet
+    assert(a.map(_._2).forall(nodes.contains)) // every label is a real node
+    assert(a.length == nodes.size)
+  }
 }
