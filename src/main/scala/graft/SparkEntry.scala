@@ -79,6 +79,9 @@ object SparkEntry {
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "d_cross_dedup" -> ((s, d) => Dedup.crossDedup(s, d)),
     "d_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    // k-means-seeded cluster scope ⇒ rows-only (V4b's argument); the
+    // planted-fixture spec pins group semantics + the keeper choice
+    "d_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
     // Vector (SURVEY §2 V1–V6)
     "v_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "v_semantic_cache" -> ((s, d) => VectorOps.semanticCache(s, d)),

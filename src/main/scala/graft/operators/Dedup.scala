@@ -931,4 +931,55 @@ object Dedup {
       .select($"va".as("vec_a"), $"vb".as("vec_b"), $"sim_r".as("sim"))
       .orderBy($"vec_a", $"vec_b")
   }
+
+  // D11 — SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup.
+  // k-means the embedding space, then look for τ-cosine duplicate groups
+  // only WITHIN each cluster and keep, per group, the member farthest
+  // from its centroid (lowest centroid cosine — the paper's
+  // diversity-preserving choice). Deliberately NOT exact at corpus scope:
+  // restricting the pair search to cells is the paper's cost model — the
+  // pair join is quadratic in cell size, not corpus size, and nCells
+  // scales with the corpus so cells stay bounded at 100 TB (D5 is the
+  // exact-at-τ operator when completeness matters; this is the cheap
+  // high-τ semantic prune). k-means-seeded ⇒ honestly rows-only in the
+  // contract (like V4b/V10); the spec pins the semantics on a planted
+  // fixture instead. τ default is calibrated to the synthetic corpus
+  // (near-isotropic, max pairwise cosine ≈ 0.51 — real embedding spaces
+  // run SemDeDup at 0.9+; the fixture spec uses 0.999 on planted clones).
+  def semDedup(s: SparkSession, dir: String, tau: Double = 0.4,
+      nCells: Int = 8, iters: Int = 2): DataFrame =
+    semDedupOn(VectorOps.normed(s, dir), tau, nCells, iters, dir)
+
+  /** D11 core over any normed frame (vec_id, v, nrm, u). Output: one row
+    * per vector — its cell, its duplicate group (min member id; own id if
+    * unique in-cell), and whether it is the group's keeper. */
+  private[graft] def semDedupOn(e: DataFrame, tau: Double, nCells: Int,
+      iters: Int, keyPrefix: String): DataFrame = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, iters)
+    if (cents.isEmpty)
+      return e.select($"vec_id", lit(0).as("cell"), $"vec_id".as("group_id"),
+        lit(true).as("kept")).limit(0)
+    val assigned = Caches.cached(s"semdedup-assigned:$keyPrefix") {
+      e.select($"vec_id", $"v", $"nrm", $"u")
+        .withColumn("cell", VecCluster.cellOf($"u", cents))
+        .withColumn("csim", VecCluster.cellSimOf($"u", cents))
+    }
+    val a = assigned.select($"cell", $"vec_id".as("ida"), $"v".as("va"), $"nrm".as("na"))
+    val b = assigned.select($"cell", $"vec_id".as("idb"), $"v".as("vb"), $"nrm".as("nb"))
+    val pairs = a.join(b, Seq("cell")).filter($"ida" < $"idb")
+      .withColumn("sim", round(vecDot($"va", $"vb") / ($"na" * $"nb"), 6))
+      .filter($"sim" >= tau)
+      .select($"ida".as("doc_a"), $"idb".as("doc_b"))
+    // duplicate GROUPS need the transitive closure (pairwise dropping is
+    // not transitive — the D7 argument); the pair graph is tiny at high τ
+    val comps = dupClustersOf(assigned.select($"vec_id".as("doc_id")), pairs)
+    comps.join(assigned.select($"vec_id".as("doc_id"), $"cell", $"csim"), "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster_id").orderBy($"csim", $"doc_id")))
+      .select($"doc_id".as("vec_id"), $"cell",
+        $"cluster_id".as("group_id"), ($"rk" === 1).as("kept"))
+      .orderBy($"vec_id")
+  }
 }

@@ -236,4 +236,43 @@ class VectorScaleSpec extends SparkSpecBase {
     assert(cells.length > 1, "k-means collapsed to one cell")
     e.unpersist()
   }
+
+  test("semdedup: planted clone groups collapse to one keeper, uniques survive") {
+    val s = spark
+    import s.implicits._
+    // exact clones always share a cell (identical u ⇒ identical argmax),
+    // so cluster scoping can never split them — the guaranteed case
+    val base = plantedCorpus(nBase = 6, nNoise = 30, dim = 16)
+    val clones = Seq(1000L, 2000L).map { off =>
+      base.filter($"vec_id" < 4)
+        .select(($"vec_id" + off).as("vec_id"), $"v", $"nrm", $"u")
+    }.reduce(_ unionAll _)
+    val e = base.unionAll(clones).cache()
+    val out = Dedup.semDedupOn(e, tau = 0.999, nCells = 4, iters = 2, "semdedup-fix")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == e.count()) // every vector classified exactly once
+    // each planted clone triple {i, i+1000, i+2000} forms one group with
+    // exactly one keeper
+    (0L until 4L).foreach { i =>
+      val grp = out.filter(r => Set(i, i + 1000L, i + 2000L)(r._1))
+      assert(grp.map(_._3).distinct.length == 1, s"clone group $i split: $grp")
+      assert(grp.count(_._4) == 1, s"clone group $i keeper count: $grp")
+      assert(grp.map(_._2).distinct.length == 1, s"clone group $i spans cells")
+    }
+    // vectors in singleton groups are always kept
+    out.groupBy(_._3).values.filter(_.length == 1)
+      .foreach(g => assert(g.head._4, s"singleton dropped: ${g.head}"))
+    // keeper = the group member with the LOWEST centroid cosine (ties by
+    // id): verify against a recomputed assignment
+    val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), 4, 2)
+    val csim = e.select($"vec_id", VecCluster.cellSimOf($"u", cents).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.groupBy(_._3).values.filter(_.length > 1).foreach { g =>
+      val keeper = g.find(_._4).get
+      val want = g.map(r => (csim(r._1), r._1)).min
+      assert((csim(keeper._1), keeper._1) == want, s"wrong keeper in $g")
+    }
+    e.unpersist()
+    Caches.clearAll()
+  }
 }
