@@ -55,7 +55,12 @@ object Bench {
     // r8 additions: the sanctioned scale contract for near-dup output
     // (cluster labels — linear in docs — vs D2's Σ C(g,2) pair list) and
     // the new admin listing
-    "d_dup_clusters", "q_all_orders", "p_shuffle_shards", "d_dup_spans")
+    "d_dup_clusters", "q_all_orders", "p_shuffle_shards", "d_dup_spans",
+    // r8b additions: the scale-safe grouped rank's consumers (tercile
+    // buckets, z-order layout = 3 range shuffles), the LPA communities
+    // loop, association rules, cluster-scoped semantic dedup, BFD packing
+    "t_ppl_buckets", "p_zorder_layout", "g_communities", "g_also_bought",
+    "d_semdedup", "p_pack_bestfit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -132,6 +132,10 @@ object SparkEntry {
     "p_dsir_sample" -> ((s, d) => Sampling.dsirSample(s, d)),
     "p_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
     "p_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
+    // best-fit-decreasing needs the whole open-bins vector as fold state
+    // — no scalar recursive-CTE replay ⇒ rows-only; the ScalaCheck spec
+    // carries reference equality + validity + never-worse-than-greedy
+    "p_pack_bestfit" -> ((s, d) => Packing.packTokensBestFit(s, d)),
     // Streaming batch-equivalents (SURVEY §2 S1–S4)
     "s_window_agg" -> ((s, d) => streaming.EventOps.windowAggQuery(s, d)),
     "s_sliding_agg" -> ((s, d) => streaming.EventOps.slidingAggQuery(s, d)),

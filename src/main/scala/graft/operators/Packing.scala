@@ -66,4 +66,53 @@ object Packing {
       .toDF()
       .orderBy($"lang", $"shard", $"doc_id")
   }
+
+  /** Best-fit-decreasing fold for one group: items in size-desc order
+    * (doc_id tie-break), each placed in the open bin with the LEAST
+    * remaining capacity that still fits (ties → lowest bin id); no fit →
+    * new bin. Deterministic, but the per-step state is the whole
+    * open-bins vector — not a scalar — so unlike the arrival-order
+    * greedy there is no recursive-CTE replay; the contract entry is
+    * rows-only and the spec carries the semantics (reference equality +
+    * validity + never-worse-than-greedy on random inputs). */
+  private def packGroupBestFit(docs: Iterator[PackDoc],
+      budget: Long): Iterator[PackedDoc] = {
+    val ds = docs.toArray.sortBy(d => (-d.tokens, d.doc_id))
+    val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ds.iterator.map { d =>
+      var best = -1
+      var i = 0
+      while (i < fills.length) {
+        if (fills(i) + d.tokens <= budget &&
+            (best < 0 || fills(i) > fills(best))) best = i
+        i += 1
+      }
+      if (best < 0) { fills += 0L; best = fills.length - 1 }
+      fills(best) += d.tokens
+      PackedDoc(d.lang, d.shard, d.doc_id, d.tokens, best + 1L, fills(best))
+    }
+  }
+
+  /** BFD on any PackDoc dataset — same shard-and-fold shape as packDocs. */
+  private[graft] def packDocsBestFit(docs: Dataset[PackDoc],
+      budget: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => (d.lang, d.shard))
+      .flatMapGroups((_: (String, Int), it: Iterator[PackDoc]) =>
+        packGroupBestFit(it, budget))
+  }
+
+  /** queries entry `p_pack_bestfit`: best-fit-decreasing packing — the
+    * higher-utilization offline variant next to P2's arrival-order greedy
+    * (BFD waste is bounded at 11/9·OPT+1 bins vs greedy's 2·OPT; size-
+    * sorting is free here because the group is already materialized for
+    * the fold). Same salted (lang, shard) grouping, so group size stays
+    * bounded at any corpus scale. */
+  def packTokensBestFit(s: SparkSession, dir: String, budget: Long = 200L,
+      nShards: Int = 4): DataFrame = {
+    import s.implicits._
+    packDocsBestFit(docsWithTokens(s, dir, nShards), budget)
+      .toDF()
+      .orderBy($"lang", $"shard", $"doc_id")
+  }
 }

@@ -114,6 +114,49 @@ class FoldPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("best-fit packing equals a plain-Scala BFD fold, valid bins, beats greedy on the corpus") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    import graft.operators.Packing.{PackDoc, PackedDoc}
+    val packGen: Gen[List[PackDoc]] = for {
+      n <- Gen.choose(1, 50)
+      docs <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("en", "de")
+        tok <- Gen.choose(1L, 120L)
+      } yield (lang, tok))
+    } yield docs.zipWithIndex.map { case ((l, t), i) => PackDoc(l, i % 2, i.toLong, t) }
+    samples(packGen, 5).foreach { docs =>
+      // reference replay: size-desc, best-fit = fullest bin that fits
+      val want = docs.groupBy(d => (d.lang, d.shard)).toSeq.flatMap { case (_, ds) =>
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.sortBy(d => (-d.tokens, d.doc_id)).map { d =>
+          val fit = fills.zipWithIndex.filter(_._1 + d.tokens <= 100L)
+          val best = if (fit.isEmpty) { fills += 0L; fills.length - 1 }
+                     else fit.maxBy(f => (f._1, -f._2))._2
+          fills(best) += d.tokens
+          PackedDoc(d.lang, d.shard, d.doc_id, d.tokens, best + 1L, fills(best))
+        }
+      }.sortBy(p => (p.lang, p.shard, p.doc_id))
+      val packed = Packing.packDocsBestFit(docs.toDS(), budget = 100L)
+        .collect().sortBy(p => (p.lang, p.shard, p.doc_id)).toSeq
+      assert(packed == want)
+      // validity: no bin over budget unless it is a single over-budget doc
+      packed.groupBy(p => (p.lang, p.shard, p.bin_id)).values.foreach { bs =>
+        val tot = bs.map(_.tokens).sum
+        assert(tot <= 100L || bs.length == 1, s"overfull bin: $bs")
+      }
+    }
+    // on the fixed corpus, BFD never needs more bins than arrival greedy
+    import org.apache.spark.sql.functions.{max, sum}
+    def bins(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"lang", $"shard").agg(max($"bin_id").as("b"))
+      .agg(sum($"b")).head.getLong(0)
+    val g = bins(Packing.packTokens(spark, sfDir))
+    val b = bins(Packing.packTokensBestFit(spark, sfDir))
+    assert(b <= g, s"BFD used $b bins vs greedy $g")
+  }
+
   private val cacheLogGen: Gen[List[CacheEvent]] = for {
     n <- Gen.choose(1, 30)
     evs <- Gen.listOfN(n, for {
