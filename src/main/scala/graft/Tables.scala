@@ -26,14 +26,23 @@ object Tables {
   // (documents, embeddings).
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to microseconds
-    * (exactly what engines with µs timestamps, and the DuckDB oracle's
-    * CAST(ts AS TIMESTAMP), do). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long, truncate to µs) and
+    * as plain TIMESTAMP(MICROS)/NTZ, depending on the generator run.
+    * Normalize every form to session-tz TimestampType so downstream
+    * operators and the DuckDB oracle's CAST(ts AS TIMESTAMP) see the
+    * same µs values (session tz is pinned to UTC ⇒ the NTZ cast is a
+    * pure dtype change). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val t = table(s, d, "events")
+    t.schema("ts").dataType match {
+      case LongType => t.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => t.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => t
+    }
   }
   /** documents arrives as one small parquet file = ONE input split, and
     * the expensive per-row work (shingle explosion, md5 hashing) happens

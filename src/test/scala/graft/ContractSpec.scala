@@ -13,7 +13,7 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the five documented non-SQL-expressible ops") {
+  test("the rows-only set is exactly the seven documented non-SQL-expressible ops") {
     // r4: triangle counting (3-way join) and landmark BFS (bounded
     // recursive CTE) turned out to be SQL-expressible after all; r6:
     // pagerank and connected components followed (window-aggregation in
@@ -21,14 +21,18 @@ class ContractSpec extends AnyFunSuite {
     // derived bands/planes replay exactly in SQL, including v_lsh_ann's
     // multi-probe). What remains is genuinely seeded/approximate or
     // stubbed — sketches, trained (k-means-seeded) ANN, the codec-less
-    // frame sampler.
+    // frame sampler, and the two r8 entries whose defining state has no
+    // scalar recursive-CTE form (SemDeDup's k-means cells, BFD's
+    // open-bins vector).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set(
       "m_frame_sample",          // decode stub, no SQL analogue
       "q_approx_distinct",       // sketch; exact count + error bound specced
       "q_approx_percentiles",    // sketch; exact quantiles ride along, error specced
       "v_ivf_ann",               // ANN; recall spec vs exact top-k (k-means-seeded)
-      "v_pq_ann")                // ADC is approximate; recall spec vs exact top-k
+      "v_pq_ann",                // ADC is approximate; recall spec vs exact top-k
+      "d_semdedup",              // k-means-seeded cell scope; planted-fixture spec
+      "p_pack_bestfit")          // vector fold state; ScalaCheck reference fold
     assert(rowsOnly == documented,
       s"missing oracle: ${rowsOnly -- documented}; stale doc: ${documented -- rowsOnly}")
   }
