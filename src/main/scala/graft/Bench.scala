@@ -60,7 +60,10 @@ object Bench {
     // buckets, z-order layout = 3 range shuffles), the LPA communities
     // loop, association rules, cluster-scoped semantic dedup, BFD packing
     "t_ppl_buckets", "p_zorder_layout", "g_communities", "g_also_bought",
-    "d_semdedup", "p_pack_bestfit")
+    "d_semdedup", "p_pack_bestfit",
+    // r8c additions: the retrieval composites (RRF hybrid fusion,
+    // per-user co-purchase recommendations)
+    "v_hybrid_search", "g_recommend_user")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -95,6 +95,7 @@ object SparkEntry {
     "v_quantize_int8" -> ((s, d) => VectorOps.quantizeInt8(s, d)),
     "v_maxsim" -> ((s, d) => VectorOps.maxSim(s, d)),
     "v_mmr_rerank" -> ((s, d) => VectorOps.mmrRerank(s, d)),
+    "v_hybrid_search" -> ((s, d) => VectorOps.hybridSearch(s, d)),
     // rows-only by design: PQ codebooks are float-trained (ADC is
     // approximate); the spec pins recall vs exact top-k on the corpus
     "v_pq_ann" -> ((s, d) => VectorOps.pqAnn(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
     "g_also_bought" -> ((s, d) => GraphOps.alsoBought(s, d)),
     "g_communities" -> ((s, d) => GraphOps.communities(s, d)),
+    "g_recommend_user" -> ((s, d) => GraphOps.recommendForUser(s, d)),
     // Pipeline composition (SURVEY §2 P1–P2)
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
@@ -839,6 +841,40 @@ object SparkEntry {
         |  ROUND(list_sum(list_transform(range(1,len(n.v)+1), i -> n.v[i]*qv[i]))/(n.nrm*qnrm), 6) AS sim
         |FROM n JOIN cand ON n.vec_id = cand.vec_id, q
         |ORDER BY sim DESC, n.vec_id LIMIT 5""".stripMargin,
+    // Hybrid RRF fusion: both legs are the existing t_more_like_this /
+    // v_cosine_topk relations at N=20 (query 42); RRF terms round to 6dp
+    // DECIMAL before the sum so the fused ranking is engine-identical.
+    // 1.0 must be cast to DOUBLE (a bare 1.0 is DECIMAL in DuckDB and
+    // DECIMAL/BIGINT division is not IEEE).
+    "v_hybrid_search" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
+        |       FROM d WHERE len(w) >= 2),
+        |rare AS (SELECT s FROM sh0 GROUP BY s
+        |         HAVING COUNT(*) <= 0.2 * (SELECT COUNT(*) FROM documents)),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare ON sh0.s = rare.s),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |q AS (SELECT s FROM sh WHERE doc_id = 42),
+        |qn AS (SELECT COUNT(*) qn FROM q),
+        |ni AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) n_shared
+        |       FROM sh JOIN q ON sh.s = q.s WHERE sh.doc_id <> 42 GROUP BY sh.doc_id),
+        |mlt AS (SELECT ni.doc_id,
+        |         ROUND(CAST(ni.n_shared AS DOUBLE)/(sz.n + qn.qn - ni.n_shared), 6) AS jacc
+        |        FROM ni JOIN sz ON ni.doc_id = sz.doc_id CROSS JOIN qn
+        |        ORDER BY jacc DESC, ni.doc_id LIMIT 20),
+        |lex AS (SELECT doc_id id, CAST(ROW_NUMBER() OVER (ORDER BY jacc DESC, doc_id) AS BIGINT) lex_rank FROM mlt),
+        |e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) v FROM embeddings),
+        |nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x->x*x))) nrm FROM e),
+        |qv AS (SELECT v qv, nrm qnrm FROM nv WHERE vec_id = 42),
+        |cs AS (SELECT vec_id,
+        |        ROUND(list_sum(list_transform(range(1,len(v)+1), i->v[i]*qv[i]))/(nrm*qnrm),6) AS sim
+        |       FROM nv, qv WHERE vec_id <> 42 ORDER BY sim DESC, vec_id LIMIT 20),
+        |vec AS (SELECT vec_id id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) vec_rank FROM cs)
+        |SELECT COALESCE(lex.id, vec.id) AS id, lex.lex_rank, vec.vec_rank,
+        |  ROUND(CAST(COALESCE(CAST(ROUND(CAST(1 AS DOUBLE)/(60 + lex.lex_rank), 6) AS DECIMAL(18,6)), 0)
+        |           + COALESCE(CAST(ROUND(CAST(1 AS DOUBLE)/(60 + vec.vec_rank), 6) AS DECIMAL(18,6)), 0) AS DOUBLE), 6) AS rrf
+        |FROM lex FULL JOIN vec ON lex.id = vec.id
+        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
     "v_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x->x*x))) nrm FROM e),
@@ -1037,6 +1073,19 @@ object SparkEntry {
     // G11: recursive-CTE replay of the synchronous LPA rounds — votes are
     // BIGINT weight sums (no float), argmax per node by (vote desc, label
     // asc) mirrors the Spark window's tie-break exactly.
+    // Personalized recommendations: mirrored arcs = the a.pk<>b.pk join;
+    // score is an exact BIGINT sum (outer CAST — SUM(BIGINT) is HUGEINT
+    // in DuckDB, the p_data_card lesson).
+    "g_recommend_user" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |own AS (SELECT DISTINCT lp.pk FROM orders o JOIN lp ON o.o_orderkey = lp.ok
+        |        WHERE o.o_custkey = 1),
+        |e AS (SELECT a.pk src, b.pk dst, CAST(COUNT(*) AS BIGINT) w
+        |      FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk GROUP BY 1, 2)
+        |SELECT e.dst AS part, CAST(SUM(e.w) AS BIGINT) AS score, COUNT(*) AS n_links
+        |FROM e JOIN own ON e.src = own.pk
+        |WHERE e.dst NOT IN (SELECT pk FROM own)
+        |GROUP BY e.dst ORDER BY score DESC, part LIMIT 10""".stripMargin,
     "g_communities" ->
       """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
         |e AS (SELECT a.pk src, b.pk dst, COUNT(*) AS w FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),

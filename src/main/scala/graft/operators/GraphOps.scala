@@ -766,4 +766,43 @@ object GraphOps {
       .select($"v".as("part"), $"lbl".as("community"))
       .orderBy($"part")
   }
+
+  /** G12 core on any canonical edge list + owned-item set: mirror the
+    * edges (recommendation mass flows both ways), keep arcs leaving the
+    * owned set, drop candidates already owned (left_anti), and score each
+    * candidate by its total co-purchase weight into the owned set. */
+  private[graft] def recommendOn(edges: DataFrame, owned: DataFrame,
+      k: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val arcs = edges.select($"src", $"dst", $"weight")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    arcs.join(broadcast(owned), arcs("src") === owned("pk")).drop("pk")
+      .join(broadcast(owned.select($"pk".as("dst"))), Seq("dst"), "left_anti")
+      .groupBy($"dst")
+      .agg(sum($"weight").as("score"), count(lit(1)).as("n_links"))
+      .select($"dst".as("part"), $"score", $"n_links")
+      .orderBy($"score".desc, $"part")
+      .limit(k)
+  }
+
+  // G12 — personalized recommendations for ONE customer: candidates =
+  // parts co-purchased with anything in the customer's order history,
+  // minus the history itself; score = total co-purchase weight into the
+  // history (classic item-based collaborative filtering — Sarwar et al.
+  // 2001 — with co-occurrence counts as the item-item similarity; G10 is
+  // the global rule table, this is its per-user application; reference:
+  // the agent's product-suggestion surface over the Neo4j graph +
+  // db_service.py:155 order history). Shapes: the owned set is one
+  // customer's history ⇒ broadcast on both sides (semi + anti), so the
+  // only shuffle is the candidate groupBy — bounded by the history's
+  // co-purchase degree sum, never corpus-wide. Scores are exact BIGINT
+  // sums: no float to disagree with the oracle on.
+  def recommendForUser(s: SparkSession, dir: String,
+      custKey: Long = 1L, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val owned = Tables.orders(s, dir).filter($"o_custkey" === custKey)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"l_partkey".as("pk")).distinct()
+    recommendOn(edgesUnsorted(s, dir), owned, k)
+  }
 }

@@ -509,4 +509,40 @@ object VectorOps {
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy($"keep_id")
   }
+
+  // V12 — hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+  // SIGIR 2009): the same example document retrieved lexically (T12's
+  // capped-shingle Jaccard) and semantically (V1's cosine), each leg's
+  // top-N fused by RRF(d) = Σ_legs 1/(k0 + rank_leg(d)), k0 = 60 per the
+  // paper. This is the fusion the reference's two retrieval stores
+  // (Neo4j fulltext + Chroma cosine) need to act as ONE search surface,
+  // and rank-based fusion is the standard answer because the legs' score
+  // scales are incomparable (BM25 mass vs cosine in [-1,1]). Shapes:
+  // each leg is already a TakeOrdered top-N, so the rank windows run
+  // over N-row post-limit frames (bounded — NOT a corpus-wide global
+  // window) and the fusion is a full outer join of two N-row frames.
+  // Float parity: each RRF term is 1/(k0+rank) rounded to 6dp as
+  // DECIMAL(18,6); the fused score is exact decimal addition, cast to
+  // double at the end — engine-identical ranking.
+  def hybridSearch(s: SparkSession, dir: String, queryId: Long = 42L,
+      legK: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    import s.implicits._
+    def rrfTerm(r: Column): Column = coalesce(
+      round(lit(1.0) / (lit(rrfK) + r), 6).cast("decimal(18,6)"),
+      lit(0).cast("decimal(18,6)"))
+    val lex = TextOps.moreLikeThis(s, dir, queryId, legK)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy($"jacc".desc, $"doc_id")).cast("long"))
+      .select($"doc_id".as("id"), $"lex_rank")
+    val vec = cosineTopK(s, dir, queryId, legK)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy($"sim".desc, $"vec_id")).cast("long"))
+      .select($"vec_id".as("id"), $"vec_rank")
+    lex.join(vec, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        (rrfTerm($"lex_rank") + rrfTerm($"vec_rank")).cast("double"), 6))
+      .select($"id", $"lex_rank", $"vec_rank", $"rrf")
+      .orderBy($"rrf".desc, $"id")
+      .limit(k)
+  }
 }

@@ -325,4 +325,37 @@ class GraphSpec extends SparkSpecBase {
     assert(a.map(_._2).forall(nodes.contains)) // every label is a real node
     assert(a.length == nodes.size)
   }
+
+  test("recommendOn: planted graph — owned excluded, mass summed across owned items, ties on part") {
+    val s = spark
+    import s.implicits._
+    // owned {1,2}; candidate 5 reachable from BOTH owned items (2+3=5),
+    // candidate 6 from one (5), candidate 7 weakly (1); edge 1-2 links
+    // two owned items and must not produce a recommendation.
+    val edges = Seq(
+      (1L, 5L, 2L), (2L, 5L, 3L), (1L, 6L, 5L), (2L, 7L, 1L), (1L, 2L, 9L))
+      .toDF("src", "dst", "weight")
+    val owned = Seq(1L, 2L).toDF("pk")
+    val got = GraphOps.recommendOn(edges, owned, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 5 and 6 tie at score 5 -> part asc breaks the tie; 5 has two links
+    assert(got.toSeq == Seq((5L, 5L, 2L), (6L, 5L, 1L), (7L, 1L, 1L)))
+  }
+
+  test("recommendForUser: corpus run never recommends an owned part, scores positive and sorted") {
+    val s = spark
+    import s.implicits._
+    val owned = graft.Tables.orders(spark, sfDir)
+      .filter($"o_custkey" === 1L)
+      .join(graft.Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select($"l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(owned.nonEmpty) // custkey 1 must exist at every SF for the contract
+    val recs = GraphOps.recommendForUser(spark, sfDir, 1L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(recs.nonEmpty)
+    assert(recs.forall { case (p, _, _) => !owned.contains(p) })
+    assert(recs.forall { case (_, score, links) => score > 0 && links >= 1 && links <= owned.size })
+    val scores = recs.map(_._2).toSeq
+    assert(scores == scores.sortBy(-_))
+  }
 }

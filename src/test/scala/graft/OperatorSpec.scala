@@ -110,7 +110,11 @@ class OperatorSpec extends SparkSpecBase {
 
   test("shuffle shards: exact-once coverage, dense per-shard positions, deterministic, order broken") {
     import spark.implicits._
+    // cache released in the finally: the session is shared across suites,
+    // and a live InMemoryRelation would substitute itself into
+    // PlanInvariantSpec's p_shuffle_shards plan (doubling its exchanges)
     val df = Sampling.shuffleShards(spark, sfDir).cache()
+    try {
     val n = Tables.documents(spark, sfDir).count()
     assert(df.count() == n)
     assert(df.select("doc_id").distinct().count() == n) // exact-once
@@ -129,6 +133,7 @@ class OperatorSpec extends SparkSpecBase {
       .select($"shard", expr("transform(array_sort(l), x -> x.doc_id)").as("ids"))
       .filter(expr("ids = array_sort(ids)"))
     assert(sortedShards.isEmpty)
+    } finally df.unpersist(blocking = true)
   }
 
   test("dup spans: cross-doc shares, self-repeats, unique and short docs scored correctly") {
@@ -661,5 +666,27 @@ class OperatorSpec extends SparkSpecBase {
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
     assert(byDoc.values.forall(_.length <= 4))
     assert(rows.forall(r => r.getAs[Int]("offset") == r.getAs[Int]("frame_idx") * 100))
+  }
+
+  test("hybrid search: fused scores equal a brute-force RRF recompute of the two legs") {
+    val legK = 20
+    val lex = TextOps.moreLikeThis(spark, sfDir, 42L, legK).collect()
+      .map(_.getAs[Long]("doc_id")).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val vec = VectorOps.cosineTopK(spark, sfDir, 42L, legK).collect()
+      .map(_.getAs[Long]("vec_id")).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    def term(r: Option[Long]): BigDecimal = r.fold(BigDecimal(0))(rk =>
+      BigDecimal(1.0 / (60 + rk)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    val expected = (lex.keySet ++ vec.keySet).toSeq
+      .map(id => (id, (term(lex.get(id)) + term(vec.get(id))).toDouble))
+      .sortBy { case (id, s) => (-s, id) }
+      .take(10)
+    val got = VectorOps.hybridSearch(spark, sfDir, 42L, legK, 10).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("rrf")))
+    assert(got.toSeq == expected, s"got ${got.toSeq} expected $expected")
+    // a doc in both legs must out-rank a doc with only one (equal-rank) leg
+    val both = got.filter { case (id, _) => lex.contains(id) && vec.contains(id) }
+    assert(both.nonEmpty, "fixture corpus should fuse at least one doc from both legs")
   }
 }

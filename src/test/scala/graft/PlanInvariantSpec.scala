@@ -210,4 +210,18 @@ class PlanInvariantSpec extends SparkSpecBase {
     assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"),
       s"dup-spans plans a non-equi join:\n$pd")
   }
+
+  test("r8 retrieval composites: recommend broadcasts the owned set, hybrid fuses two top-k legs") {
+    // g_recommend_user: one customer's history is tiny — both the semi
+    // (src ∈ owned) and anti (dst ∉ owned) legs must broadcast it, and
+    // the plan must not grow a cartesian
+    val pr = plan("g_recommend_user")
+    assert(pr.contains("BroadcastHashJoin"), s"owned set not broadcast:\n$pr")
+    assert(!pr.contains("CartesianProduct"), s"recommend plans a cartesian:\n$pr")
+    // v_hybrid_search: each leg ends in a bounded top-k (TakeOrdered)
+    // before its rank window, so the rrf windows never see the corpus
+    val ph = plan("v_hybrid_search")
+    assert(ph.contains("TakeOrderedAndProject"), s"hybrid legs lost their top-k:\n$ph")
+    assert(!ph.contains("CartesianProduct"), s"hybrid plans a cartesian:\n$ph")
+  }
 }
