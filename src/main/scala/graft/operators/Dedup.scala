@@ -946,17 +946,64 @@ object Dedup {
   // fixture instead. τ default is calibrated to the synthetic corpus
   // (near-isotropic, max pairwise cosine ≈ 0.51 — real embedding spaces
   // run SemDeDup at 0.9+; the fixture spec uses 0.999 on planted clones).
+  //
+  // Two r8 scale fixes, both found by the sf10 probe (200k vectors,
+  // fixed nCells=8: 434 s; √n-auto alone: 155 s; with collapse-first:
+  // 14.7 s, and sf1→sf10 goes FLAT because cost tracks the rep count):
+  //  1. nCells defaults to AUTO = max(8, ⌈√n⌉) over the frame the cells
+  //     actually scope (reps on a clone-y corpus): a FIXED cell count
+  //     makes cells grow linearly with the corpus and the in-cell pair
+  //     join quadratic overall; √n balances the two costs (n·k centroid
+  //     assignment vs Σ(n/k)² pair work) at O(n^1.5) total. The count is
+  //     one bounded aggregate over the session-cached frame.
+  //  2. collapse-first like the rest of the dedup family: bit-identical
+  //     vectors share a cell and pair at sim 1.0 ≥ τ always, so the cell
+  //     machinery runs on clone-group REPRESENTATIVES and labels expand
+  //     back by one join — semantically undisturbed (clones inherit the
+  //     rep's cell/group; the keeper is the kept rep itself, since reps
+  //     are min-id and the flat ranking is (csim, doc_id) — specced),
+  //     without the Σg² clone mass in the pair join.
   def semDedup(s: SparkSession, dir: String, tau: Double = 0.4,
-      nCells: Int = 8, iters: Int = 2): DataFrame =
+      nCells: Int = 0, iters: Int = 2): DataFrame =
     semDedupOn(VectorOps.normed(s, dir), tau, nCells, iters, dir)
 
-  /** D11 core over any normed frame (vec_id, v, nrm, u). Output: one row
-    * per vector — its cell, its duplicate group (min member id; own id if
+  /** D11 dispatcher over any normed frame (vec_id, v, nrm, u): flat on a
+    * clone-free corpus, collapse-first otherwise. Output: one row per
+    * vector — its cell, its duplicate group (min member id; own id if
     * unique in-cell), and whether it is the group's keeper. */
   private[graft] def semDedupOn(e: DataFrame, tau: Double, nCells: Int,
       iters: Int, keyPrefix: String): DataFrame = {
     import e.sparkSession.implicits._
+    if (!hasExactVecClones(e, s"vclonechk:$keyPrefix"))
+      return semDedupFlat(e, tau, nCells, iters, keyPrefix)
+    // same cached frames D5's collapse-first path builds for this corpus
+    val vgroups = Caches.cached(s"neardup-vgroups:$keyPrefix") {
+      val gb = e.groupBy($"v").agg(min($"vec_id").as("rep"))
+      e.select($"vec_id", $"v").join(gb, "v").select($"vec_id", $"rep")
+    }
+    val reps = Caches.cached(s"neardup-reps:$keyPrefix") {
+      e.join(vgroups.filter($"vec_id" === $"rep").select($"vec_id"), "vec_id")
+    }
+    val repOut = semDedupFlat(reps, tau, nCells, iters, s"$keyPrefix#reps")
+    // one label-expansion join: a clone sits exactly where its rep sits;
+    // group_id stays the expanded group's min member because reps ARE the
+    // min ids of their clone groups; the keeper is the kept rep itself
+    // (ties in csim resolve to the smallest doc_id, which is a rep)
+    vgroups.select($"vec_id", $"rep")
+      .join(repOut.select($"vec_id".as("rep"), $"cell", $"group_id",
+        $"kept".as("rep_kept")), "rep")
+      .select($"vec_id", $"cell", $"group_id",
+        ($"rep_kept" && $"vec_id" === $"rep").as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** D11 core (flat form). nCells ≤ 0 → auto √n. */
+  private[graft] def semDedupFlat(e: DataFrame, tau: Double, nCells0: Int,
+      iters: Int, keyPrefix: String): DataFrame = {
+    import e.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
+    val nCells = if (nCells0 > 0) nCells0
+                 else math.max(8, math.ceil(math.sqrt(e.count().toDouble)).toInt)
     val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, iters)
     if (cents.isEmpty)
       return e.select($"vec_id", lit(0).as("cell"), $"vec_id".as("group_id"),

@@ -275,4 +275,44 @@ class VectorScaleSpec extends SparkSpecBase {
     e.unpersist()
     Caches.clearAll()
   }
+
+  test("semdedup collapse-first: adding exact clones never disturbs the rep-level structure") {
+    val s = spark
+    import s.implicits._
+    // reps of (base + clones) are exactly the base frame (clones carry
+    // higher ids), so the collapse-first run's internal k-means sees the
+    // same frame as a flat run on base: the base rows' (cell, group,
+    // kept) must be BIT-IDENTICAL, and each clone must inherit its rep's
+    // cell/group with kept=false
+    val base = plantedCorpus(nBase = 6, nNoise = 30, dim = 16)
+    val clones = Seq(1000L, 2000L).map { off =>
+      base.filter($"vec_id" < 4)
+        .select(($"vec_id" + off).as("vec_id"), $"v", $"nrm", $"u")
+    }.reduce(_ unionAll _)
+    val flat = Dedup.semDedupOn(base, tau = 0.999, nCells = 4, iters = 2,
+        "semdedup-inv-flat")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val both = Dedup.semDedupOn(base.unionAll(clones), tau = 0.999,
+        nCells = 4, iters = 2, "semdedup-inv-col")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val flatBy = flat.map(r => r._1 -> r).toMap
+    val bothBy = both.map(r => r._1 -> r).toMap
+    // cell IDS are not compared: Lloyd's per-dim sums reduce in partition
+    // order, and the reps frame is partitioned differently from base, so
+    // centroids can come out bit-shifted/relabeled (documented VecCluster
+    // caveat). The SEMANTIC output — grouping and keeper choice — must
+    // be undisturbed on this well-separated fixture.
+    both.filter(_._1 < 1000L).foreach { case (id, _, grp, kept) =>
+      val f = flatBy(id)
+      assert(grp == f._3 && kept == f._4,
+        s"collapse-first disturbed rep $id: got ($grp,$kept), flat $f")
+    }
+    both.filter(_._1 >= 1000L).foreach { case (id, cell, grp, kept) =>
+      val rep = bothBy(id % 1000L)
+      assert(cell == rep._2 && grp == rep._3,
+        s"clone $id not co-located with its rep: got ($cell,$grp), rep $rep")
+      assert(!kept, s"clone $id kept over its rep")
+    }
+    Caches.clearAll()
+  }
 }
