@@ -63,7 +63,12 @@ object Bench {
     "d_semdedup", "p_pack_bestfit",
     // r8c additions: the retrieval composites (RRF hybrid fusion,
     // per-user co-purchase recommendations)
-    "v_hybrid_search", "g_recommend_user")
+    "v_hybrid_search", "g_recommend_user",
+    // r8d additions: binary-quantization ANN, the two new graph analytics
+    // (AA link prediction, k-core peel loop), temperature mixing, PSI
+    // drift, BPE merge training (the tokenizer-prep loop)
+    "v_bq_ann", "g_adamic_adar", "g_kcore", "p_temperature_sample",
+    "p_drift_psi", "t_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

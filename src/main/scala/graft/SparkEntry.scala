@@ -96,6 +96,7 @@ object SparkEntry {
     "v_maxsim" -> ((s, d) => VectorOps.maxSim(s, d)),
     "v_mmr_rerank" -> ((s, d) => VectorOps.mmrRerank(s, d)),
     "v_hybrid_search" -> ((s, d) => VectorOps.hybridSearch(s, d)),
+    "v_bq_ann" -> ((s, d) => VectorOps.bqAnn(s, d)),
     // rows-only by design: PQ codebooks are float-trained (ADC is
     // approximate); the spec pins recall vs exact top-k on the corpus
     "v_pq_ann" -> ((s, d) => VectorOps.pqAnn(s, d)),
@@ -120,6 +121,8 @@ object SparkEntry {
     // the data, not a coin flip); the planted-fixture spec still pins
     // recall on a true near-identical neighborhood
     "g_node_similarity_lsh" -> ((s, d) => GraphOps.nodeSimilarityLsh(s, d)),
+    "g_adamic_adar" -> ((s, d) => GraphOps.adamicAdar(s, d)),
+    "g_kcore" -> ((s, d) => GraphOps.kCore(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
     "g_also_bought" -> ((s, d) => GraphOps.alsoBought(s, d)),
@@ -132,6 +135,12 @@ object SparkEntry {
     "p_split_leakproof" -> ((s, d) => pipeline.CorpusPipeline.splitLeakproof(s, d)),
     "p_data_card" -> ((s, d) => pipeline.CorpusPipeline.dataCard(s, d)),
     "p_dsir_sample" -> ((s, d) => Sampling.dsirSample(s, d)),
+    "p_temperature_sample" -> ((s, d) => Sampling.temperatureSample(s, d)),
+    "p_drift_psi" -> ((s, d) => Drift.psiDrift(s, d)),
+    // iterative vocab-state rewriting has no scalar SQL replay ⇒
+    // rows-only; the spec carries a single-JVM reference fold + the
+    // classic known-merges fixture
+    "t_bpe_merges" -> ((s, d) => Bpe.bpeMerges(s, d)),
     "p_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
     "p_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
     // best-fit-decreasing needs the whole open-bins vector as fold state
@@ -841,6 +850,30 @@ object SparkEntry {
         |  ROUND(list_sum(list_transform(range(1,len(n.v)+1), i -> n.v[i]*qv[i]))/(n.nrm*qnrm), 6) AS sim
         |FROM n JOIN cand ON n.vec_id = cand.vec_id, q
         |ORDER BY sim DESC, n.vec_id LIMIT 5""".stripMargin,
+    // V13 replay: sign bits are a pure function of the store, so the
+    // whole "approximate" path replays exactly — pack 32 sign bits per
+    // word (lo/hi, the D3 two-half precedent: a 64-bit list_sum rebuild
+    // would overflow BIGINT at bit 63), Hamming = popcount of the XORs,
+    // candidate budget = 50 best (ham, vec_id), then exact cosine top-5.
+    "v_bq_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |sg AS (SELECT vec_id,
+        |        CAST(list_sum(list_transform(range(1,33), i ->
+        |          CASE WHEN v[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) lo,
+        |        CAST(list_sum(list_transform(range(33,65), i ->
+        |          CASE WHEN v[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) hi
+        |       FROM e),
+        |qs AS (SELECT lo qlo, hi qhi FROM sg WHERE vec_id = 0),
+        |cand AS (SELECT sg.vec_id,
+        |          CAST(bit_count(xor(sg.lo, qs.qlo)) + bit_count(xor(sg.hi, qs.qhi)) AS INT) ham
+        |         FROM sg, qs WHERE sg.vec_id <> 0
+        |         ORDER BY ham, sg.vec_id LIMIT 50),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),
+        |q AS (SELECT v qv, nrm qnrm FROM n WHERE vec_id = 0)
+        |SELECT n.vec_id, cand.ham,
+        |  ROUND(list_sum(list_transform(range(1,len(n.v)+1), i -> n.v[i]*qv[i]))/(n.nrm*qnrm), 6) AS sim
+        |FROM n JOIN cand ON n.vec_id = cand.vec_id, q
+        |ORDER BY sim DESC, n.vec_id LIMIT 5""".stripMargin,
     // Hybrid RRF fusion: both legs are the existing t_more_like_this /
     // v_cosine_topk relations at N=20 (query 42); RRF terms round to 6dp
     // DECIMAL before the sum so the fused ranking is engine-identical.
@@ -1128,6 +1161,44 @@ object SparkEntry {
         |  ROUND(CAST(cm.n_common AS DOUBLE)/(da.d + db.d - cm.n_common), 6) AS jacc
         |FROM cm JOIN deg da ON cm.pa = da.a JOIN deg db ON cm.pb = db.a
         |ORDER BY jacc DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // G13 replay: the same wedge join as G9 with the shared neighbor's
+    // degree on the arc row; 1/ln(d) rounds to 6dp then sums as DECIMAL
+    // (order-independent). CAST(1 AS DOUBLE) keeps the division IEEE (a
+    // bare 1.0 is DECIMAL in DuckDB).
+    "g_adamic_adar" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |nb AS (SELECT src a, dst nb FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT a, COUNT(*) d FROM nb GROUP BY a),
+        |ar AS (SELECT nb.a, nb.nb, deg.d dnb FROM nb JOIN deg ON nb.nb = deg.a),
+        |cm AS (SELECT x.a pa, y.a pb, COUNT(*) n_common,
+        |        SUM(CAST(ROUND(CAST(1 AS DOUBLE)/ln(x.dnb), 6) AS DECIMAL(18,6))) aas
+        |       FROM ar x JOIN ar y ON x.nb = y.nb AND x.a < y.a GROUP BY 1,2)
+        |SELECT pa AS part_a, pb AS part_b, n_common,
+        |  ROUND(CAST(aas AS DOUBLE), 6) AS aa_score
+        |FROM cm ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // G14 replay: synchronous peel as a bounded recursive CTE carrying the
+    // surviving ARC set (the node set can't recurse — both endpoints must
+    // be checked, and a recursive term may reference the CTE once; on the
+    // mirrored arc frame each endpoint's current degree is a window COUNT,
+    // the G5 window-aggregation trick). Rounds past the fixpoint are
+    // no-ops, so the iter=20 slice IS the core (Spark stops at the
+    // fixpoint; the spec pins convergence depth ≪ 20).
+    "g_kcore" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |nb AS (SELECT src a, dst b FROM e UNION ALL SELECT dst, src FROM e),
+        |surv(iter, a, b) AS (
+        |  SELECT 0, a, b FROM nb
+        |  UNION ALL
+        |  SELECT t.iter + 1, t.a, t.b FROM (
+        |    SELECT iter, a, b,
+        |      COUNT(*) OVER (PARTITION BY a) da,
+        |      COUNT(*) OVER (PARTITION BY b) db
+        |    FROM surv) t
+        |  WHERE t.iter < 20 AND t.da >= 80 AND t.db >= 80)
+        |SELECT a AS part, COUNT(*) AS core_deg FROM surv WHERE iter = 20
+        |GROUP BY a ORDER BY part""".stripMargin,
     // G9b replay: Dedup.minhashBandSigs' 24 md5-derived permutations over
     // each node's neighbor set (12 bands of 2), band-bucket candidates,
     // exact Jaccard re-rank — deterministic, so the LSH output is a fixed
@@ -1398,6 +1469,45 @@ object SparkEntry {
         |      FROM lw)
         |SELECT doc_id, CAST(logw AS DOUBLE) AS logw, CAST(gkey AS DOUBLE) AS gkey
         |FROM g ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin,
+    // P9: temperature-scaled source quotas — s_i = round(n_i^0.5, 6) as
+    // DECIMAL (exact share sum), quota_i = floor(200·(s_i/S)) with the
+    // divide-then-multiply order written identically on both engines
+    // (IEEE double), membership = the per-source lowest-hash rank.
+    "p_temperature_sample" ->
+      """WITH w AS (SELECT source, COUNT(*) n FROM documents GROUP BY source),
+        |ws AS (SELECT source, CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 6) AS DECIMAL(18,6)) sw FROM w),
+        |t AS (SELECT SUM(sw) tw FROM ws),
+        |q AS (SELECT source, CAST(FLOOR(200 * (CAST(sw AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT) quota
+        |      FROM ws, t),
+        |r AS (SELECT source, doc_id,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |         ORDER BY CAST(('0x'||substr(md5('temp:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT), doc_id)
+        |        AS BIGINT) rk
+        |      FROM documents)
+        |SELECT r.source, r.rk, r.doc_id FROM r JOIN q USING (source)
+        |WHERE r.rk <= q.quota ORDER BY source, rk""".stripMargin,
+    // P10: PSI replay — integer epoch-micro midpoint split, fixed-width
+    // clamped bins, Laplace-smoothed shares with every operand cast to
+    // DOUBLE before +0.5 (a bare BIGINT + 0.5 is DECIMAL arithmetic in
+    // DuckDB — not IEEE), 6dp-rounded terms, exact DECIMAL total.
+    "p_drift_psi" ->
+      """WITH span AS (SELECT MIN(epoch_us(ts)) t0, MAX(epoch_us(ts)) t1 FROM events),
+        |m AS (SELECT t0 + (t1 - t0) // 2 AS mid FROM span),
+        |b AS (SELECT CAST(LEAST(GREATEST(FLOOR(value / CAST(25.0 AS DOUBLE)), 0.0), 19.0) AS INT) bin,
+        |       CASE WHEN epoch_us(ts) < m.mid THEN 'base' ELSE 'cur' END side
+        |      FROM events, m),
+        |c AS (SELECT bin,
+        |       SUM(CASE WHEN side='base' THEN 1 ELSE 0 END) n_base,
+        |       SUM(CASE WHEN side='cur' THEN 1 ELSE 0 END) n_cur
+        |      FROM b GROUP BY bin),
+        |p AS (SELECT bin, CAST(n_base AS BIGINT) n_base, CAST(n_cur AS BIGINT) n_cur,
+        |       (CAST(n_base AS DOUBLE) + 0.5) / (CAST(SUM(n_base) OVER () AS DOUBLE) + 10.0) pp,
+        |       (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(SUM(n_cur) OVER () AS DOUBLE) + 10.0) qq
+        |      FROM c),
+        |tm AS (SELECT bin, n_base, n_cur, ROUND((pp - qq) * ln(pp / qq), 6) psi_term FROM p)
+        |SELECT bin, n_base, n_cur, psi_term,
+        |  ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE), 6) AS psi_total
+        |FROM tm ORDER BY bin""".stripMargin,
     // P7: shard = md5 draw % 8, pos = rank of the same draw within the
     // shard — the whole layout rides one deterministic hash, so both
     // engines produce the identical shuffle.

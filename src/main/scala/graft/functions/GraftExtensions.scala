@@ -36,6 +36,12 @@ object GraftFunctions {
   /** Σq_i² of the int8 codes of (v, mx), quantize+reduce in one pass. */
   def vecQuantSelfDot(v: Column, mx: Column): Column =
     GraftColumn.of(VecQuantSelfDot(GraftColumn.exprOf(v), GraftColumn.exprOf(mx)))
+
+  /** Pack sign bits of v[start..start+count) into a long (binary quant). */
+  def vecSignPack(v: Column, start: Int, count: Int): Column =
+    GraftColumn.of(VecSignPack(GraftColumn.exprOf(v),
+      org.apache.spark.sql.catalyst.expressions.Literal(start),
+      org.apache.spark.sql.catalyst.expressions.Literal(count)))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

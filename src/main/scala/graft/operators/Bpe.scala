@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** BPE merge-table training (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") — the tokenizer-training
+  * stage of an LLM data pipeline, distributed. The key structural fact BPE
+  * training exploits: merges are learned on the WORD-FREQUENCY TABLE, not
+  * the corpus — so the single corpus-sized pass is the initial word count,
+  * and every merge round runs over the (much smaller) vocab frame. That is
+  * exactly the shape that survives 100 TB: corpus → one groupBy(word)
+  * aggregation; then nMerges rounds of [exploded-pair count → argmax →
+  * apply merge], each linear in Σ|word| over DISTINCT words.
+  *
+  * Deterministic: the argmax tie-breaks on (count desc, left, right), so
+  * the merge table is a pure function of the corpus. Iterative sequence
+  * rewriting has no scalar SQL replay (the vocab state is a list per word)
+  * ⇒ rows-only entry, with the spec carrying a single-JVM reference fold
+  * (identical algorithm, Scala collections) plus the classic
+  * low/lower/newest/widest fixture where the expected merges are known.
+  */
+object Bpe {
+
+  /** One merge application: leftmost-first, non-overlapping (the standard
+    * greedy pass — after "aa"+"a"→"aaa" on "aaaa" the tail "a" survives). */
+  private[graft] def mergeOnce(syms: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** Single-JVM reference fold for the spec: the same algorithm on plain
+    * collections (word → count). */
+  private[graft] def referenceMerges(vocab: Map[String, Long], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var v = vocab.map { case (w, c) => (w.map(_.toString).toList :+ "</w>", c) }.toList
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      v.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((r, a, b, c))
+        v = v.map { case (syms, cnt) => (mergeOnce(syms, a, b), cnt) }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // T15 — learn the first `nMerges` BPE merges over the corpus vocabulary.
+  def bpeMerges(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import s.implicits._
+    bpeMergesOf(Tables.documents(s, dir).select($"text"), nMerges)
+  }
+
+  /** T15 core over any (text) frame (fixture-testable).
+    *
+    * Loop shape per round: one exploded-pair groupBy over the vocab frame
+    * (map-side combined), a 1-row TakeOrdered argmax (bounded driver
+    * state — the merge decision IS driver state in every BPE trainer),
+    * and a typed map applying the merge. localCheckpoint truncates the
+    * per-round lineage like the PageRank loop. Symbols start as
+    * characters plus the standard end-of-word marker so learned units
+    * can't leak across word boundaries. */
+  private[graft] def bpeMergesOf(texts: DataFrame, nMerges: Int): DataFrame = {
+    val s = texts.sparkSession
+    import s.implicits._
+    var vocab: Dataset[(List[String], Long)] = texts
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toList :+ "</w>", c) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val best = vocab.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map { case (a, b) => (a, b, c) }
+      }.toDF("l", "r", "c")
+        .groupBy($"l", $"r").agg(sum($"c").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r")
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, a + b, c))
+        vocab = vocab.map { case (syms, cnt) => (mergeOnce(syms, a, b), cnt) }
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy($"rank")
+  }
+}

@@ -468,6 +468,112 @@ object GraphOps {
       .limit(k)
   }
 
+  // G13 — Adamic-Adar link prediction over the co-purchase graph (the
+  // second Neo4j GDS similarity scorer next to G9's Jaccard:
+  // gds.alpha.linkprediction.adamicAdar). AA(a,b) = Σ_{z ∈ N(a)∩N(b)}
+  // 1/ln(deg(z)) — common neighbors weighted by how SELECTIVE they are,
+  // so sharing a niche product says more than sharing a bestseller.
+  // Shape: the identical wedge inverted-index as G9 (no all-pairs join),
+  // except the shared neighbor's degree rides the arc row INTO the
+  // self-join, so the weight needs no per-pair join afterwards. Float
+  // parity: each 1/ln(d) rounds to 6dp then sums as DECIMAL(18,6) —
+  // order-independent, engine-identical (V8's discipline). A degree-1
+  // node is never a shared neighbor (it has one arc row — the a<b
+  // self-join needs two), so ln(d) ≥ ln 2 and the division is total.
+  def adamicAdar(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    adamicAdarOf(edgesUnsorted(s, dir), k, Some(s"nodesim-nbrs:$dir"))
+
+  /** G13 core over an arbitrary canonical edge frame (fixture-testable).
+    *
+    * Same Σ deg² candidate volume and same two guards as G9: the
+    * super-connector cutoff engages only when hubs exist (and is
+    * AA-principled — a hub's wedges each contribute ≤ 1/ln(maxDeg), the
+    * least-valued mass in the score), and above the pair-work budget the
+    * call reroutes to the banded-MinHash candidate twin below, whose
+    * re-rank computes the SAME exact AA on the candidate pairs. As with
+    * G9 (ADVICE r7), the reroute is surfaced via log and the SQL oracle's
+    * hash check is only valid below the budget. */
+  private[graft] def adamicAdarOf(e: DataFrame, k: Int,
+      cacheKey: Option[String] = None,
+      maxDeg: Int = 100000,
+      maxPairWork: Long = 500000000L): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val nbrs = mirroredNbrs(e, cacheKey)
+    val (nHubs, cappedWork) = pairWorkOf(nbrs, maxDeg, cacheKey)
+    if (cappedWork > maxPairWork) {
+      log.warn(s"g_adamic_adar: pair work $cappedWork exceeds budget " +
+        s"$maxPairWork — rerouting to MinHash-LSH banded candidates " +
+        "(probabilistic recall); exact-AA oracle parity does not hold " +
+        "for this run")
+      return adamicAdarLshOf(e, k, cacheKey)
+    }
+    val capped =
+      if (nHubs == 0L) nbrs
+      else {
+        val hubs = nbrs.groupBy($"a").agg(count(lit(1)).as("d"))
+          .filter($"d" > maxDeg).select($"a".as("nb"))
+        nbrs.join(broadcast(hubs), Seq("nb"), "left_anti")
+      }
+    val deg = capped.groupBy($"a").agg(count(lit(1)).as("d"))
+    // the shared neighbor's degree rides the arc row into the wedge join
+    val arcs = capped.join(deg.select($"a".as("nb"), $"d".as("dnb")), "nb")
+    arcs.as("x")
+      .join(arcs.as("y"), $"x.nb" === $"y.nb" && $"x.a" < $"y.a")
+      .groupBy($"x.a".as("pa"), $"y.a".as("pb"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(round(lit(1.0) / org.apache.spark.sql.functions.log($"x.dnb"), 6)
+          .cast("decimal(18,6)")).as("aas"))
+      .withColumn("aa_score", round($"aas".cast("double"), 6))
+      .select($"pa".as("part_a"), $"pb".as("part_b"), $"n_common", $"aa_score")
+      .orderBy($"aa_score".desc, $"part_a", $"part_b")
+      .limit(k)
+  }
+
+  /** The 100 TB path for G13 (G9b's move, AA re-rank): banded-MinHash
+    * candidates over neighbor sets, then the EXACT Adamic-Adar score on
+    * each candidate pair — common neighbors from an in-row
+    * array_intersect (bounded by degree), exploded and joined to the
+    * degree frame for the 1/ln(d) weights. Work is candidates + output,
+    * not Σ deg². What's probabilistic is recall (a high-overlap pair
+    * escapes all 12 bands with prob (1−j²)¹²), not the scores. */
+  private[graft] def adamicAdarLshOf(e: DataFrame, k: Int,
+      cacheKey: Option[String] = None, nPerm: Int = 24, bandSize: Int = 2): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val nbrs = mirroredNbrs(e, cacheKey)
+    val sets = {
+      def build = nbrs.groupBy($"a")
+        .agg(sort_array(collect_set($"nb")).as("ns"))
+        .select($"a", $"ns")
+      cacheKey.fold(build)(key => Caches.cached(s"$key:aasets")(build))
+    }
+    val sigs = {
+      def build = Dedup.minhashBandSigs(
+        nbrs.select($"a".as("doc_id"), $"nb".cast("string").as("s")), nPerm, bandSize)
+      cacheKey.fold(build)(key => Caches.cached(s"$key:sigs")(build))
+    }
+    val deg = nbrs.groupBy($"a").agg(count(lit(1)).as("d"))
+    val cand = sigs.as("x")
+      .join(sigs.as("y"),
+        $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("pa"), $"y.doc_id".as("pb"))
+      .distinct()
+    cand
+      .join(sets.select($"a".as("pa"), $"ns".as("na")), "pa")
+      .join(sets.select($"a".as("pb"), $"ns".as("nb2")), "pb")
+      .select($"pa", $"pb", explode(array_intersect($"na", $"nb2")).as("z"))
+      .join(deg.select($"a".as("z"), $"d".as("dz")), "z")
+      .groupBy($"pa", $"pb")
+      .agg(count(lit(1)).as("n_common"),
+        sum(round(lit(1.0) / org.apache.spark.sql.functions.log($"dz"), 6)
+          .cast("decimal(18,6)")).as("aas"))
+      .withColumn("aa_score", round($"aas".cast("double"), 6))
+      .select($"pa".as("part_a"), $"pb".as("part_b"), $"n_common", $"aa_score")
+      .orderBy($"aa_score".desc, $"part_a", $"part_b")
+      .limit(k)
+  }
+
   /** Component sizes for an arbitrary canonical edge frame. */
   private[graft] def connectedComponentsOf(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
@@ -484,6 +590,58 @@ object GraphOps {
   // CTE oracle (labels only improve → UNION dedup drains at the fixpoint).
   def connectedComponents(s: SparkSession, dir: String): DataFrame =
     connectedComponentsOf(edgesUnsorted(s, dir))
+
+  // G14 — k-core decomposition (Seidman 1983; Neo4j GDS gds.kcore): the
+  // maximal subgraph where every node keeps ≥ k neighbors — the standard
+  // "dense cohesive backbone vs peripheral fluff" cut for a co-purchase
+  // graph. Computed by synchronous peeling: drop every node whose current
+  // degree < k, recompute, repeat to fixpoint — order-independent, so the
+  // result is a pure function of the edge list (and oracle-replayable).
+  // Default k = 80 sits just under this corpus's phase transition (the
+  // sf0.01 co-purchase graph peels 143 peripheral parts over 5 rounds and
+  // keeps an 1857-node core; k = 85 cascades to empty — degree uniformity
+  // means TPC-H cores are all-or-nothing, which is itself the point the
+  // spec pins).
+  def kCore(s: SparkSession, dir: String, k: Int = 80): DataFrame =
+    kCoreOf(edgesUnsorted(s, dir), k)
+
+  /** G14 core over an arbitrary canonical edge frame (fixture-testable).
+    *
+    * Scale shape: each round is ONE keyed degree aggregation + two
+    * left_anti joins on the shrinking edge frame (arcs only ever leave),
+    * localCheckpoint per round truncating lineage — the PageRank-loop
+    * discipline. Rounds ≤ the peel depth (tiny in practice: dense cores
+    * stabilize in a handful of sweeps; the corpus converges in ≤ 5 —
+    * asserted in the spec against `maxIters`, which also bounds the
+    * oracle's recursive-CTE replay). The per-round `bad.count()` driver
+    * scalar is the loop condition, not data movement. */
+  private[graft] def kCoreOf(edges: DataFrame, k: Int, maxIters: Int = 20): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var ed = edges.select($"src", $"dst").filter($"src" =!= $"dst")
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val deg = ed.select($"src".as("n")).unionAll(ed.select($"dst".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+      val bad = deg.filter($"d" < k).select($"n").localCheckpoint()
+      if (bad.isEmpty) converged = true
+      else {
+        ed = ed
+          .join(bad.select($"n".as("src")), Seq("src"), "left_anti")
+          .join(bad.select($"n".as("dst")), Seq("dst"), "left_anti")
+          .localCheckpoint()
+        it += 1
+      }
+    }
+    if (!converged)
+      log.warn(s"g_kcore: peel did not reach fixpoint within $maxIters rounds" +
+        " — result equals the oracle's bounded replay but is not the true core")
+    ed.select($"src".as("part")).unionAll(ed.select($"dst".as("part")))
+      .groupBy($"part").agg(count(lit(1)).as("core_deg"))
+      .orderBy($"part")
+  }
 
   /** Hop distances to landmarks for an arbitrary canonical edge frame
     * (vertices unreachable from a landmark carry no row for it — the

@@ -125,6 +125,49 @@ object Sampling {
       .orderBy($"shard", $"pos")
   }
 
+  /** P9 — temperature-scaled source sampling (`p_temperature_sample`):
+    * draw a k-doc mixture whose source shares follow p_i ∝ n_i^α — the
+    * multilingual/source rebalancing rule of mT5 (Xue et al. 2021) and
+    * the exponential-smoothing mixing in XLM-R (Conneau et al. 2020).
+    * α = 1 keeps natural proportions, α → 0 approaches uniform; α = 0.5
+    * (the common default) upsamples small sources without flattening the
+    * head. T5c's cap is the budget-clip version of this; the temperature
+    * draw is the allocation version a pretraining mix actually uses.
+    *
+    * Determinism/parity: s_i = round(n_i^α, 6) as DECIMAL so the share
+    * sum is exact; quota_i = floor(k · (s_i/S)) with the division and
+    * multiply in IEEE double written identically in the oracle; member
+    * selection is the per-source lowest-hash rank (the T5b reservoir).
+    * Scale: one count-by-source agg (broadcast back — #sources rows),
+    * one rank shuffle by source. floor() can leave ≤ #sources docs of
+    * budget unspent — deliberate (a largest-remainder top-up would need
+    * a global sort over sources; at any real k the remainder is noise). */
+  def temperatureSample(s: SparkSession, dir: String, alpha: Double = 0.5,
+      k: Int = 200): DataFrame =
+    temperatureSampleOf(Tables.documents(s, dir), alpha, k)
+
+  /** P9 core over any (source, doc_id) frame (fixture-testable). */
+  private[graft] def temperatureSampleOf(docs: DataFrame, alpha: Double,
+      k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val weights = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .withColumn("sw", round(pow($"n".cast("double"), alpha), 6).cast("decimal(18,6)"))
+    val tot = weights.agg(sum($"sw").as("tw"))
+    val quota = weights.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        floor(lit(k) * ($"sw".cast("double") / $"tw".cast("double"))).cast("long"))
+      .select($"source", $"quota")
+    val w = Window.partitionBy($"source")
+      .orderBy(h64(concat(lit("temp:"), $"doc_id")), $"doc_id")
+    docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quota), "source")
+      .filter($"rk" <= $"quota")
+      .select($"source", $"rk", $"doc_id")
+      .orderBy($"source", $"rk")
+  }
+
   /** T5b — stratified sample: a fixed quota per language, taking each
     * stratum's lowest hash draws (a deterministic reservoir). One shuffle
     * by stratum; quota rank via window — at scale the stratum key is

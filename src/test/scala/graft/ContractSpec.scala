@@ -13,17 +13,19 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the seven documented non-SQL-expressible ops") {
+  test("the rows-only set is exactly the eight documented non-SQL-expressible ops") {
     // r4: triangle counting (3-way join) and landmark BFS (bounded
     // recursive CTE) turned out to be SQL-expressible after all; r6:
     // pagerank and connected components followed (window-aggregation in
     // the recursive term); r7: the three deterministic LSH paths (md5-
     // derived bands/planes replay exactly in SQL, including v_lsh_ann's
-    // multi-probe). What remains is genuinely seeded/approximate or
-    // stubbed — sketches, trained (k-means-seeded) ANN, the codec-less
-    // frame sampler, and the two r8 entries whose defining state has no
-    // scalar recursive-CTE form (SemDeDup's k-means cells, BFD's
-    // open-bins vector).
+    // multi-probe); r8d: v_bq_ann joined the hash-matched side (sign
+    // bits are a pure function of the store). What remains is genuinely
+    // seeded/approximate, stubbed, or list-stateful — sketches, trained
+    // (k-means-seeded) ANN, the codec-less frame sampler, and the three
+    // entries whose defining state has no scalar recursive-CTE form
+    // (SemDeDup's k-means cells, BFD's open-bins vector, BPE's per-word
+    // symbol lists).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set(
       "m_frame_sample",          // decode stub, no SQL analogue
@@ -32,7 +34,8 @@ class ContractSpec extends AnyFunSuite {
       "v_ivf_ann",               // ANN; recall spec vs exact top-k (k-means-seeded)
       "v_pq_ann",                // ADC is approximate; recall spec vs exact top-k
       "d_semdedup",              // k-means-seeded cell scope; planted-fixture spec
-      "p_pack_bestfit")          // vector fold state; ScalaCheck reference fold
+      "p_pack_bestfit",          // vector fold state; ScalaCheck reference fold
+      "t_bpe_merges")            // iterative symbol-list state; reference fold spec
     assert(rowsOnly == documented,
       s"missing oracle: ${rowsOnly -- documented}; stale doc: ${documented -- rowsOnly}")
   }

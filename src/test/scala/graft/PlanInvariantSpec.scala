@@ -224,4 +224,25 @@ class PlanInvariantSpec extends SparkSpecBase {
     assert(ph.contains("TakeOrderedAndProject"), s"hybrid legs lost their top-k:\n$ph")
     assert(!ph.contains("CartesianProduct"), s"hybrid plans a cartesian:\n$ph")
   }
+
+  test("r8d operators: bq-ann budgets via top-k, AA wedges equi-join, quotas broadcast") {
+    // v_bq_ann: the Hamming candidate budget and the final ranking must
+    // both be TakeOrdered (never a global sort of the sig scan), the
+    // query row a broadcast
+    val pb = plan("v_bq_ann")
+    assert(pb.contains("TakeOrderedAndProject"), s"bq-ann lost its top-k:\n$pb")
+    assert(pb.contains("BroadcastExchange"), s"bq-ann query sig not broadcast:\n$pb")
+    assert(!pb.contains("CartesianProduct"), s"bq-ann plans a cartesian:\n$pb")
+    // g_adamic_adar: the wedge self-join stays on the neighbor equi-key
+    val pa = plan("g_adamic_adar")
+    assert(!pa.contains("CartesianProduct"), s"AA plans a cartesian:\n$pa")
+    val off = pa.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.trim.endsWith("Cross")).toSeq
+    assert(off.isEmpty, s"AA plans:\n${off.mkString("\n")}")
+    // p_temperature_sample: the #sources quota frame rides a broadcast
+    // join, never a shuffle of the corpus against it
+    val pt = plan("p_temperature_sample")
+    assert(pt.contains("BroadcastExchange"), s"quota frame not broadcast:\n$pt")
+    assert(!pt.contains("CartesianProduct"), s"temperature plans a cartesian:\n$pt")
+  }
 }
