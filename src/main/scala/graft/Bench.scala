@@ -68,7 +68,10 @@ object Bench {
     // (AA link prediction, k-core peel loop), temperature mixing, PSI
     // drift, BPE merge training (the tokenizer-prep loop)
     "v_bq_ann", "g_adamic_adar", "g_kcore", "p_temperature_sample",
-    "p_drift_psi", "t_bpe_merges")
+    "p_drift_psi", "t_bpe_merges",
+    // r8e additions: truncated-prefix retrieval, the transition matrix,
+    // the SCD2 lookup join, PCA projection (fit + project)
+    "v_matryoshka", "s_transitions", "j_scd2_lookup", "v_pca")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.streaming.EventOps
 
 /** Temporal join operators Spark has no built-in form for — the north
   * star's named examples (as-of join, range join) — expressed as
@@ -78,5 +79,46 @@ object TemporalJoins {
       .agg(count(lit(1)).as("n_lines"),
         Relational.dsum($"rev").as("revenue"))
       .orderBy($"promo_id")
+  }
+
+  // J3 — SCD2 dimension lookup: attach to each purchase the dimension
+  // version (state + version number) valid at its event time — the
+  // consumption side of S13's versioned build, and THE warehouse query
+  // SCD2 exists for. The dimension is the user's ACTIVITY state (S13's
+  // build over the non-purchase stream — building it over all events
+  // would make every purchase trivially carry state 'purchase'), and the
+  // lookup is LEFT: a purchase before any activity keeps null version.
+  // The scalable form is J1's move, not an inequality join against
+  // [eff_from, eff_to) (per-key quadratic): version-start rows and
+  // purchases union into one stream keyed by entity, a carry-forward
+  // window attaches the latest version at-or-before each purchase — one
+  // shuffle, one sort. Version rows sort before same-ts purchases (a
+  // change effective at t governs an event at t).
+  def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = EventOps.scd2(
+        Tables.events(s, dir).filter($"event_type" =!= "purchase"))
+      .select($"user_id", $"eff_from".as("ts"), $"version", $"state",
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"))
+    val facts = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("state"), lit(1).as("tag"),
+        $"event_id", $"value")
+    // version in the sort: two versions can START at the same ts (two
+    // changes at one instant — the earlier one's interval is empty); the
+    // carry-forward must deterministically keep the LATEST, and facts
+    // (null version) are unaffected
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"version", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("v_at", last($"version", ignoreNulls = true).over(w))
+      .withColumn("s_at", last($"state", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts",
+        $"v_at".as("version"), $"s_at".as("state"), $"value")
+      .orderBy($"user_id", $"ts", $"purchase_id")
   }
 }

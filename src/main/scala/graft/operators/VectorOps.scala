@@ -546,6 +546,41 @@ object VectorOps {
       .limit(k)
   }
 
+  // V14 — Matryoshka-style truncated retrieval (Kusupati et al. 2022,
+  // "Matryoshka Representation Learning"): rank candidates on the FIRST
+  // `prefixDims` dimensions only, then re-rank the short list on the full
+  // vector. MRL-trained embeddings pack the coarse structure into the
+  // prefix, so the cheap pass reads a quarter of the bytes; on non-MRL
+  // embeddings (this corpus) the prefix is just a random projection — the
+  // spec therefore pins the structural guarantees (full-budget ≡ exact,
+  // prefix scores consistent with a slice replay), not absolute recall.
+  // Scale: same candidate/re-rank split as V13 — the wide scan happens
+  // once for the corpus at 1/4 width (dim-pruned in a columnar store that
+  // chunks vectors), the full vectors load only for `cands` rows.
+  def matryoshkaAnn(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 5, prefixDims: Int = 16, cands: Int = 50): DataFrame = {
+    import s.implicits._
+    val e = normed(s, dir)
+    val pre = e.select($"vec_id", slice($"v", 1, prefixDims).as("pv"))
+      .withColumn("pnrm", vecNorm($"pv"))
+    val qp = pre.filter($"vec_id" === queryId)
+      .select($"pv".as("qpv"), $"pnrm".as("qpnrm"))
+    val cand = pre.filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(qp))
+      .withColumn("psim", round(dot($"pv", $"qpv") / ($"pnrm" * $"qpnrm"), 6))
+      .orderBy($"psim".desc, $"vec_id") // TakeOrdered — the candidate budget
+      .limit(cands)
+      .select($"vec_id", $"psim")
+    val q = e.filter($"vec_id" === queryId)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    e.join(cand, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
+      .select($"vec_id", $"psim", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** Binary (1-bit) signatures of the raw vectors: sign bits packed 32 per
     * word (lo = dims 0..31, hi = dims 32..63 — two words so the DuckDB
     * oracle's `list_sum(1 << i)` rebuild never overflows BIGINT, the D3

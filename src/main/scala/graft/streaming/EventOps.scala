@@ -284,4 +284,33 @@ object EventOps {
         e.filter($"event_type" === "purchase"))
       .orderBy($"user_id", $"purchase_id", $"view_id")
   }
+
+  // S16 — behavioral transition matrix: per-user consecutive event-type
+  // pairs (the first-order Markov model of the clickstream — the "what do
+  // users do after a view" funnel-diagnostics table; the reference logs
+  // the raw activity stream and reads it back verbatim, this is its
+  // first model). One shuffle keyed by user for the lag window (a user's
+  // stream is the bounded partition, sessionize's argument), then the
+  // pair agg collapses to |types|² rows with map-side combine. The
+  // per-row probability divides by the prev-type total via a window over
+  // that bounded pair frame; round 6dp for engine parity.
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy($"prev_type") // bounded: |types|² rows
+    pairs
+      .withColumn("p", round($"n" / sum($"n").over(byPrev), 6))
+      .select($"prev_type", $"event_type", $"n", $"p")
+      .orderBy($"prev_type", $"event_type")
+  }
+
+  def transitionsQuery(s: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.events(s, dir))
 }
