@@ -125,6 +125,7 @@ object SparkEntry {
     "g_kcore" -> ((s, d) => GraphOps.kCore(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
+    "g_weighted_paths" -> ((s, d) => GraphOps.weightedPaths(s, d)),
     "g_also_bought" -> ((s, d) => GraphOps.alsoBought(s, d)),
     "g_communities" -> ((s, d) => GraphOps.communities(s, d)),
     "g_recommend_user" -> ((s, d) => GraphOps.recommendForUser(s, d)),
@@ -141,6 +142,9 @@ object SparkEntry {
     // rows-only; the spec carries a single-JVM reference fold + the
     // classic known-merges fixture
     "t_bpe_merges" -> ((s, d) => Bpe.bpeMerges(s, d)),
+    // inherits T15's rows-only status (the trained merge table is the
+    // input); spec: reference fold + zero-merge identity + monotonicity
+    "t_bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "p_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
     "p_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
     // best-fit-decreasing needs the whole open-bins vector as fold state
@@ -172,6 +176,10 @@ object SparkEntry {
     // family; the spec pins orthonormality, variance identities, and
     // planted-direction recovery
     "v_pca" -> ((s, d) => VecPca.pcaProject(s, d)),
+    // r8f: trend/segmentation/engagement series
+    "q_revenue_trend" -> ((s, d) => Relational.revenueTrend(s, d)),
+    "q_rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
+    "s_rolling_actives" -> ((s, d) => streaming.EventOps.rollingActivesQuery(s, d)),
   )
 
   /** Exact-definition SQL for the n-gram Jaccard relation — the oracle of
@@ -1754,5 +1762,80 @@ object SparkEntry {
         |FROM lineitem JOIN promos
         |  ON l_shipdate >= start_ts AND l_shipdate < end_ts
         |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
+    // G15: recursive-CTE replay of the fixed Bellman-Ford rounds — the
+    // working table carries the full distance frame each round (cost-0
+    // self-loops keep settled nodes alive), the per-(landmark,node) min
+    // via the window-rank trick (aggregation is illegal in a recursive
+    // term; g_kcore's precedent). Exact BIGINT costs ⇒ identical on
+    // both engines.
+    "g_weighted_paths" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst, COUNT(*) w FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |nodes AS (SELECT DISTINCT n FROM (SELECT src n FROM e UNION ALL SELECT dst FROM e) u),
+        |arcs AS (SELECT * FROM (
+        |  SELECT src a, dst b, CAST(1000000 AS BIGINT) // w c FROM e
+        |  UNION ALL SELECT dst, src, CAST(1000000 AS BIGINT) // w FROM e
+        |  UNION ALL SELECT n, n, CAST(0 AS BIGINT) FROM nodes) u),
+        |lm AS (SELECT n FROM nodes ORDER BY n LIMIT 3),
+        |bf(iter, lmk, node, dist) AS (
+        |  SELECT 0, n, n, CAST(0 AS BIGINT) FROM lm
+        |  UNION ALL
+        |  SELECT t.iter + 1, t.lmk, t.node, t.dist FROM (
+        |    SELECT b.iter iter, b.lmk lmk, a.b node, b.dist + a.c dist,
+        |      ROW_NUMBER() OVER (PARTITION BY b.lmk, a.b ORDER BY b.dist + a.c) rn
+        |    FROM bf b JOIN arcs a ON a.a = b.node
+        |    WHERE b.iter < 6) t
+        |  WHERE t.rn = 1)
+        |SELECT lmk AS landmark, node AS part, dist AS wcost
+        |FROM bf WHERE iter = 6 ORDER BY landmark, part""".stripMargin,
+    // R26: the windowed sums run on the exact DECIMAL daily revenue (a
+    // sliding float sum's association order is engine-internal); only
+    // the final ma7/wow is one IEEE division, rounded 6dp.
+    "q_revenue_trend" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,6))) rev
+        |      FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+        |  ROUND(CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS ma7,
+        |  ROUND(CAST(rev AS DOUBLE) / CAST(LAG(rev, 7) OVER (ORDER BY day) AS DOUBLE), 6) AS wow
+        |FROM daily ORDER BY day""".stripMargin,
+    // R27: quintile membership is integer arithmetic on (rank, n); the
+    // oracle's plain ROW_NUMBER windows replay the scale-safe
+    // rowNumberWithin ranks exactly (specced equivalence).
+    "q_rfm_segments" ->
+      """WITH base AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) last_order,
+        |       COUNT(*) n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,6))) rev
+        |      FROM orders GROUP BY 1),
+        |nn AS (SELECT COUNT(*) n FROM base),
+        |r AS (SELECT b.o_custkey, b.last_order, b.n_orders,
+        |       CAST(b.rev AS DOUBLE) revenue,
+        |       ROW_NUMBER() OVER (ORDER BY b.last_order DESC, b.o_custkey) rk_r,
+        |       ROW_NUMBER() OVER (ORDER BY b.n_orders DESC, b.o_custkey) rk_f,
+        |       ROW_NUMBER() OVER (ORDER BY CAST(b.rev AS DOUBLE) DESC, b.o_custkey) rk_m
+        |      FROM base b),
+        |q AS (SELECT r.*, nn.n,
+        |       CASE WHEN rk_r*5<=n THEN 1 WHEN rk_r*5<=2*n THEN 2
+        |            WHEN rk_r*5<=3*n THEN 3 WHEN rk_r*5<=4*n THEN 4 ELSE 5 END b_r,
+        |       CASE WHEN rk_f*5<=n THEN 1 WHEN rk_f*5<=2*n THEN 2
+        |            WHEN rk_f*5<=3*n THEN 3 WHEN rk_f*5<=4*n THEN 4 ELSE 5 END b_f,
+        |       CASE WHEN rk_m*5<=n THEN 1 WHEN rk_m*5<=2*n THEN 2
+        |            WHEN rk_m*5<=3*n THEN 3 WHEN rk_m*5<=4*n THEN 4 ELSE 5 END b_m
+        |      FROM r CROSS JOIN nn)
+        |SELECT o_custkey AS c_custkey, last_order,
+        |  CAST(n_orders AS BIGINT) AS n_orders, revenue,
+        |  b_r AS r_bucket, b_f AS f_bucket, b_m AS m_bucket,
+        |  CAST(b_r AS VARCHAR)||CAST(b_f AS VARCHAR)||CAST(b_m AS VARCHAR) AS rfm
+        |FROM q ORDER BY c_custkey""".stripMargin,
+    // S18: the rolling distinct replay — day-range join over the DEDUPED
+    // (day,user) pair frame, never over raw events.
+    "s_rolling_actives" ->
+      """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM du),
+        |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) dau FROM du GROUP BY 1),
+        |w AS (SELECT days.day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) active_7d
+        |      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day GROUP BY 1)
+        |SELECT dau.day, dau.dau, w.active_7d
+        |FROM dau JOIN w ON dau.day = w.day ORDER BY dau.day""".stripMargin,
   )
 }

@@ -107,4 +107,55 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy($"rank")
   }
+
+  /** Encode one word with a trained merge list, applied in rank order —
+    * the standard BPE inference pass. */
+  private[graft] def encodeWord(w: String, merges: Seq[(String, String)]): List[String] = {
+    var syms = w.map(_.toString).toList :+ "</w>"
+    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+    syms
+  }
+
+  // T15b — apply the trained merge table: per-document BPE token counts
+  // (the tokenizer-INFERENCE stage — T15 trains, this prices the corpus
+  // in tokens of the learned vocabulary; token budgeting, packing, and
+  // per-token billing all start here).
+  def bpeEncode(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import s.implicits._
+    bpeEncodeOf(Tables.documents(s, dir).select($"doc_id", $"text"), nMerges,
+      cacheKey = s"bpe-tf:$dir")
+  }
+
+  /** T15b core. The same structural fact as training: encoding is a pure
+    * function of the WORD, so the merge fold runs once per DISTINCT word
+    * (the vocab frame — linear in Σ|word| over distinct words, not over
+    * the corpus) and per-doc counts come back via one keyed join of the
+    * doc term-frequency frame against the encoded vocab. The merge table
+    * itself is bounded driver state (nMerges rows — the same argument as
+    * k-means centroids), broadcast to the encode map. Inherits T15's
+    * rows-only status (the merge table has no scalar SQL replay); the
+    * spec pins a reference fold, the zero-merge identity, and merge
+    * monotonicity. */
+  private[graft] def bpeEncodeOf(docs: DataFrame, nMerges: Int,
+      cacheKey: String = "bpe-tf"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val mergeRows = bpeMergesOf(docs.select($"text"), nMerges).collect()
+    val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+    val bm = s.sparkContext.broadcast(merges)
+    // both consumers (vocab distinct, per-doc join) share one tf build
+    val tf = graft.Caches.cached(cacheKey) {
+      docs
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    }
+    val vocabTokens = tf.select($"w").distinct().as[String]
+      .map(w => (w, encodeWord(w, bm.value).length.toLong))
+      .toDF("w", "n_sub")
+    tf.join(vocabTokens, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_words"), sum($"tf" * $"n_sub").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
 }

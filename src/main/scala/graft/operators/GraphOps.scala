@@ -728,6 +728,54 @@ object GraphOps {
     else shortestPathsOf(edges, nLandmarks)
   }
 
+  // G15 — WEIGHTED shortest paths to the G8 landmarks (the Cypher
+  // shortestPath with a cost accessor / GDS Dijkstra surface): traversal
+  // cost of an edge is the integer inverse of its co-purchase weight
+  // (heavily co-bought pairs are "close"), so the result ranks how
+  // strongly each product is wired into a landmark's neighborhood, not
+  // just how many hops away it sits. Computed as bounded-horizon
+  // Bellman-Ford — `maxIter` synchronous relaxation rounds, the same
+  // fixed-round contract as PageRank's 10 iterations: per round ONE
+  // keyed join of the node-sized distance table against the cached arc
+  // list and ONE min-aggregation (map-side combinable), localCheckpoint
+  // truncating lineage. No per-vertex replicated maps (the GraphX
+  // regime G8 gates away from) — every structure is a flat keyed frame
+  // that spills instead of dying. Costs are exact BIGINTs (1e6 div w):
+  // min() over integers is order-independent, so the fixed-horizon
+  // result is a pure function of the edge list and hash-matches a
+  // recursive-CTE replay of the same rounds.
+  def weightedPaths(s: SparkSession, dir: String, nLandmarks: Int = 3,
+      maxIter: Int = 6): DataFrame = {
+    import s.implicits._
+    weightedPathsOf(edgesUnsorted(s, dir), nLandmarks, maxIter)
+      .orderBy($"landmark", $"part")
+  }
+
+  private[graft] def weightedPathsOf(edges: DataFrame, nLandmarks: Int,
+      maxIter: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val cost = expr("cast(1000000 as bigint) div weight")
+    val arcs = edges.select($"src", $"dst", cost.as("cost"))
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), cost.as("cost")))
+      .localCheckpoint(eager = true)
+    // same landmark choice as G8: smallest nLandmarks node ids
+    val landmarks = arcs.select($"src").distinct().as[Long]
+      .orderBy($"src").limit(nLandmarks).collect().toSeq
+    var dist = landmarks.toDF("landmark")
+      .select($"landmark", $"landmark".as("part"), lit(0L).as("wcost"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to maxIter) {
+      val relaxed = dist.join(arcs, dist("part") === arcs("src"))
+        .select(dist("landmark"), arcs("dst").as("part"),
+          (dist("wcost") + arcs("cost")).as("wcost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy($"landmark", $"part").agg(min($"wcost").as("wcost"))
+        .localCheckpoint(eager = true)
+    }
+    dist
+  }
+
   /** Per-node triangle counts for an arbitrary canonical edge frame. */
   /** GraphX leg of G7 — kept for the regime where the replicated
     * per-vertex neighbor sets fit memory (see triangleCountOf's gate). */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -571,5 +572,86 @@ object Relational {
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy($"o_orderpriority")
+  }
+
+  // R26 — revenue trend: daily revenue with a trailing 7-row moving
+  // average and the ratio vs 7 days earlier (the sales-dashboard trend
+  // line; the reference's admin stats page shows totals only — this is
+  // the time-series view those totals want). Scale shape: the corpus
+  // pass is ONE keyed day aggregation with map-side combine; every
+  // window after it runs on the DAY-GRANULARITY frame, whose row count
+  // is bounded by the calendar (~2.4k rows for 7 years), not by data
+  // volume — a partition-less window there is a constant-size job at
+  // any corpus scale. Float parity: revenue is the exact DECIMAL sum
+  // (dsum), the average and ratio are single IEEE divisions of values
+  // both engines hold identically, rounded 6dp.
+  def revenueTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the windowed sums run on the exact DECIMAL (a sliding float sum's
+    // association order is engine-internal — segment trees vs running
+    // subtraction would disagree in the last bits); only the final
+    // average/ratio is one IEEE division of identically-held values
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 6))).as("rev_dec"))
+    val w = Window.orderBy($"day").rowsBetween(-6, 0)
+    val lagW = Window.orderBy($"day")
+    daily
+      .withColumn("ma7", round(sum($"rev_dec").over(w).cast("double") /
+        count(lit(1)).over(w).cast("double"), 6))
+      .withColumn("wow", round($"rev_dec".cast("double") /
+        lag($"rev_dec", 7).over(lagW).cast("double"), 6))
+      .select($"day", $"rev_dec".cast("double").as("revenue"), $"ma7", $"wow")
+      .orderBy($"day")
+  }
+
+  // R27 — RFM customer segmentation: recency (latest order), frequency
+  // (order count), monetary (exact-decimal revenue), each cut into
+  // quintiles by rank. The ranks are NOT window functions — a global
+  // ROW_NUMBER window funnels every customer through one task (the
+  // whole customer dimension on one executor thread at 100 TB), so each
+  // dimension ranks via Ranking.rowNumberWithin over a constant group
+  // (range-partition + boundary-offset reconstruction). Quintile
+  // membership is pure integer arithmetic on (rank, n) — rk*5 <= i*n —
+  // no division or percentile interpolation to disagree on; bucket 1 is
+  // the best (most recent / most frequent / highest spend) per the
+  // classic RFM convention.
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // one customer-keyed aggregation feeds all three rank passes
+    val base = graft.Caches.cached(s"rfm-base:$dir") {
+      Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(max(to_date($"o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("revenue"))
+        .withColumn("g", lit("all"))
+    }
+    val quint = (df: DataFrame, rk: String) =>
+      df.withColumn(rk.replace("rk_", "b_"),
+        when(col(rk) * 5 <= $"n", 1).when(col(rk) * 5 <= $"n" * 2, 2)
+          .when(col(rk) * 5 <= $"n" * 3, 3).when(col(rk) * 5 <= $"n" * 4, 4)
+          .otherwise(5))
+    val rRanked = Ranking.rowNumberWithin(base, "g",
+      Seq($"last_order".desc, $"o_custkey"), "rk_r", s"rfm-r:$dir")
+    val fRanked = Ranking.rowNumberWithin(
+      base.select($"o_custkey", $"n_orders", $"g"), "g",
+      Seq($"n_orders".desc, $"o_custkey"), "rk_f", s"rfm-f:$dir")
+    val mRanked = Ranking.rowNumberWithin(
+      base.select($"o_custkey", $"revenue", $"g"), "g",
+      Seq($"revenue".desc, $"o_custkey"), "rk_m", s"rfm-m:$dir")
+    val n = base.agg(count(lit(1)).as("n"))
+    val joined = rRanked
+      .select($"o_custkey", $"last_order", $"n_orders", $"revenue", $"rk_r")
+      .join(fRanked.select($"o_custkey", $"rk_f"), "o_custkey")
+      .join(mRanked.select($"o_custkey", $"rk_m"), "o_custkey")
+      .crossJoin(broadcast(n))
+    Seq("rk_r", "rk_f", "rk_m").foldLeft(joined)(quint(_, _))
+      .withColumn("rfm", concat($"b_r".cast("string"),
+        $"b_f".cast("string"), $"b_m".cast("string")))
+      .select($"o_custkey".as("c_custkey"), $"last_order", $"n_orders",
+        $"revenue", $"b_r".as("r_bucket"), $"b_f".as("f_bucket"),
+        $"b_m".as("m_bucket"), $"rfm")
+      .orderBy($"c_custkey")
   }
 }

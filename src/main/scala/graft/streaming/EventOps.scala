@@ -313,4 +313,38 @@ object EventOps {
 
   def transitionsQuery(s: SparkSession, dir: String): DataFrame =
     transitionMatrix(Tables.events(s, dir))
+
+  // S18 — daily + rolling 7-day distinct active users (the DAU/WAU
+  // engagement series every event log feeds). The rolling distinct is
+  // deliberately NOT a COUNT(DISTINCT) window over raw events: a 7-day
+  // frame re-ships every event into 7 windows BEFORE deduplication, and
+  // a distinct-over-window isn't map-side combinable — at 100 TB that's
+  // the event firehose amplified 7× through one shuffle. Instead: dedup
+  // to (day,user) pairs first (one keyed shuffle with map-side
+  // combine — the pair frame is bounded by days × active users, orders
+  // of magnitude smaller than events), then each PAIR votes into the ≤7
+  // window-days it covers and a second distinct+count lands the series.
+  // All integer/date arithmetic — replayable to the bit.
+  def rollingActives(events: DataFrame, windowDays: Int = 7,
+      cacheKey: String = "rolling-du"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    // three consumers (DAU agg, vote explosion, observed-day clip) share
+    // one materialization of the deduped pair frame
+    val du = graft.Caches.cached(cacheKey) {
+      events.select(to_date($"ts").as("d"), $"user_id").distinct()
+    }
+    val dau = du.groupBy($"d".as("day")).agg(count(lit(1)).as("dau"))
+    val days = du.select($"d".as("day")).distinct() // bounded: calendar-sized
+    val votes = du
+      .select(explode(expr(s"sequence(d, date_add(d, ${windowDays - 1}))"))
+        .as("day"), $"user_id")
+      .distinct()
+      .join(broadcast(days), "day") // clip windows past the observed range
+      .groupBy($"day").agg(count(lit(1)).as("active_7d"))
+    dau.join(votes, "day").orderBy($"day")
+  }
+
+  def rollingActivesQuery(s: SparkSession, dir: String): DataFrame =
+    rollingActives(Tables.events(s, dir), cacheKey = s"rolling-du:$dir")
 }
