@@ -71,7 +71,15 @@ object Bench {
     "p_drift_psi", "t_bpe_merges",
     // r8e additions: truncated-prefix retrieval, the transition matrix,
     // the SCD2 lookup join, PCA projection (fit + project)
-    "v_matryoshka", "s_transitions", "j_scd2_lookup", "v_pca")
+    "v_matryoshka", "s_transitions", "j_scd2_lookup", "v_pca",
+    // r8f additions: the revenue trend line, RFM quintiles, rolling
+    // distinct actives, weighted landmark paths, tokenizer inference
+    "q_revenue_trend", "q_rfm_segments", "s_rolling_actives",
+    "g_weighted_paths", "t_bpe_encode",
+    // r8g additions: seed-teleport PageRank, the Bloom-gated scrub, the
+    // sketch actives series, perceptual-hash dedup
+    "g_ppr", "d_decontaminate_bloom", "s_rolling_actives_hll",
+    "m_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,6 +75,9 @@ object SparkEntry {
     // and the exact cosine re-rank in SQL
     "d_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "d_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    // Bloom prefilter + exact confirm join ⇒ output identical to D6 (no
+    // false negatives; FPs die in the join), so it shares D6's oracle
+    "d_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "d_decontaminate_semantic" -> ((s, d) => Dedup.decontaminateSemantic(s, d)),
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "d_cross_dedup" -> ((s, d) => Dedup.crossDedup(s, d)),
@@ -103,6 +106,9 @@ object SparkEntry {
     // Multimodal (SURVEY §2 M1–M2)
     "m_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "m_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // byte-loop perceptual hashing has no SQL twin ⇒ rows-only; the spec
+    // pins clone collapse, planted small-edit detection, and scatter
+    "m_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "m_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, d)),
     "m_segment_plan" -> ((s, d) => Multimodal.segmentPlan(s, d)),
     "m_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
@@ -129,6 +135,7 @@ object SparkEntry {
     "g_also_bought" -> ((s, d) => GraphOps.alsoBought(s, d)),
     "g_communities" -> ((s, d) => GraphOps.communities(s, d)),
     "g_recommend_user" -> ((s, d) => GraphOps.recommendForUser(s, d)),
+    "g_ppr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
     // Pipeline composition (SURVEY §2 P1–P2)
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
@@ -180,6 +187,10 @@ object SparkEntry {
     "q_revenue_trend" -> ((s, d) => Relational.revenueTrend(s, d)),
     "q_rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
     "s_rolling_actives" -> ((s, d) => streaming.EventOps.rollingActivesQuery(s, d)),
+    // DataSketches HLL binaries have no DuckDB twin ⇒ rows-only; the
+    // spec pins estimate error vs S18's exact series, register-max
+    // mergeability, and partitioning invariance
+    "s_rolling_actives_hll" -> ((s, d) => streaming.EventOps.rollingActivesHllQuery(s, d)),
   )
 
   /** Exact-definition SQL for the n-gram Jaccard relation — the oracle of
@@ -712,6 +723,19 @@ object SparkEntry {
         |WHERE bit_count(xor(a.fp_lo,b.fp_lo)) + bit_count(xor(a.fp_hi,b.fp_hi)) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1,len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) s
+        | FROM d WHERE len(w) >= 5),
+        |bsh AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0),
+        |tsh AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT t.doc_id, CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs,
+        |       CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shingles_hit
+        |FROM tsh t JOIN bsh b ON t.s = b.s
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // D6c emits exactly D6's result (sketch prefilter + exact confirm):
+    // same oracle, verbatim.
+    "d_decontaminate_bloom" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
         |   unnest(list_transform(range(1,len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) s
@@ -1321,6 +1345,34 @@ object SparkEntry {
         |)
         |SELECT v AS part, ROUND(r, 6) AS rank FROM pr WHERE it = 10
         |ORDER BY rank DESC, part LIMIT 20""".stripMargin,
+    // G16: G5's recursive-CTE replay with a seed-biased teleport — pv puts
+    // 1.0/|S| (one IEEE division, same on both engines) on customer 1's
+    // in-graph parts; the per-round update 0.15·pv + 0.85·Σ mirrors the
+    // Spark expression shape term-for-term, 6dp both sides.
+    "g_ppr" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |darcs AS (SELECT src, dst, 1.0/COUNT(*) OVER (PARTITION BY src) AS rdeg FROM arcs),
+        |sd AS (SELECT DISTINCT l.l_partkey pk FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |       WHERE o.o_custkey = 1 AND l.l_partkey IN (SELECT src FROM arcs)),
+        |c AS (SELECT COUNT(*) n FROM sd),
+        |pv AS (SELECT v.src AS v,
+        |         CASE WHEN s.pk IS NOT NULL THEN 1.0/CAST(c.n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pv
+        |       FROM (SELECT DISTINCT src FROM arcs) v
+        |       LEFT JOIN sd s ON v.src = s.pk CROSS JOIN c),
+        |pr AS (
+        |  SELECT 0 AS it, v, CAST(pv AS DOUBLE) AS r FROM pv
+        |  UNION ALL
+        |  SELECT DISTINCT it, v2 AS v, r FROM (
+        |    SELECT p.it + 1 AS it, a.dst AS v2,
+        |      0.15 * pv.pv + 0.85 * SUM(p.r * a.rdeg) OVER (PARTITION BY a.dst) AS r
+        |    FROM pr p JOIN darcs a ON a.src = p.v JOIN pv ON pv.v = a.dst
+        |    WHERE p.it < 10)
+        |)
+        |SELECT v AS part, ROUND(r, 6) AS ppr FROM pr WHERE it = 10
+        |ORDER BY ppr DESC, part LIMIT 20""".stripMargin,
     // G5b: same recursive-CTE replay with weight-normalized contributions
     // (CAST(w)/CAST(sum w) mirrors the Spark double division bit-for-bit).
     "g_pagerank_weighted" ->

@@ -37,6 +37,10 @@ object GraftFunctions {
   def vecQuantSelfDot(v: Column, mx: Column): Column =
     GraftColumn.of(VecQuantSelfDot(GraftColumn.exprOf(v), GraftColumn.exprOf(mx)))
 
+  /** Bloom-filter membership probe of a long-typed column, codegen'd. */
+  def bloomProbe(h: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftColumn.of(BloomProbe(GraftColumn.exprOf(h), filter))
+
   /** Pack sign bits of v[start..start+count) into a long (binary quant). */
   def vecSignPack(v: Column, start: Int, count: Int): Column =
     GraftColumn.of(VecSignPack(GraftColumn.exprOf(v),

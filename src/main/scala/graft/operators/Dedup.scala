@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Caches, Tables}
 import graft.operators.TextOps.h64
-import graft.functions.GraftFunctions.vecDot
+import graft.functions.GraftFunctions.{bloomProbe, vecDot}
 
 /** Deduplication operators for LLM-pipeline data prep, over `documents`
   * (reference analogue: the retrieval dedup in db_service.get_formatted_chunks
@@ -707,6 +707,38 @@ object Dedup {
         broadcast(bench.as("b"))
       else bench.as("b")
     train.as("t").join(benchSide, $"t.s" === $"b.s")
+      .groupBy($"t.doc_id".as("doc_id"))
+      .agg(countDistinct($"b.doc_id").as("n_bench_docs"),
+        countDistinct($"t.s").as("n_shingles_hit"))
+      .orderBy($"doc_id")
+  }
+
+  // D6c — Bloom-prefiltered decontamination: D6's exact contract behind a
+  // sketch gate. The bench side's distinct shingles build one Bloom filter
+  // (df.stat.bloomFilter — distributed treeAggregate build), and the
+  // TRAIN side's shingles stream through the codegen'd probe
+  // (functions.BloomProbe) BEFORE any shuffle: at 100 TB the corpus-side
+  // gram stream never reaches the exchange unless the sketch says it
+  // might match, so the shuffled volume tracks the contamination rate
+  // (~0 for a clean corpus), not the corpus size — the anti-join shape a
+  // benchmark scrub wants when the bench set is bounded but the corpus
+  // is not. No false negatives (Bloom guarantee) and the exact confirm
+  // join removes false positives, so the output is IDENTICAL to D6 and
+  // shares its SQL oracle; the spec additionally pins bloom ≡ exact and
+  // the survivor-fraction bound at the configured fpp.
+  def decontaminateBloom(s: SparkSession, dir: String, n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    import s.implicits._
+    val sh = Caches.cached(s"decon-sh:$dir:$n") {
+      shinglesOf(Tables.documents(s, dir), n)
+    }
+    val bench = sh.filter($"doc_id" % 10 === 0)
+    val train = sh.filter($"doc_id" % 10 =!= 0)
+    val benchH = bench.select(xxhash64($"s").as("h"))
+    val nBench = math.max(benchH.count(), 1L)
+    val bf = benchH.stat.bloomFilter("h", nBench, fpp)
+    val survivors = train.filter(bloomProbe(xxhash64($"s"), bf))
+    survivors.as("t").join(bench.as("b"), $"t.s" === $"b.s")
       .groupBy($"t.doc_id".as("doc_id"))
       .agg(countDistinct($"b.doc_id").as("n_bench_docs"),
         countDistinct($"t.s").as("n_shingles_hit"))

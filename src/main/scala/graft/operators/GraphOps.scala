@@ -1019,4 +1019,67 @@ object GraphOps {
       .select($"l_partkey".as("pk")).distinct()
     recommendOn(edgesUnsorted(s, dir), owned, k)
   }
+
+  /** PPR core over an arbitrary canonical edge frame and a seed-id frame
+    * (`pk` rows): r ← 0.15·pv + 0.85·Σ r_u/deg(u), where the
+    * personalization vector pv puts 1/|S| on each in-graph seed and 0
+    * elsewhere — teleport mass returns to the SEED SET, not uniformly, so
+    * rank measures topology-weighted proximity to the seeds. Fixed
+    * synchronous rounds (G5's contract) ⇒ the result is a pure function
+    * of (edges, seeds) and replays as a recursive CTE; same per-iteration
+    * shape as pageRankDF: one shuffle of the node-sized rank frame
+    * against the cached degree-annotated arc list, localCheckpoint
+    * lineage truncation. |S| is the one driver scalar (a count — the
+    * k-means-centroid argument); 1.0/|S| and 0.15·pv are single IEEE
+    * divisions/products written identically by the oracle. */
+  private[graft] def pprOf(edges: DataFrame, seedIds: DataFrame,
+      iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+    val deg = arcs.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val arcsD = arcs.join(deg, "src").select($"src", $"dst", $"deg")
+      .localCheckpoint(eager = true)
+    val seeds = deg.select($"src".as("v"))
+      .join(broadcast(seedIds.select($"pk".as("v"))), Seq("v"), "semi")
+      .localCheckpoint(eager = true)
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "personalized PageRank needs an in-graph seed")
+    val pv = 1.0 / nSeeds
+    val verts = deg.select($"src".as("v"))
+      .join(seeds.withColumn("sd", lit(true)), Seq("v"), "left")
+      .select($"v", when($"sd", lit(pv)).otherwise(lit(0.0)).as("pv"))
+      .localCheckpoint(eager = true)
+    var ranks = verts.select($"v", $"pv".as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val contribs = arcsD.join(ranks, $"src" === $"v")
+        .groupBy($"dst").agg(sum($"rank" / $"deg").as("msg"))
+      ranks = verts
+        .join(contribs, $"v" === $"dst", "left")
+        .select($"v",
+          (lit(0.15) * $"pv" + lit(0.85) * coalesce($"msg", lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.select($"v".as("part"), round($"rank", 6).as("ppr"))
+  }
+
+  // G16 — personalized PageRank from one customer's purchase history
+  // (GDS gds.pageRank with sourceNodes; the reference's Neo4j product
+  // graph serves per-user suggestions — G12 is the one-hop CF score,
+  // this is its multi-hop generalization: mass diffuses through the
+  // whole co-purchase topology instead of stopping at direct
+  // neighbors). Seeds = the customer's distinct in-graph parts (G12's
+  // owned-set convention, custKey=1).
+  def personalizedPageRank(s: SparkSession, dir: String, custKey: Long = 1L,
+      iters: Int = 10, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val owned = Tables.orders(s, dir).filter($"o_custkey" === custKey)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"l_partkey".as("pk")).distinct()
+    pprOf(edgesUnsorted(s, dir), owned, iters)
+      .orderBy($"ppr".desc, $"part")
+      .limit(k)
+  }
 }

@@ -124,6 +124,93 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  final case class PHashRow(doc_id: Long, content_h: String,
+    ph_lo: Long, ph_hi: Long)
+
+  /** 64-bit average-hash over a binary payload — the aHash family of
+    * perceptual image fingerprints, on bytes instead of decoded pixels
+    * (a real codec would feed pixel intensities through the SAME
+    * function; only the decode stub changes). bit j = (mean of the bytes
+    * at positions ≡ j mod 64) > (global mean), compared cross-multiplied
+    * in Long so the fingerprint is pure-integer deterministic. Locality:
+    * a small payload edit perturbs one bucket sum (plus the global mean
+    * by δ/L), so near-identical payloads land within a few Hamming bits
+    * while md5-style hashes scatter. Two non-negative 32-bit halves,
+    * D3's sign-safe band convention. */
+  private[graft] def aHash64(payload: Array[Byte]): (Long, Long) = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    val L = payload.length.toLong
+    var i = 0
+    while (i < payload.length) {
+      val v = payload(i) & 0xff
+      sums(i % 64) += v; cnts(i % 64) += 1; total += v
+      i += 1
+    }
+    var lo = 0L; var hi = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) * L > total * cnts(j)) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (lo, hi)
+  }
+
+  // M6 — perceptual near-dup over the binary media column: the image-
+  // dedup stage of a multimodal corpus pipeline (byte-identical re-crawls
+  // PLUS lightly-edited variants — re-encodes, watermark stamps — that
+  // content hashing misses). Shape: one typed pass computes (md5,
+  // aHash64) per payload; exact byte-dups COLLAPSE on the content hash
+  // first (the D-family discipline — clones share fingerprints and would
+  // collide in every band as g² self-join rows), then the distinct
+  // contents pair via D3's 4×16-bit Hamming bands and survive at
+  // Hamming ≤ maxHamming. Output is rep-level pairs with copy counts —
+  // linear in distinct contents, never in clone mass. Byte-loop hashing
+  // has no SQL twin ⇒ rows-only; the spec pins clone collapse (identical
+  // payloads → one rep, hamming 0 to nothing), planted small-edit
+  // detection, and scatter for unrelated payloads.
+  def phashDedup(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame =
+    phashPairsOn(Tables.documents(s, dir), maxHamming, s"phash-banded:$dir")
+
+  /** M6 core over an arbitrary (doc_id, text) frame. */
+  private[graft] def phashPairsOn(docs: DataFrame, maxHamming: Int,
+      cacheKey: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val media: Dataset[MediaRow] = docs
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[MediaRow]
+    val hashed = media.mapPartitions(_.map { m =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val (lo, hi) = aHash64(m.payload)
+      PHashRow(m.doc_id, md.digest(m.payload).map("%02x".format(_)).mkString,
+        lo, hi)
+    }).toDF()
+    val groups = hashed.groupBy($"content_h")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("n_copies"),
+        min($"ph_lo").as("ph_lo"), min($"ph_hi").as("ph_hi"))
+    val banded = graft.Caches.cached(cacheKey) { // self-joined
+      groups.select($"rep", $"n_copies", $"ph_lo", $"ph_hi",
+        explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("bv", expr(
+          "CASE WHEN k < 2 THEN (ph_lo div shiftleft(1L, 16*k)) % 65536" +
+          " ELSE (ph_hi div shiftleft(1L, 16*(k-2))) % 65536 END"))
+    }
+    banded.as("a")
+      .join(banded.as("b"),
+        $"a.k" === $"b.k" && $"a.bv" === $"b.bv" && $"a.rep" < $"b.rep")
+      .select($"a.rep".as("doc_a"), $"b.rep".as("doc_b"),
+        expr("bit_count(a.ph_lo ^ b.ph_lo) + bit_count(a.ph_hi ^ b.ph_hi)")
+          .cast("long").as("hamming"),
+        $"a.n_copies".as("n_copies_a"), $"b.n_copies".as("n_copies_b"))
+      .distinct() // a pair can share several bands
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   // M2 — frame sampling over binary media via typed mapPartitions: the
   // decoder is instantiated once per partition (how a real codec handle
   // would be held), frames stream out without materializing a partition.

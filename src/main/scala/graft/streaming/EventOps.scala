@@ -347,4 +347,45 @@ object EventOps {
 
   def rollingActivesQuery(s: SparkSession, dir: String): DataFrame =
     rollingActives(Tables.events(s, dir), cacheKey = s"rolling-du:$dir")
+
+  // S19 — the MERGEABLE-SKETCH twin of S18: daily + rolling 7-day
+  // distinct actives from Apache DataSketches HLL (hll_sketch_agg /
+  // hll_union_agg — Spark 4 natives). S18's exact pair frame is bounded
+  // by days × ACTIVES; at 100 TB-of-events with ~10⁹ actives that frame
+  // is itself a monster, and re-answering "uniques over any window" means
+  // re-shuffling it. The sketch path pays one events scan into a
+  // days-sized frame of ~KB sketches (map-side combinable — partials
+  // merge by register-max), and every rolling window after that is a
+  // union over ≤7 SKETCHES per day on the calendar-bounded frame —
+  // re-aggregable to any window without touching events again. That
+  // re-aggregation property (union = register max, associative,
+  // order-independent) is why pre-aggregated uniques exist at scale;
+  // ±1.04/√2^lgK standard error is the price (lgK=12 → ~1.6%).
+  // DataSketches binaries have no DuckDB twin ⇒ rows-only; the spec pins
+  // estimate-vs-exact error, sketch mergeability (half-split union ≡
+  // whole), and partitioning invariance.
+  def rollingActivesHll(events: DataFrame, windowDays: Int = 7,
+      lgK: Int = 12): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val daily = events
+      .select(to_date($"ts").as("d"), $"user_id")
+      .groupBy($"d")
+      .agg(hll_sketch_agg($"user_id", lgK).as("sk"))
+      .localCheckpoint(eager = true) // three consumers, one materialization
+    val days = daily.select($"d".as("day"))
+    val dau = daily.select($"d".as("day"),
+      hll_sketch_estimate($"sk").as("dau_est"))
+    val rolled = daily
+      .select(explode(expr(s"sequence(d, date_add(d, ${windowDays - 1}))"))
+        .as("day"), $"sk")
+      .join(broadcast(days), "day") // clip windows past the observed range
+      .groupBy($"day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", allowDifferentLgConfigK = false))
+        .as("active_7d_est"))
+    dau.join(rolled, "day").orderBy($"day")
+  }
+
+  def rollingActivesHllQuery(s: SparkSession, dir: String): DataFrame =
+    rollingActivesHll(Tables.events(s, dir))
 }
