@@ -79,7 +79,9 @@ object Bench {
     // r8g additions: seed-teleport PageRank, the Bloom-gated scrub, the
     // sketch actives series, perceptual-hash dedup
     "g_ppr", "d_decontaminate_bloom", "s_rolling_actives_hll",
-    "m_phash_dedup")
+    "m_phash_dedup",
+    // r8h additions: KMV set-operation sketches, bipartite HITS
+    "s_audience_overlap", "g_hits")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -136,6 +136,7 @@ object SparkEntry {
     "g_communities" -> ((s, d) => GraphOps.communities(s, d)),
     "g_recommend_user" -> ((s, d) => GraphOps.recommendForUser(s, d)),
     "g_ppr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
+    "g_hits" -> ((s, d) => GraphOps.hits(s, d)),
     // Pipeline composition (SURVEY §2 P1–P2)
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
@@ -191,6 +192,7 @@ object SparkEntry {
     // spec pins estimate error vs S18's exact series, register-max
     // mergeability, and partitioning invariance
     "s_rolling_actives_hll" -> ((s, d) => streaming.EventOps.rollingActivesHllQuery(s, d)),
+    "s_audience_overlap" -> ((s, d) => streaming.EventOps.audienceOverlapQuery(s, d)),
   )
 
   /** Exact-definition SQL for the n-gram Jaccard relation — the oracle of
@@ -1373,6 +1375,31 @@ object SparkEntry {
         |)
         |SELECT v AS part, ROUND(r, 6) AS ppr FROM pr WHERE it = 10
         |ORDER BY ppr DESC, part LIMIT 20""".stripMargin,
+    // G17: HITS replay — the bipartite arc frame pre-expands to
+    // (qkind,qid)→(okind,oid) rows so the recursive CTE's single
+    // self-reference is an equi-join producing BOTH new vectors per
+    // round (Jacobi update); per-node raw = deg-bounded window SUM,
+    // normalizer = order-independent MAX window per kind, 6dp.
+    "g_hits" ->
+      """WITH RECURSIVE ed AS (SELECT DISTINCT o.o_custkey u, l.l_partkey p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edk AS (SELECT 'h' qkind, u qid, 'a' okind, p oid FROM ed
+        |        UNION ALL SELECT 'a', p, 'h', u FROM ed),
+        |hits AS (
+        |  SELECT 0 AS it, kind, id, CAST(1.0 AS DOUBLE) AS v FROM (
+        |    SELECT 'h' kind, u AS id FROM (SELECT DISTINCT u FROM ed)
+        |    UNION ALL
+        |    SELECT 'a', p FROM (SELECT DISTINCT p FROM ed)) z
+        |  UNION ALL
+        |  SELECT it, kind, id, raw / MAX(raw) OVER (PARTITION BY kind) AS v FROM (
+        |    SELECT DISTINCT q.it + 1 AS it, e.okind AS kind, e.oid AS id,
+        |      SUM(q.v) OVER (PARTITION BY e.okind, e.oid) AS raw
+        |    FROM hits q JOIN edk e ON q.kind = e.qkind AND q.id = e.qid
+        |    WHERE q.it < 6) w
+        |)
+        |SELECT id AS part, ROUND(v, 6) AS authority FROM hits
+        |WHERE it = 6 AND kind = 'a'
+        |ORDER BY authority DESC, part LIMIT 20""".stripMargin,
     // G5b: same recursive-CTE replay with weight-normalized contributions
     // (CAST(w)/CAST(sum w) mirrors the Spark double division bit-for-bit).
     "g_pagerank_weighted" ->
@@ -1881,6 +1908,39 @@ object SparkEntry {
         |FROM q ORDER BY c_custkey""".stripMargin,
     // S18: the rolling distinct replay — day-range join over the DEDUPED
     // (day,user) pair frame, never over raw events.
+    // S20: the KMV sketch is a pure fact of the data (bottom-k of a
+    // deterministic md5-derived hash), so the oracle replays the sketch
+    // itself: same bottom-k sets, same exact-regime CASE branches, same
+    // (k−1)·2^60/θ estimator expression, 6dp.
+    "s_audience_overlap" ->
+      """WITH uh AS (SELECT DISTINCT event_type t,
+        |        CAST(('0x'||substr(md5('aud:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) h FROM events),
+        |km AS (SELECT t, h FROM (
+        |        SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) rk FROM uh) z
+        |       WHERE rk <= 64),
+        |pt AS (SELECT t, COUNT(*) n, MAX(h) kth FROM km GROUP BY t),
+        |pe AS (SELECT t, CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |         ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END est FROM pt),
+        |pairs AS (SELECT a.t ta, b.t tb FROM pt a JOIN pt b ON a.t < b.t),
+        |pu AS (SELECT ta, tb, h, COUNT(*) sides FROM km
+        |       JOIN pairs ON km.t = ta OR km.t = tb GROUP BY 1, 2, 3),
+        |pr AS (SELECT ta, tb, h, sides FROM (
+        |        SELECT ta, tb, h, sides,
+        |          ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) rk FROM pu) z
+        |       WHERE rk <= 64),
+        |pa AS (SELECT ta, tb, COUNT(*) ku, MAX(h) kthu,
+        |         SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) nboth
+        |       FROM pr GROUP BY 1, 2)
+        |SELECT ta AS t_a, tb AS t_b,
+        |  ROUND(ea.est, 6) AS est_a, ROUND(eb.est, 6) AS est_b,
+        |  ROUND(CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(kthu AS DOUBLE) END, 6) AS est_union,
+        |  ROUND(CAST(nboth AS DOUBLE) / CAST(ku AS DOUBLE), 6) AS est_jaccard,
+        |  ROUND(CAST(nboth AS DOUBLE) / CAST(ku AS DOUBLE)
+        |    * (CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(kthu AS DOUBLE) END), 6) AS est_intersection
+        |FROM pa JOIN pe ea ON ea.t = ta JOIN pe eb ON eb.t = tb
+        |ORDER BY t_a, t_b""".stripMargin,
     "s_rolling_actives" ->
       """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) d, user_id FROM events),
         |days AS (SELECT DISTINCT d AS day FROM du),

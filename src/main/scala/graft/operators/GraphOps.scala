@@ -1065,6 +1065,63 @@ object GraphOps {
     ranks.select($"v".as("part"), round($"rank", 6).as("ppr"))
   }
 
+  /** HITS core over a bipartite (u, p) arc frame: max-normalized hubs &
+    * authorities, SIMULTANEOUS (Jacobi) update — a_{t+1} from h_t and
+    * h_{t+1} from a_t, both normalized by their round maximum. Max (not
+    * the L1/L2 norm) keeps the normalizer ORDER-INDEPENDENT — a single
+    * comparison-reduction, no global fp sum whose partition order could
+    * disagree with the oracle; the per-node raw sums are deg-bounded
+    * windows, G5's accepted 6dp-absorbed risk class. Fixed rounds ⇒
+    * recursive-CTE replay (arc frame pre-expanded to (qkind,qid) →
+    * (okind,oid) so the CTE's one self-reference is an equi-join).
+    * Per round: two keyed shuffles of node-sized frames against the
+    * cached arc list + two 1-row max aggs broadcast back;
+    * localCheckpoint truncates lineage (the iterative-DF discipline). */
+  private[graft] def hitsOf(ed: DataFrame, iters: Int): DataFrame = {
+    val s = ed.sparkSession
+    import s.implicits._
+    val edC = ed.select($"u", $"p").localCheckpoint(eager = true)
+    var hub = edC.select($"u".as("id")).distinct()
+      .withColumn("v", lit(1.0)).localCheckpoint(eager = true)
+    var auth = edC.select($"p".as("id")).distinct()
+      .withColumn("v", lit(1.0)).localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val rawA = edC.join(hub.select($"id".as("u"), $"v"), "u")
+        .groupBy($"p").agg(sum($"v").as("raw"))
+        .localCheckpoint(eager = true) // feeds the max agg AND the divide
+      val rawH = edC.join(auth.select($"id".as("p"), $"v"), "p")
+        .groupBy($"u").agg(sum($"v").as("raw"))
+        .localCheckpoint(eager = true)
+      auth = rawA.crossJoin(broadcast(rawA.agg(max($"raw").as("mx"))))
+        .select($"p".as("id"), ($"raw" / $"mx").as("v"))
+        .localCheckpoint(eager = true)
+      hub = rawH.crossJoin(broadcast(rawH.agg(max($"raw").as("mx"))))
+        .select($"u".as("id"), ($"raw" / $"mx").as("v"))
+        .localCheckpoint(eager = true)
+    }
+    auth.select($"id".as("part"), round($"v", 6).as("authority"))
+  }
+
+  // G17 — HITS hubs & authorities (Kleinberg 1999; GDS gds.alpha.hits)
+  // over the bipartite customer→part purchase graph: authoritative
+  // products are the ones bought by strong hub customers, and hub
+  // strength comes from buying authoritative products — the mutual
+  // recursion degree counts can't see. The co-purchase projection would
+  // be HITS-degenerate (undirected ⇒ hubs ≡ authorities); the bipartite
+  // purchase graph is where the two roles genuinely differ.
+  def hits(s: SparkSession, dir: String, iters: Int = 6, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val ed = Caches.cached(s"hits-ed:$dir") {
+      Tables.orders(s, dir).select($"o_custkey".as("u"), $"o_orderkey")
+        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey".as("p")),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"u", $"p").distinct()
+    }
+    hitsOf(ed, iters)
+      .orderBy($"authority".desc, $"part")
+      .limit(k)
+  }
+
   // G16 — personalized PageRank from one customer's purchase history
   // (GDS gds.pageRank with sourceNodes; the reference's Neo4j product
   // graph serves per-user suggestions — G12 is the one-hop CF score,

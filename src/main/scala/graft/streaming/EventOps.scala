@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -388,4 +388,65 @@ object EventOps {
 
   def rollingActivesHllQuery(s: SparkSession, dir: String): DataFrame =
     rollingActivesHll(Tables.events(s, dir))
+
+  // S20 — audience-overlap estimation via KMV bottom-k distinct sketches
+  // (Beyer et al. 2007, "Distinct-value synopses over ...") — the
+  // set-OPERATION sketch HLL lacks: per event type keep the k smallest
+  // md5-derived user hashes; |A| ≈ (k−1)/θ_k, and A∩B/A∪B come from the
+  // bottom-k of the UNION (U = k smallest of kmin_A ∪ kmin_B; Jaccard ≈
+  // |U ∩ kmin_A ∩ kmin_B|/|U|). Sets smaller than k are EXACT (their
+  // whole hash set is the sketch). Why it scales: the only corpus-sized
+  // work is one map-side-combinable distinct + one range-shuffled
+  // grouped rank (Ranking.rowNumberWithin — |types| groups would skew a
+  // plain window); everything after runs on k·|types| rows. Why it
+  // hash-matches: bottom-k of a deterministic hash is a pure FACT of the
+  // data — no registers, no randomness — so DuckDB replays the sketch
+  // itself, exact-regime branches and all (the V4/D5b argument).
+  def audienceOverlap(events: DataFrame, k: Int = 64,
+      cacheKey: String = "aud-km"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val dom = 1152921504606846976.0 // 2^60 — h64's 15-hex-digit domain
+    def estOf(n: Column, kth: Column): Column =
+      when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(dom) / kth.cast("double"))
+    val uh = events.select($"event_type".as("t"),
+        graft.operators.TextOps.h64(
+          concat(lit("aud:"), $"user_id".cast("string"))).as("h"))
+      .distinct()
+    val km = graft.Caches.cached(cacheKey) { // feeds per-type AND pair legs
+      graft.operators.Ranking
+        .rowNumberWithin(uh, "t", Seq($"h"), "rk", cacheKey + ":rk")
+        .filter($"rk" <= k)
+        .select($"t", $"h")
+    }
+    val pe = km.groupBy($"t")
+      .agg(count(lit(1)).as("n"), max($"h").as("kth"))
+      .select($"t", estOf($"n", $"kth").as("est"))
+    val pairs = pe.select($"t".as("ta")).crossJoin(pe.select($"t".as("tb")))
+      .filter($"ta" < $"tb")
+    // (pair, h) rows; sides=2 ⇔ h sits in BOTH types' bottom-k sets
+    val pu = km.join(broadcast(pairs), $"t" === $"ta" || $"t" === $"tb")
+      .groupBy($"ta", $"tb", $"h").agg(count(lit(1)).as("sides"))
+    // bottom-k of the union: the windowed frame is ≤2k rows per pair —
+    // k-bounded, not data-bounded, so a plain window is safe here
+    val w = Window.partitionBy($"ta", $"tb").orderBy($"h")
+    val pa = pu.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .groupBy($"ta", $"tb")
+      .agg(count(lit(1)).as("ku"), max($"h").as("kthu"),
+        sum(when($"sides" === 2, 1L).otherwise(0L)).as("nboth"))
+    pa.join(pe.select($"t".as("ta"), $"est".as("ea")), "ta")
+      .join(pe.select($"t".as("tb"), $"est".as("eb")), "tb")
+      .select($"ta".as("t_a"), $"tb".as("t_b"),
+        round($"ea", 6).as("est_a"), round($"eb", 6).as("est_b"),
+        round(estOf($"ku", $"kthu"), 6).as("est_union"),
+        round($"nboth".cast("double") / $"ku".cast("double"), 6)
+          .as("est_jaccard"),
+        round($"nboth".cast("double") / $"ku".cast("double")
+          * estOf($"ku", $"kthu"), 6).as("est_intersection"))
+      .orderBy($"t_a", $"t_b")
+  }
+
+  def audienceOverlapQuery(s: SparkSession, dir: String): DataFrame =
+    audienceOverlap(Tables.events(s, dir), cacheKey = s"aud-km:$dir")
 }
