@@ -81,7 +81,11 @@ object Bench {
     "g_ppr", "d_decontaminate_bloom", "s_rolling_actives_hll",
     "m_phash_dedup",
     // r8h additions: KMV set-operation sketches, bipartite HITS
-    "s_audience_overlap", "g_hits")
+    "s_audience_overlap", "g_hits",
+    // r8i additions: incremental MV maintenance, the FAISS IVFPQ compose
+    "q_mv_incremental", "v_ivfpq_ann",
+    // r8j additions: the data-expectations gate, the DeepWalk corpus
+    "p_quality_checks", "g_random_walks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

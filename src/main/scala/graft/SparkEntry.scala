@@ -30,6 +30,9 @@ object SparkEntry {
     "q_cancel_eligible" -> ((s, d) => Relational.cancelEligible(s, d)),
     "q_top_customers" -> ((s, d) => Relational.topCustomers(s, d)),
     "q_revenue_by_category" -> ((s, d) => Relational.revenueByCategory(s, d)),
+    // partial re-aggregation of base+delta merges to the full rollup
+    // exactly (decimal partials) ⇒ shares R10's full-table oracle
+    "q_mv_incremental" -> ((s, d) => Relational.revenueByCategoryIncremental(s, d)),
     "q_top_products" -> ((s, d) => Relational.topProducts(s, d)),
     "q_region_revenue" -> ((s, d) => Relational.regionRevenue(s, d)),
     "q_segment_stats" -> ((s, d) => Relational.segmentStats(s, d)),
@@ -91,6 +94,8 @@ object SparkEntry {
     "v_knn_per_label" -> ((s, d) => VectorOps.knnPerLabel(s, d)),
     "v_lsh_ann" -> ((s, d) => VectorOps.lshAnn(s, d)),
     "v_ivf_ann" -> ((s, d) => VectorOps.ivfAnn(s, d)),
+    // k-means + PQ-codebook seeded ⇒ honestly rows-only like V4b/V10
+    "v_ivfpq_ann" -> ((s, d) => VectorOps.ivfpqAnn(s, d)),
     "v_chunk_text" -> ((s, d) => VectorOps.chunkText(s, d)),
     "v_chunk_recursive" -> ((s, d) => VectorOps.chunkRecursive(s, d)),
     "v_dedup_chunks" -> ((s, d) => VectorOps.dedupChunks(s, d)),
@@ -137,12 +142,14 @@ object SparkEntry {
     "g_recommend_user" -> ((s, d) => GraphOps.recommendForUser(s, d)),
     "g_ppr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
     "g_hits" -> ((s, d) => GraphOps.hits(s, d)),
+    "g_random_walks" -> ((s, d) => GraphOps.randomWalks(s, d)),
     // Pipeline composition (SURVEY §2 P1–P2)
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
     "p_train_mix" -> ((s, d) => pipeline.CorpusPipeline.trainMix(s, d)),
     "p_split_leakproof" -> ((s, d) => pipeline.CorpusPipeline.splitLeakproof(s, d)),
     "p_data_card" -> ((s, d) => pipeline.CorpusPipeline.dataCard(s, d)),
+    "p_quality_checks" -> ((s, d) => pipeline.CorpusPipeline.qualityChecks(s, d)),
     "p_dsir_sample" -> ((s, d) => Sampling.dsirSample(s, d)),
     "p_temperature_sample" -> ((s, d) => Sampling.temperatureSample(s, d)),
     "p_drift_psi" -> ((s, d) => Drift.psiDrift(s, d)),
@@ -355,6 +362,15 @@ object SparkEntry {
         | FROM orders GROUP BY o_custkey) j JOIN customer ON o_custkey = c_custkey
         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
     "q_revenue_by_category" ->
+      """SELECT p_type,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // R28 merges decimal partials exactly, so the full-table SQL is its
+    // oracle too (verbatim R10)
+    "q_mv_incremental" ->
       """SELECT p_type,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
@@ -1400,6 +1416,31 @@ object SparkEntry {
         |SELECT id AS part, ROUND(v, 6) AS authority FROM hits
         |WHERE it = 6 AND kind = 'a'
         |ORDER BY authority DESC, part LIMIT 20""".stripMargin,
+    // G18: the walk corpus replays exactly — the per-hop choice is the
+    // md5-argmin over the current node's neighbors, a pure function of
+    // (start, walk, step, neighbor); window ROW_NUMBER per (start, walk)
+    // with the identical (score, dst) tie-break.
+    "g_random_walks" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |vs AS (SELECT DISTINCT src v FROM arcs),
+        |wk AS (
+        |  SELECT v AS start, CAST(w AS BIGINT) AS walk, 0 AS step, v AS node
+        |  FROM vs CROSS JOIN (SELECT unnest(range(0, 2)) w) t
+        |  UNION ALL
+        |  SELECT start, walk, step, node FROM (
+        |    SELECT q.start, q.walk, q.step + 1 AS step, a.dst AS node,
+        |      ROW_NUMBER() OVER (PARTITION BY q.start, q.walk ORDER BY
+        |        CAST(('0x'||substr(md5('w:'||CAST(q.start AS VARCHAR)||':'||CAST(q.walk AS VARCHAR)
+        |          ||':'||CAST(q.step + 1 AS VARCHAR)||':'||CAST(a.dst AS VARCHAR)),1,15)) AS BIGINT),
+        |        a.dst) rk
+        |    FROM wk q JOIN arcs a ON a.src = q.node
+        |    WHERE q.step < 4) z
+        |  WHERE rk = 1
+        |)
+        |SELECT start, walk, step, node FROM wk
+        |ORDER BY start, walk, step""".stripMargin,
     // G5b: same recursive-CTE replay with weight-normalized contributions
     // (CAST(w)/CAST(sum w) mirrors the Spark double division bit-for-bit).
     "g_pagerank_weighted" ->
@@ -1650,6 +1691,26 @@ object SparkEntry {
         |zr AS (SELECT ok, z, ROW_NUMBER() OVER (ORDER BY z, ok) - 1 AS r FROM z)
         |SELECT ok, z, CAST((zr.r*16)//n.n AS BIGINT) AS shard
         |FROM zr CROSS JOIN n ORDER BY ok""".stripMargin,
+    // P11: the metrics row replays as plain aggregates; thresholds CAST
+    // to DOUBLE on both engines (bare 1.0 is DECIMAL in either SQL
+    // dialect), pass decided from the 6dp-rounded metric.
+    "p_quality_checks" ->
+      """WITH m AS (SELECT COUNT(*) n, COUNT(DISTINCT doc_id) n_ids,
+        |  SUM(CASE WHEN text IS NOT NULL AND len(text) > 0 THEN 1 ELSE 0 END) n_text,
+        |  SUM(CASE WHEN lang IS NOT NULL AND len(lang) = 2 THEN 1 ELSE 0 END) n_lang,
+        |  SUM(CASE WHEN n_chars = len(text) THEN 1 ELSE 0 END) n_consis,
+        |  SUM(CASE WHEN source IS NOT NULL AND len(source) > 0 THEN 1 ELSE 0 END) n_src
+        | FROM documents)
+        |SELECT rule, ROUND(metric, 6) AS metric, threshold,
+        |  ROUND(metric, 6) >= threshold AS pass
+        |FROM (
+        | SELECT 'chars_consistent' AS rule, CAST(n_consis AS DOUBLE)/nullif(CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)) AS metric, CAST(1.0 AS DOUBLE) AS threshold FROM m
+        | UNION ALL SELECT 'doc_id_unique', CAST(n_ids AS DOUBLE)/nullif(CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE) FROM m
+        | UNION ALL SELECT 'lang_wellformed', CAST(n_lang AS DOUBLE)/nullif(CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(0.99 AS DOUBLE) FROM m
+        | UNION ALL SELECT 'row_count', CAST(n AS DOUBLE), CAST(1.0 AS DOUBLE) FROM m
+        | UNION ALL SELECT 'source_complete', CAST(n_src AS DOUBLE)/nullif(CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(0.99 AS DOUBLE) FROM m
+        | UNION ALL SELECT 'text_complete', CAST(n_text AS DOUBLE)/nullif(CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(0.999 AS DOUBLE) FROM m
+        |) z ORDER BY rule""".stripMargin,
     "p_data_card" ->
       """SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
         | COUNT(*) AS n_docs,

@@ -735,9 +735,13 @@ object Dedup {
     val bench = sh.filter($"doc_id" % 10 === 0)
     val train = sh.filter($"doc_id" % 10 =!= 0)
     val benchH = bench.select(xxhash64($"s").as("h"))
-    val nBench = math.max(benchH.count(), 1L)
-    val bf = benchH.stat.bloomFilter("h", nBench, fpp)
-    val survivors = train.filter(bloomProbe(xxhash64($"s"), bf))
+    val nBench = benchH.count()
+    // stat.bloomFilter NPEs on an empty build side; an empty bench set
+    // can match nothing anyway
+    val survivors =
+      if (nBench == 0) train.limit(0)
+      else train.filter(bloomProbe(xxhash64($"s"),
+        benchH.stat.bloomFilter("h", nBench, fpp)))
     survivors.as("t").join(bench.as("b"), $"t.s" === $"b.s")
       .groupBy($"t.doc_id".as("doc_id"))
       .agg(countDistinct($"b.doc_id").as("n_bench_docs"),

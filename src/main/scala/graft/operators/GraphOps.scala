@@ -1045,7 +1045,8 @@ object GraphOps {
       .join(broadcast(seedIds.select($"pk".as("v"))), Seq("v"), "semi")
       .localCheckpoint(eager = true)
     val nSeeds = seeds.count()
-    require(nSeeds > 0, "personalized PageRank needs an in-graph seed")
+    if (nSeeds == 0) // no in-graph seed (or empty graph): empty relation,
+      return deg.select($"src".as("part"), lit(0.0).as("ppr")).limit(0)
     val pv = 1.0 / nSeeds
     val verts = deg.select($"src".as("v"))
       .join(seeds.withColumn("sd", lit(true)), Seq("v"), "left")
@@ -1063,6 +1064,63 @@ object GraphOps {
         .localCheckpoint(eager = true)
     }
     ranks.select($"v".as("part"), round($"rank", 6).as("ppr"))
+  }
+
+  /** Walk core over a canonical edge frame: `nWalks` DETERMINISTIC
+    * uniform random walks of `steps` hops from every vertex. "Random"
+    * = at each hop take the neighbor minimizing the md5-derived hash of
+    * (start, walk, step, neighbor) — a high-quality uniform choice that
+    * is a pure FUNCTION of the graph (TextOps.h64, the repo's replay
+    * convention), so the generated corpus hash-matches a recursive-CTE
+    * replay and re-runs are reproducible without seeds-in-files. Per
+    * hop: one keyed join of the frontier (|V|·nWalks rows) against the
+    * cached mirrored arcs — fanout deg-bounded — then a window argmin
+    * partitioned by (start, walk): high-cardinality key, never a
+    * single-task group. localCheckpoint per hop (iterative-DF
+    * discipline). */
+  private[graft] def randomWalksOf(edges: DataFrame, nWalks: Int,
+      steps: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint(eager = true)
+    val verts = arcs.select($"src".as("v")).distinct()
+    var cur = verts
+      .select($"v".as("start"),
+        explode(sequence(lit(0), lit(nWalks - 1))).as("walk"),
+        lit(0).as("step"), $"v".as("node"))
+      .select($"start", $"walk".cast("long").as("walk"), $"step", $"node")
+      .localCheckpoint(eager = true)
+    var acc = cur
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"start", $"walk").orderBy($"score", $"dst")
+    for (st <- 1 to steps) {
+      cur = cur.join(arcs, $"node" === $"src")
+        .withColumn("score", graft.operators.TextOps.h64(concat(
+          lit("w:"), $"start".cast("string"), lit(":"),
+          $"walk".cast("string"), lit(":"), lit(st).cast("string"),
+          lit(":"), $"dst".cast("string"))))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"start", $"walk", lit(st).as("step"), $"dst".as("node"))
+        .localCheckpoint(eager = true)
+      acc = acc.unionByName(cur)
+    }
+    acc
+  }
+
+  // G18 — DeepWalk/node2vec walk-corpus generation (Perozzi et al. 2014;
+  // p=q=1 uniform regime): the training-data stage of graph-embedding
+  // pipelines — skip-gram learns node vectors from these walks exactly
+  // as word2vec learns from sentences. Emitting the corpus (not the
+  // embedding) is the data-pipeline contract; the hash-derived choice
+  // makes the corpus a reproducible fact of the graph.
+  def randomWalks(s: SparkSession, dir: String, nWalks: Int = 2,
+      steps: Int = 4): DataFrame = {
+    import s.implicits._
+    randomWalksOf(edgesUnsorted(s, dir), nWalks, steps)
+      .orderBy($"start", $"walk", $"step")
   }
 
   /** HITS core over a bipartite (u, p) arc frame: max-normalized hubs &

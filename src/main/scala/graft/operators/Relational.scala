@@ -317,6 +317,40 @@ object Relational {
       .orderBy($"p_type")
   }
 
+  // R28 — incremental materialized-view maintenance: R10's category
+  // rollup kept current under an increment batch WITHOUT rescanning the
+  // standing fact. base = l_orderkey % 10 ≠ 0 (the snapshot), delta =
+  // % 10 = 0 (the new ingest — D9's increment convention). Every view
+  // aggregate here is SELF-MAINTAINABLE (SUMs and COUNTs merge by
+  // addition — Palpanas et al.'s MV-maintenance class), so maintenance
+  // = aggregate the DELTA alone and add two category-sized partial
+  // frames; at 100 TB the base partials are a stored snapshot and only
+  // the increment is scanned. Partials stay DECIMAL until AFTER the
+  // merge (summing double partials would break exactness), so the
+  // merged view is bit-identical to the full recompute — the oracle IS
+  // R10's full-table SQL, verbatim.
+  def revenueByCategoryIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    def partial(rows: DataFrame): DataFrame =
+      rows.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_type")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast(DecimalType(18, 6))).as("revenue"),
+          sum($"l_quantity".cast(DecimalType(18, 6))).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+    val base = partial(li.filter($"l_orderkey" % 10 =!= 0))
+    val delta = partial(li.filter($"l_orderkey" % 10 === 0))
+    base.unionByName(delta)
+      .groupBy($"p_type")
+      .agg(sum($"revenue").cast("double").as("revenue"),
+        sum($"total_qty").cast("double").as("total_qty"),
+        sum($"n_lines").as("n_lines"))
+      .orderBy($"p_type")
+  }
+
   // R11 — best-selling products.
   def topProducts(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import s.implicits._

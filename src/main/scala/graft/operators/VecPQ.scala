@@ -88,9 +88,19 @@ object VecPQ {
     array((0 until m).map(j => codeOf(subvec(u, j, dsub), books(j))): _*)
   }
 
+  /** ADC lookup table for one query: table(j)(k) = q_sub_j · c_jk.
+    * Driver-bounded (m × ksub doubles — the codebook argument). */
+  private[graft] def adcTable(qu: Array[Double],
+      books: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val m = books.length
+    val dsub = qu.length / m
+    Array.tabulate(m)(j => books(j).map(c =>
+      c.zip(qu.slice(j * dsub, j * dsub + dsub)).map { case (a, b) => a * b }.sum))
+  }
+
   /** ADC approximate dot: Σ_j table(j)(codes(j)) where table(j)(k) =
     * q_sub_j · c_jk — m literal-array lookups, fully codegen'd. */
-  private def adcScore(codes: Column, table: Array[Array[Double]]): Column =
+  private[graft] def adcScore(codes: Column, table: Array[Array[Double]]): Column =
     table.zipWithIndex.map { case (row, j) =>
       element_at(typedLit(row.toSeq), codes.getItem(j) + 1)
     }.reduce(_ + _)
@@ -109,9 +119,7 @@ object VecPQ {
     if (qRow.isEmpty)
       return e.select($"vec_id", lit(0.0).as("approx_sim"), lit(0.0).as("sim")).limit(0)
     val qu = qRow(0).getSeq[Double](0).toArray
-    val dsub = qu.length / m
-    val table = Array.tabulate(m)(j => books(j).map(c =>
-      c.zip(qu.slice(j * dsub, j * dsub + dsub)).map { case (a, b) => a * b }.sum))
+    val table = adcTable(qu, books)
     val q = e.filter($"vec_id" === queryId)
       .select($"v".as("qv"), $"nrm".as("qnrm"))
     e.filter($"vec_id" =!= queryId)

@@ -363,6 +363,60 @@ object VectorOps {
       .limit(k)
   }
 
+  // V16 — IVF-PQ ANN: the FAISS IVFPQ serving compose, and the shape a
+  // 100 TB vector store actually runs — V4b's coarse cells prune the
+  // corpus to nProbe/nCells, V10's PQ codes score the survivors WITHOUT
+  // touching the full vectors (m byte-codes + a broadcast ADC table vs
+  // 128 doubles — the memory-bandwidth win is why IVFPQ exists), and
+  // only the top `rerank` candidates pay an exact distance. All driver
+  // state is bounded: nCells centroids + m·ksub codebooks + one ADC
+  // table (the k-means-centroid argument). k-means-seeded ⇒ honestly
+  // rows-only like V4b/V10; the spec pins planted-clone recovery and
+  // corpus recall ≫ the rerank-budget baseline.
+  def ivfpqAnn(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, kmIters: Int = 5, m: Int = 16,
+      ksub: Int = 16, pqIters: Int = 3, rerank: Int = 50): DataFrame =
+    ivfpqAnnOn(normed(s, dir), queryId, k, nCells, nProbe, kmIters,
+      m, ksub, pqIters, rerank)
+
+  /** IVF-PQ core on any normed frame (vec_id, v, nrm, u). */
+  private[graft] def ivfpqAnnOn(e: DataFrame, queryId: Long, k: Int,
+      nCells: Int, nProbe: Int, kmIters: Int, m: Int, ksub: Int,
+      pqIters: Int, rerank: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, kmIters)
+    val books = VecPQ.train(e.select($"vec_id", $"u"), m, ksub, pqIters)
+    val qRow = e.filter($"vec_id" === queryId)
+      .select($"u", $"v", $"nrm").collect()
+    if (cents.isEmpty || books.isEmpty || qRow.isEmpty)
+      return e.select($"vec_id", lit(0).as("cell"),
+        lit(0.0).as("approx_sim"), lit(0.0).as("sim")).limit(0)
+    val qu = qRow(0).getSeq[Double](0).toArray
+    val table = VecPQ.adcTable(qu, books)
+    val q = e.filter($"vec_id" === queryId)
+      .select($"v".as("qv"), $"nrm".as("qnrm"), $"u".as("qu"))
+    val centsDf = s.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }).toDF("cell", "cv")
+    val probeCells = centsDf.crossJoin(broadcast(q))
+      .withColumn("csim", dot($"cv", $"qu"))
+      .orderBy($"csim".desc, $"cell")
+      .limit(nProbe)
+      .select($"cell")
+    e.withColumn("cell", VecCluster.cellOf($"u", cents))
+      .filter($"vec_id" =!= queryId)
+      .join(broadcast(probeCells), "cell")
+      .withColumn("approx_sim",
+        round(VecPQ.adcScore(VecPQ.encode($"u", books), table), 6))
+      .orderBy($"approx_sim".desc, $"vec_id")
+      .limit(rerank)
+      .crossJoin(broadcast(q.select($"qv", $"qnrm")))
+      .withColumn("sim", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
+      .select($"vec_id", $"cell", $"approx_sim", $"sim")
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+  }
+
   // V5 — text chunking for RAG ingestion: 200-char windows, 50-char overlap
   // (db_service.py:209 RecursiveCharacterTextSplitter(1000, 200), sized to
   // this corpus's 100–500-char docs).

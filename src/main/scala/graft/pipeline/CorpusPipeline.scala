@@ -135,4 +135,48 @@ object CorpusPipeline {
         round($"sum_chars".cast("double") / $"n_docs", 6).as("avg_chars"))
       .orderBy($"source")
   }
+
+  // P11 — data-expectations checking (the Deequ / Great Expectations
+  // shape): declarative quality rules evaluated as ONE corpus pass —
+  // row presence, key uniqueness, field completeness, wellformedness,
+  // and a cross-field consistency rule (n_chars ≡ length(text), the
+  // class of bug scrapers actually produce) — unpivoted to a per-rule
+  // (metric, threshold, pass) report. The scheduled-re-scrape reference
+  // ingests with no such gate; at 100 TB this is the contract every
+  // upstream feed signs before P1 spends compute on it. All metrics are
+  // plain aggregates with map-side partials; the stack() unpivot runs
+  // on the single metrics row. pass compares the 6dp-ROUNDED metric so
+  // both engines decide from the identical number.
+  def qualityChecks(s: SparkSession, dir: String): DataFrame =
+    qualityChecksOn(Tables.documents(s, dir))
+
+  /** P11 core over an arbitrary (doc_id, text, lang, source, n_chars)
+    * frame. */
+  private[graft] def qualityChecksOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"doc_id").as("n_ids"),
+        sum(when($"text".isNotNull && length($"text") > 0, 1L)
+          .otherwise(0L)).as("n_text"),
+        sum(when($"lang".isNotNull && length($"lang") === 2, 1L)
+          .otherwise(0L)).as("n_lang"),
+        sum(when($"n_chars" === length($"text"), 1L).otherwise(0L)).as("n_consis"),
+        sum(when($"source".isNotNull && length($"source") > 0, 1L)
+          .otherwise(0L)).as("n_src"))
+      .select(expr(
+        """stack(6,
+          |'chars_consistent', CAST(n_consis AS DOUBLE)/nullif(CAST(n AS DOUBLE), 0.0D), CAST(1.0 AS DOUBLE),
+          |'doc_id_unique',    CAST(n_ids AS DOUBLE)/nullif(CAST(n AS DOUBLE), 0.0D),    CAST(1.0 AS DOUBLE),
+          |'lang_wellformed',  CAST(n_lang AS DOUBLE)/nullif(CAST(n AS DOUBLE), 0.0D),   CAST(0.99 AS DOUBLE),
+          |'row_count',        CAST(n AS DOUBLE),                          CAST(1.0 AS DOUBLE),
+          |'source_complete',  CAST(n_src AS DOUBLE)/nullif(CAST(n AS DOUBLE), 0.0D),    CAST(0.99 AS DOUBLE),
+          |'text_complete',    CAST(n_text AS DOUBLE)/nullif(CAST(n AS DOUBLE), 0.0D),   CAST(0.999 AS DOUBLE)
+          |) AS (rule, metric, threshold)""".stripMargin))
+      .select($"rule", round($"metric", 6).as("metric"), $"threshold",
+        (round($"metric", 6) >= $"threshold").as("pass"))
+      .orderBy($"rule")
+  }
 }

@@ -151,4 +151,28 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(c.length == 1 && c(0).getLong(0) == c(0).getLong(1))
     Caches.clearAll()
   }
+
+  test("r8 operators behave on empty and degenerate inputs") {
+    val s = spark
+    import s.implicits._
+    // PPR without any in-graph seed: empty relation, not an exception
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    assert(GraphOps.pprOf(edges, Seq(99L).toDF("pk"), 3).count() == 0)
+    assert(GraphOps.pprOf(edges.limit(0), Seq(1L).toDF("pk"), 3).count() == 0)
+    // walks on an empty edge frame: no rows
+    assert(GraphOps.randomWalksOf(edges.limit(0), 2, 3).count() == 0)
+    // HITS on an empty arc frame: no rows
+    assert(GraphOps.hitsOf(Seq((1L, 2L)).toDF("u", "p").limit(0), 2).count() == 0)
+    // bloom + phash + ivfpq over the empty corpus dirs
+    assert(Dedup.decontaminateBloom(spark, emptyDir).count() == 0)
+    assert(Multimodal.phashDedup(spark, emptyDir).count() == 0)
+    assert(VectorOps.ivfpqAnn(spark, emptyDir).count() == 0)
+    // expectations on an empty frame: defined report, row_count fails
+    val qc = graft.pipeline.CorpusPipeline.qualityChecksOn(
+      Tables.documents(spark, emptyDir)).collect()
+    assert(qc.length == 6)
+    val rc = qc.find(_.getString(0) == "row_count").get
+    assert(rc.getDouble(1) == 0.0 && !rc.getBoolean(3))
+    Caches.clearAll()
+  }
 }
