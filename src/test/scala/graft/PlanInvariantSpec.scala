@@ -245,4 +245,37 @@ class PlanInvariantSpec extends SparkSpecBase {
     assert(pt.contains("BroadcastExchange"), s"quota frame not broadcast:\n$pt")
     assert(!pt.contains("CartesianProduct"), s"temperature plans a cartesian:\n$pt")
   }
+
+  test("r8g-j operators: bloom probes before the exchange, one-pass checks, k-bounded overlap") {
+    // d_decontaminate_bloom: the codegen'd probe must sit on the train
+    // side BEFORE any exchange — that IS the operator's scale claim
+    val pb = plan("d_decontaminate_bloom")
+    assert(pb.contains("bloom_probe"), s"probe not in the plan:\n$pb")
+    val probeLine = pb.linesIterator.indexWhere(_.contains("bloom_probe"))
+    val exchangeAbove = pb.linesIterator.take(probeLine)
+      .exists(l => l.contains("Exchange hashpartitioning"))
+    // plan prints root-first: the confirm join's exchange is above, the
+    // probe filter below it feeding the exchange — the probe must not be
+    // BELOW a hash exchange of the train side (i.e. post-shuffle)
+    assert(exchangeAbove, s"probe does not feed the exchange:\n$pb")
+    // p_quality_checks: one aggregate pass over the corpus scan — the
+    // only keyed exchange allowed is countDistinct's doc_id expansion
+    // (high-cardinality, scale-safe); the unpivot must be a Generate
+    // over the 1-row metrics frame, and nothing joins
+    val pq = plan("p_quality_checks")
+    val keyedAggExchanges = pq.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyedAggExchanges.forall(_.contains("doc_id")),
+      s"expectations shuffle on more than the distinct key:\n$pq")
+    assert(pq.contains("Generate stack"), s"unpivot lost its Generate:\n$pq")
+    assert(!pq.contains("Join"), s"expectations plan a join:\n$pq")
+    // s_audience_overlap: the pair legs run on k-bounded frames; the only
+    // corpus-sized work is the distinct + ranged rank, so no cartesian
+    val pa = plan("s_audience_overlap")
+    assert(!pa.contains("CartesianProduct"), s"overlap plans a cartesian:\n$pa")
+    // q_mv_incremental: both partial legs keep the part dim broadcast
+    val pm = plan("q_mv_incremental")
+    assert(pm.contains("BroadcastHashJoin"), s"dim join lost broadcast:\n$pm")
+    assert(!pm.contains("SortMergeJoin"), s"partial leg fell to SMJ:\n$pm")
+  }
 }
