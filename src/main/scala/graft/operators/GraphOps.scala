@@ -1039,8 +1039,6 @@ object GraphOps {
     val arcs = edges.select($"src", $"dst")
       .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
     val deg = arcs.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val arcsD = arcs.join(deg, "src").select($"src", $"dst", $"deg")
-      .localCheckpoint(eager = true)
     val seeds = deg.select($"src".as("v"))
       .join(broadcast(seedIds.select($"pk".as("v"))), Seq("v"), "semi")
       .localCheckpoint(eager = true)
@@ -1052,15 +1050,30 @@ object GraphOps {
       .join(seeds.withColumn("sd", lit(true)), Seq("v"), "left")
       .select($"v", when($"sd", lit(pv)).otherwise(lit(0.0)).as("pv"))
       .localCheckpoint(eager = true)
+    // Per round: ONE keyed join + ONE narrow-key agg + a BROADCAST
+    // teleport attach. The teleport term 0.15·pv is nonzero only on the
+    // seed set (≈ one customer's parts), so it never needs a vertex-wide
+    // join or a widened group key — the tiny seed frame broadcasts and
+    // the add happens map-side. Bitwise identical to the oracle's
+    // 0.15·pv + 0.85·Σ: non-seeds compute 0.15·0.0 + x ≡ 0.0 + x there
+    // and coalesce(null→0.0) + x here — the same IEEE sum. Every vertex
+    // of the mirrored graph has in-arcs, so the message agg covers the
+    // whole vertex set each round (no left-join backfill). deg joins
+    // LAST so the checkpointed arc frame keeps hashpartitioning(src)
+    // and per-round joins shuffle only the node-sized rank frame.
+    val arcsD = arcs.join(deg, "src").select($"src", $"dst", $"deg")
+      .localCheckpoint(eager = true)
+    val tp = 0.15 * pv // one IEEE product, the oracle's 0.15 * pv.pv
+    val seedTp = seeds.select($"v".as("dst"), lit(tp).as("tp"))
     var ranks = verts.select($"v", $"pv".as("rank"))
       .localCheckpoint(eager = true)
     for (_ <- 0 until iters) {
-      val contribs = arcsD.join(ranks, $"src" === $"v")
-        .groupBy($"dst").agg(sum($"rank" / $"deg").as("msg"))
-      ranks = verts
-        .join(contribs, $"v" === $"dst", "left")
-        .select($"v",
-          (lit(0.15) * $"pv" + lit(0.85) * coalesce($"msg", lit(0.0))).as("rank"))
+      ranks = arcsD.join(ranks, $"src" === $"v")
+        .groupBy($"dst")
+        .agg(sum($"rank" / $"deg").as("msg"))
+        .join(broadcast(seedTp), Seq("dst"), "left")
+        .select($"dst".as("v"),
+          (coalesce($"tp", lit(0.0)) + lit(0.85) * $"msg").as("rank"))
         .localCheckpoint(eager = true)
     }
     ranks.select($"v".as("part"), round($"rank", 6).as("ppr"))
@@ -1093,17 +1106,20 @@ object GraphOps {
       .select($"start", $"walk".cast("long").as("walk"), $"step", $"node")
       .localCheckpoint(eager = true)
     var acc = cur
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"start", $"walk").orderBy($"score", $"dst")
     for (st <- 1 to steps) {
+      // the hash-argmin is a hash AGGREGATION, not a sort window:
+      // min(struct(score, dst)) has the identical (score, dst) ordering
+      // but combines map-side, so the per-hop shuffle carries one row
+      // per (start, walk) — frontier-sized — instead of the deg-bounded
+      // arc expansion a row_number window would sort and ship
       cur = cur.join(arcs, $"node" === $"src")
         .withColumn("score", graft.operators.TextOps.h64(concat(
           lit("w:"), $"start".cast("string"), lit(":"),
           $"walk".cast("string"), lit(":"), lit(st).cast("string"),
           lit(":"), $"dst".cast("string"))))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" === 1)
-        .select($"start", $"walk", lit(st).as("step"), $"dst".as("node"))
+        .groupBy($"start", $"walk")
+        .agg(min(struct($"score", $"dst")).as("m"))
+        .select($"start", $"walk", lit(st).as("step"), $"m.dst".as("node"))
         .localCheckpoint(eager = true)
       acc = acc.unionByName(cur)
     }
@@ -1138,16 +1154,22 @@ object GraphOps {
   private[graft] def hitsOf(ed: DataFrame, iters: Int): DataFrame = {
     val s = ed.sparkSession
     import s.implicits._
-    val edC = ed.select($"u", $"p").localCheckpoint(eager = true)
-    var hub = edC.select($"u".as("id")).distinct()
+    // one arc copy PER JOIN KEY, each pre-partitioned and checkpointed:
+    // the per-round joins then shuffle only the node-sized score
+    // frames, never the arc list (the pprOf join-order lesson)
+    val edU = ed.select($"u", $"p").repartition($"u")
+      .localCheckpoint(eager = true)
+    val edP = ed.select($"u", $"p").repartition($"p")
+      .localCheckpoint(eager = true)
+    var hub = edU.select($"u".as("id")).distinct()
       .withColumn("v", lit(1.0)).localCheckpoint(eager = true)
-    var auth = edC.select($"p".as("id")).distinct()
+    var auth = edP.select($"p".as("id")).distinct()
       .withColumn("v", lit(1.0)).localCheckpoint(eager = true)
     for (_ <- 0 until iters) {
-      val rawA = edC.join(hub.select($"id".as("u"), $"v"), "u")
+      val rawA = edU.join(hub.select($"id".as("u"), $"v"), "u")
         .groupBy($"p").agg(sum($"v").as("raw"))
         .localCheckpoint(eager = true) // feeds the max agg AND the divide
-      val rawH = edC.join(auth.select($"id".as("p"), $"v"), "p")
+      val rawH = edP.join(auth.select($"id".as("p"), $"v"), "p")
         .groupBy($"u").agg(sum($"v").as("raw"))
         .localCheckpoint(eager = true)
       auth = rawA.crossJoin(broadcast(rawA.agg(max($"raw").as("mx"))))
