@@ -66,8 +66,12 @@ object Bench {
     "v_hybrid_search", "g_recommend_user",
     // r8d additions: binary-quantization ANN, the two new graph analytics
     // (AA link prediction, k-core peel loop), temperature mixing, PSI
-    // drift, BPE merge training (the tokenizer-prep loop)
-    "v_bq_ann", "g_adamic_adar", "g_kcore", "p_temperature_sample",
+    // drift, BPE merge training (the tokenizer-prep loop). r9: the AA
+    // slot times the banded-candidate twin — the sanctioned scale path
+    // (the G9 precedent; the exact Σ deg² leg sat just under its 5e8
+    // budget at sf0.1 and was the bench's most expensive entry at
+    // 23-45 s; it remains the sf≤0.01 oracle-parity definition)
+    "v_bq_ann", "g_adamic_adar_lsh", "g_kcore", "p_temperature_sample",
     "p_drift_psi", "t_bpe_merges",
     // r8e additions: truncated-prefix retrieval, the transition matrix,
     // the SCD2 lookup join, PCA projection (fit + project)
@@ -128,7 +132,21 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }
 
+    // Contention sentinel (r9, VERDICT r8): a fixed-cost in-memory agg —
+    // no I/O, no shuffle variance, pure CPU — timed once before and once
+    // after the whole run and stamped into the JSON. On a quiet host the
+    // two readings agree within noise; a co-tenant burst (the r8 driver
+    // artifact read 3-9× on six extras) shows up as an inflated reading,
+    // making the artifact self-diagnosing. Deliberately NOT min-of-N:
+    // the sentinel's job is to MEASURE the noise, not suppress it.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("sum(id * 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     runOnce("q1_pricing_summary") // warm-up: JIT, codegen, FS metadata
+    val sentinelPre = sentinel()
     val results = headlineFor(sys.env).map(n => n -> run(n))
     // GRAFT_BENCH_EXTRAS=0 → headline only (large-SF scaling probes where
     // the extras' exact-similarity legs would dominate the wall-clock)
@@ -174,10 +192,11 @@ object Bench {
           }
         Seq("v_lsh_ann_index_build" -> buildSec, "v_lsh_ann_indexed" -> querySec)
       }
+    val sentinelPost = sentinel()
     val qs = (results ++ extraResults ++ servingResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // headline only
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_pre":$sentinelPre%.3f,"sentinel_post":$sentinelPost%.3f}""")
     spark.stop()
   }
 }

@@ -133,6 +133,7 @@ object SparkEntry {
     // recall on a true near-identical neighborhood
     "g_node_similarity_lsh" -> ((s, d) => GraphOps.nodeSimilarityLsh(s, d)),
     "g_adamic_adar" -> ((s, d) => GraphOps.adamicAdar(s, d)),
+    "g_adamic_adar_lsh" -> ((s, d) => GraphOps.adamicAdarLsh(s, d)),
     "g_kcore" -> ((s, d) => GraphOps.kCore(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
@@ -1252,6 +1253,33 @@ object SparkEntry {
         |SELECT pa AS part_a, pb AS part_b, n_common,
         |  ROUND(CAST(aas AS DOUBLE), 6) AS aa_score
         |FROM cm ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // G13b replay: the G9b MinHash band replay (same 24 md5-derived
+    // permutations, 12 bands of 2) generates the candidate pairs, then
+    // the EXACT AA score on each candidate — common neighbors from the
+    // pair's neighbor join, each weighted 1/ln(deg(z)) rounded to 6dp
+    // and summed as DECIMAL (order-independent, engine-identical).
+    "g_adamic_adar_lsh" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |nb AS (SELECT src a, dst nb FROM e UNION ALL SELECT dst, src FROM e),
+        |hv AS (SELECT a, (list_sum(list_transform(range(1,16), c ->
+        |        (strpos('0123456789abcdef', substring(md5(CAST(nb AS VARCHAR)), CAST(c AS INT), 1))-1)::BIGINT << CAST(4*(15-c) AS INT)
+        |       )) % 1000000007) hv FROM nb),
+        |mh AS (SELECT a, j, MIN(((2*j+1)*hv + 17*j+3) % 1000000007) m
+        |       FROM hv CROSS JOIN range(0,24) t(j) GROUP BY a, j),
+        |sigs AS (SELECT a, j//2 band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) sig
+        |         FROM mh GROUP BY a, j//2),
+        |cand AS (SELECT DISTINCT x.a pa, y.a pb FROM sigs x
+        |         JOIN sigs y ON x.band=y.band AND x.sig=y.sig AND x.a<y.a),
+        |deg AS (SELECT a, COUNT(*) d FROM nb GROUP BY a),
+        |nc AS (SELECT c.pa, c.pb, COUNT(*) n_common,
+        |        SUM(CAST(ROUND(CAST(1 AS DOUBLE)/ln(dz.d), 6) AS DECIMAL(18,6))) aas
+        |       FROM cand c JOIN nb n1 ON n1.a = c.pa JOIN nb n2 ON n2.a = c.pb AND n2.nb = n1.nb
+        |       JOIN deg dz ON dz.a = n1.nb
+        |       GROUP BY c.pa, c.pb)
+        |SELECT pa AS part_a, pb AS part_b, n_common,
+        |  ROUND(CAST(aas AS DOUBLE), 6) AS aa_score
+        |FROM nc ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin,
     // G14 replay: synchronous peel as a bounded recursive CTE carrying the
     // surviving ARC set (the node set can't recurse — both endpoints must
     // be checked, and a recursive term may reference the CTE once; on the
@@ -1365,8 +1393,10 @@ object SparkEntry {
         |ORDER BY rank DESC, part LIMIT 20""".stripMargin,
     // G16: G5's recursive-CTE replay with a seed-biased teleport — pv puts
     // 1.0/|S| (one IEEE division, same on both engines) on customer 1's
-    // in-graph parts; the per-round update 0.15·pv + 0.85·Σ mirrors the
-    // Spark expression shape term-for-term, 6dp both sides.
+    // in-graph parts; the per-round update 0.15·pv + 0.85·Σ(r·rdeg)
+    // mirrors the Spark expression shape term-for-term (r9: the Spark
+    // arc frame precomputes rdeg = 1.0/deg and multiplies, exactly this
+    // darcs shape — no division-vs-reciprocal ulp gap), 6dp both sides.
     "g_ppr" ->
       """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
         |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),

@@ -530,6 +530,15 @@ object GraphOps {
       .limit(k)
   }
 
+  // G13b — the SANCTIONED timed path for Adamic-Adar (r9, the G9b
+  // precedent): the exact wedge join above is intrinsically Σ deg² —
+  // at sf0.1 it sits just under the 5e8 budget and cost 23-45 s, the
+  // bench's most expensive entry — so the bench times THIS banded
+  // candidate twin (work = candidates + output) and the exact leg stays
+  // the sf≤0.01 oracle-parity definition, exactly how G9/G9b split.
+  def adamicAdarLsh(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    adamicAdarLshOf(edgesUnsorted(s, dir), k, Some(s"nodesim-nbrs:$dir"))
+
   /** The 100 TB path for G13 (G9b's move, AA re-rank): banded-MinHash
     * candidates over neighbor sets, then the EXACT Adamic-Adar score on
     * each candidate pair — common neighbors from an in-row
@@ -944,13 +953,23 @@ object GraphOps {
     * argmax window whose groups are bounded by the node's distinct
     * neighbor-label count (≤ degree) — never a whole-graph group.
     * localCheckpoint truncates lineage like the PageRank loop. Votes are
-    * BIGINT weight sums — no float drift between engines. */
+    * BIGINT weight sums — no float drift between engines.
+    *
+    * The arc frame is repartitioned by `src` BEFORE the checkpoint (the
+    * pprOf/hitsOf join-order lesson): every per-round join then reuses
+    * that hashpartitioning and shuffles only the node-sized label frame,
+    * never the 2|E| mirrored arcs (at sf10 that per-round arc shuffle
+    * was 240M rows × 5 rounds — the r8 bench's heavy tail). The argmax
+    * is a hash AGGREGATION, not a sort window: min(struct(-vote, lbl))
+    * has the identical (vote DESC, lbl ASC) ordering but combines
+    * map-side, so the second shuffle carries one row per (dst, lbl)
+    * rather than sorting whole per-node vote groups. */
   private[graft] def communitiesOf(edges: DataFrame, iters: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val arcs = edges.select($"src", $"dst", $"weight")
       .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+      .repartition($"src")
       .localCheckpoint(eager = true)
     var labels = arcs.select($"src".as("v")).distinct()
       .select($"v", $"v".as("lbl"))
@@ -959,13 +978,49 @@ object GraphOps {
       val votes = arcs.join(labels, $"src" === $"v")
         .groupBy($"dst", $"lbl").agg(sum($"weight").as("vote"))
       labels = votes
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"dst").orderBy($"vote".desc, $"lbl")))
-        .filter($"rk" === 1)
-        .select($"dst".as("v"), $"lbl")
+        .groupBy($"dst")
+        .agg(min(struct((-$"vote").as("nv"), $"lbl".as("lbl"))).as("m"))
+        .select($"dst".as("v"), $"m.lbl".as("lbl"))
         .localCheckpoint(eager = true)
     }
     labels
+  }
+
+  /** GraphX aggregateMessages twin of communitiesOf (r9, the
+    * pageRankWeightedGX precedent): same synchronous LPA update, the
+    * engine leg for the regime where the arc list fits executor storage
+    * — the repo's own measurement (PageRank sf10: GraphX 77-104 s vs DF
+    * loop 381 s) shows aggregateMessages wins ~3.7× there because the
+    * per-round work is an in-memory message pass, not a checkpointed
+    * shuffle. Votes are BIGINT weight sums merged per (dst, label); the
+    * argmax comparator is (vote DESC, label ASC) — the exact
+    * min(struct(-vote, lbl)) the DF leg aggregates — so the two legs
+    * are RESULT-IDENTICAL (integer votes: no float-order divergence
+    * class at all, stronger than the PageRank twins' 6dp equivalence;
+    * GraphSpec pins fixture + corpus identity). Vertex state is one
+    * Long label (the PageRank regime, NOT the replicated-map regime
+    * that OOMs ShortestPaths); the per-message maps are transient and
+    * degree-bounded. */
+  private[graft] def communitiesGX(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var lg: Graph[Long, Long] = graphOf(edges).mapVertices((vid, _) => vid)
+    lg.cache()
+    for (_ <- 0 until iters) {
+      val votes = lg.aggregateMessages[Map[Long, Long]](
+        ctx => ctx.sendToDst(Map(ctx.srcAttr -> ctx.attr)),
+        (a, b) => b.foldLeft(a) { case (m, (l, w)) =>
+          m.updated(l, m.getOrElse(l, 0L) + w) },
+        org.apache.spark.graphx.TripletFields.Src)
+      val prev = lg
+      lg = lg.outerJoinVertices(votes) { (_, old, m) =>
+        m.fold(old)(_.minBy { case (l, v) => (-v, l) }._1)
+      }.cache()
+      lg.vertices.foreachPartition(_ => ()) // materialize before unpersist
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    s.createDataFrame(lg.vertices).toDF("v", "lbl")
   }
 
   // G11 — co-purchase communities via deterministic synchronous LPA
@@ -974,11 +1029,30 @@ object GraphOps {
   // Reference scope: the Neo4j product graph is the natural home of a
   // community query (neo4j_service.py builds the graph; GDS labelPropagation
   // is the standard call on such a store).
+  // Two legs, edge-count-gated (r9, the G7/G8 discipline in the OTHER
+  // direction): GraphX aggregateMessages while the arc list fits
+  // executor storage (the measured-fast regime — PageRank's 3.7×), the
+  // checkpointed-DF loop above the budget (flat keyed frames spill
+  // instead of dying). Legs result-identical — integer votes, same
+  // tie-break — so the gate never changes answers, only plans.
   def communities(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     import s.implicits._
-    communitiesOf(edgesUnsorted(s, dir), iters)
+    communitiesGated(edgesUnsorted(s, dir), iters, Some(s"tri-edges:$dir"))
       .select($"v".as("part"), $"lbl".as("community"))
       .orderBy($"part")
+  }
+
+  /** Gate sized by the measured PageRank regime: 120M edges / 64 GiB
+    * runs the GraphX loop at 77-104 s where the DF loop pays 381 s, so
+    * the default budget admits the sf10 co-purchase graph and reroutes
+    * only beyond the at-memory envelope. */
+  private[graft] def communitiesGated(edges: DataFrame, iters: Int,
+      cacheKey: Option[String] = None,
+      maxGraphXEdges: Long = 150000000L): DataFrame = {
+    def count = edges.count()
+    val m = cacheKey.fold(count)(key => edgeCountMemo.getOrElseUpdate(key, count))
+    if (m > maxGraphXEdges) communitiesOf(edges, iters)
+    else communitiesGX(edges, iters)
   }
 
   /** G12 core on any canonical edge list + owned-item set: mirror the
@@ -1061,7 +1135,13 @@ object GraphOps {
     // whole vertex set each round (no left-join backfill). deg joins
     // LAST so the checkpointed arc frame keeps hashpartitioning(src)
     // and per-round joins shuffle only the node-sized rank frame.
-    val arcsD = arcs.join(deg, "src").select($"src", $"dst", $"deg")
+    // rdeg = 1.0/deg is PRECOMPUTED on the arc frame (r9, ADVICE r8):
+    // the oracle's darcs carries rdeg = 1.0/COUNT(...) and sums
+    // r * rdeg, so the loop below multiplies by the same reciprocal —
+    // term-for-term IEEE-identical, no division-vs-reciprocal ulp gap
+    // (and one divide per arc per round becomes a multiply).
+    val arcsD = arcs.join(deg, "src")
+      .select($"src", $"dst", (lit(1.0) / $"deg").as("rdeg"))
       .localCheckpoint(eager = true)
     val tp = 0.15 * pv // one IEEE product, the oracle's 0.15 * pv.pv
     val seedTp = seeds.select($"v".as("dst"), lit(tp).as("tp"))
@@ -1070,7 +1150,7 @@ object GraphOps {
     for (_ <- 0 until iters) {
       ranks = arcsD.join(ranks, $"src" === $"v")
         .groupBy($"dst")
-        .agg(sum($"rank" / $"deg").as("msg"))
+        .agg(sum($"rank" * $"rdeg").as("msg"))
         .join(broadcast(seedTp), Seq("dst"), "left")
         .select($"dst".as("v"),
           (coalesce($"tp", lit(0.0)) + lit(0.85) * $"msg").as("rank"))
@@ -1095,8 +1175,12 @@ object GraphOps {
       steps: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    // repartition($"src") BEFORE the checkpoint (the pprOf/hitsOf
+    // lesson): the per-hop join then reuses hashpartitioning(src) and
+    // shuffles only the frontier, never the 2|E| mirrored arc list
     val arcs = edges.select($"src", $"dst")
       .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .repartition($"src")
       .localCheckpoint(eager = true)
     val verts = arcs.select($"src".as("v")).distinct()
     var cur = verts
@@ -1182,6 +1266,58 @@ object GraphOps {
     auth.select($"id".as("part"), round($"v", 6).as("authority"))
   }
 
+  /** GraphX aggregateMessages twin of hitsOf (r9, the pageRankWeightedGX
+    * precedent): the same simultaneous (Jacobi) update — a_{t+1} from
+    * h_t via sendToDst, h_{t+1} from a_t via sendToSrc, each
+    * max-normalized — run as in-memory message passes instead of
+    * checkpointed shuffles. Vertex state is a (hub, auth) Double pair
+    * (the PageRank regime — no replicated maps); customer and part key
+    * spaces are disambiguated as 2·custkey / 2·partkey+1 (bipartite, so
+    * the roles never mix). The max normalizer is an order-independent
+    * comparison-reduction on both legs; the raw sums differ only in fp
+    * association order — G5's accepted 6dp-absorbed risk class
+    * (GraphSpec pins fixture + corpus identity of the rounded output). */
+  private[graft] def hitsGX(ed: DataFrame, iters: Int): DataFrame = {
+    val s = ed.sparkSession
+    import s.implicits._
+    val cur = ed.rdd.getNumPartitions
+    val rows = ed.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(ed.count())
+    val arcsPerPart = sys.env.get("GRAFT_ARCS_PER_PART").map(_.toInt).getOrElse(300000)
+    val target = math.max(4, math.ceil(rows.toDouble / arcsPerPart).toInt)
+    val df = if (target < cur) ed.coalesce(target) else ed
+    val arcs = df.rdd.map(r => Edge(r.getLong(0) * 2, r.getLong(1) * 2 + 1, 1))
+    var g: Graph[(Double, Double), Int] = Graph.fromEdges(arcs, (1.0, 1.0),
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    g.cache()
+    for (_ <- 0 until iters) {
+      val rawA = g.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._1), _ + _,
+        org.apache.spark.graphx.TripletFields.Src)
+      val rawH = g.aggregateMessages[Double](
+        ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _,
+        org.apache.spark.graphx.TripletFields.Dst)
+      val maxA = rawA.values.max()
+      val maxH = rawH.values.max()
+      val prev = g
+      // every part vertex has in-arcs and every customer vertex out-arcs
+      // (they exist BECAUSE an edge names them), so the getOrElse never
+      // fires on the vertex kind each message targets
+      g = g.outerJoinVertices(rawA) { (_, attr, m) =>
+        (attr._1, m.map(_ / maxA).getOrElse(attr._2)) }
+        .outerJoinVertices(rawH) { (_, attr, m) =>
+          (m.map(_ / maxH).getOrElse(attr._1), attr._2) }
+        .cache()
+      g.vertices.foreachPartition(_ => ()) // materialize before unpersist
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    val auths = g.vertices.filter(_._1 % 2 == 1)
+      .map { case (vid, (_, a)) => ((vid - 1) / 2, a) }
+    s.createDataFrame(auths).toDF("part", "raw")
+      .select($"part", round($"raw", 6).as("authority"))
+  }
+
   // G17 — HITS hubs & authorities (Kleinberg 1999; GDS gds.alpha.hits)
   // over the bipartite customer→part purchase graph: authoritative
   // products are the ones bought by strong hub customers, and hub
@@ -1189,6 +1325,10 @@ object GraphOps {
   // recursion degree counts can't see. The co-purchase projection would
   // be HITS-degenerate (undirected ⇒ hubs ≡ authorities); the bipartite
   // purchase graph is where the two roles genuinely differ.
+  // Two legs, edge-count-gated (r9, same move as g_communities): GraphX
+  // aggregateMessages in the at-memory regime, the checkpointed-DF loop
+  // beyond it. The gate never changes answers beyond G5's 6dp-absorbed
+  // fp-association class (GraphSpec pins leg identity).
   def hits(s: SparkSession, dir: String, iters: Int = 6, k: Int = 20): DataFrame = {
     import s.implicits._
     val ed = Caches.cached(s"hits-ed:$dir") {
@@ -1197,9 +1337,21 @@ object GraphOps {
           $"o_orderkey" === $"l_orderkey")
         .select($"u", $"p").distinct()
     }
-    hitsOf(ed, iters)
+    hitsGated(ed, iters, Some(s"hits-ed:$dir"))
       .orderBy($"authority".desc, $"part")
       .limit(k)
+  }
+
+  /** Gate sized like communitiesGated: the bipartite purchase edge list
+    * is order-lines-distinct (≈ |lineitem| · dedup factor), well inside
+    * the measured GraphX envelope at every probed SF. */
+  private[graft] def hitsGated(ed: DataFrame, iters: Int,
+      cacheKey: Option[String] = None,
+      maxGraphXEdges: Long = 150000000L): DataFrame = {
+    def count = ed.count()
+    val m = cacheKey.fold(count)(key => edgeCountMemo.getOrElseUpdate(key, count))
+    if (m > maxGraphXEdges) hitsOf(ed, iters)
+    else hitsGX(ed, iters)
   }
 
   // G16 — personalized PageRank from one customer's purchase history

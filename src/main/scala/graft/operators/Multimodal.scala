@@ -167,7 +167,13 @@ object Multimodal {
   // first (the D-family discipline — clones share fingerprints and would
   // collide in every band as g² self-join rows), then the distinct
   // contents pair via D3's 4×16-bit Hamming bands and survive at
-  // Hamming ≤ maxHamming. Output is rep-level pairs with copy counts —
+  // Hamming ≤ maxHamming. RECALL BOUND (the D3 banding pigeonhole): a
+  // pair within Hamming ≤ floor(64/16)−1 = 3 is GUARANTEED to share a
+  // band; pairs at Hamming 4..maxHamming are found only when their
+  // differing bits happen to leave one 16-bit band untouched —
+  // probabilistic, exactly like the MinHash bands (the default radius 8
+  // advertises the filter threshold, not a recall guarantee beyond 3).
+  // Output is rep-level pairs with copy counts —
   // linear in distinct contents, never in clone mass. Byte-loop hashing
   // has no SQL twin ⇒ rows-only; the spec pins clone collapse (identical
   // payloads → one rep, hamming 0 to nothing), planted small-edit
@@ -183,12 +189,17 @@ object Multimodal {
     val media: Dataset[MediaRow] = docs
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       .as[MediaRow]
-    val hashed = media.mapPartitions(_.map { m =>
+    val hashed = media.mapPartitions { it =>
+      // one digest handle per PARTITION (the fakeDecode convention) —
+      // reset per row, no per-row allocation on the corpus-sized pass
       val md = java.security.MessageDigest.getInstance("MD5")
-      val (lo, hi) = aHash64(m.payload)
-      PHashRow(m.doc_id, md.digest(m.payload).map("%02x".format(_)).mkString,
-        lo, hi)
-    }).toDF()
+      it.map { m =>
+        md.reset()
+        val (lo, hi) = aHash64(m.payload)
+        PHashRow(m.doc_id, md.digest(m.payload).map("%02x".format(_)).mkString,
+          lo, hi)
+      }
+    }.toDF()
     val groups = hashed.groupBy($"content_h")
       .agg(min($"doc_id").as("rep"), count(lit(1)).as("n_copies"),
         min($"ph_lo").as("ph_lo"), min($"ph_hi").as("ph_hi"))

@@ -315,6 +315,27 @@ class GraphSpec extends SparkSpecBase {
     assert(got(1L) != got(10L))
   }
 
+  test("communities: GraphX aggregateMessages leg ≡ DF loop (fixture + corpus + gated reroute)") {
+    val s = spark
+    import s.implicits._
+    // integer votes + the same (vote DESC, label ASC) tie-break ⇒ the
+    // legs must agree CELL-FOR-CELL, not just at rounding tolerance
+    def clique(ids: Seq[Long], w: Long) =
+      for { a <- ids; b <- ids if a < b } yield (a, b, w)
+    val fx = (clique(Seq(1L, 2L, 3L), 10L) ++
+      clique(Seq(10L, 11L, 12L), 10L) :+ ((3L, 10L, 1L)))
+      .toDF("src", "dst", "weight")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(GraphOps.communitiesGX(fx, 5)) == toMap(GraphOps.communitiesOf(fx, 5)))
+    // the gate reroutes above budget without changing the result
+    assert(toMap(GraphOps.communitiesGated(fx, 5, maxGraphXEdges = 0L)) ==
+      toMap(GraphOps.communitiesGX(fx, 5)))
+    val e = GraphOps.copurchaseEdges(spark, sfDir).select("src", "dst", "weight")
+    assert(toMap(GraphOps.communitiesGX(e, 5)) == toMap(GraphOps.communitiesOf(e, 5)),
+      "corpus leg divergence")
+  }
+
   test("communities: deterministic on the corpus, labels are member nodes") {
     val a = GraphOps.communities(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

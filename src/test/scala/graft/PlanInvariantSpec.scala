@@ -11,6 +11,32 @@ class PlanInvariantSpec extends SparkSpecBase {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** Ancestor lines of the first line matching `pred`, walked via the
+    * tree-drawing indentation (under AQE the executed plan is an
+    * AdaptiveSparkPlanExec leaf, so only the string exposes the tree):
+    * a parent's `+-`/`:-` marker sits strictly left of its child's, so
+    * climbing to ever-smaller marker columns enumerates exactly the
+    * ancestor chain — a node on a SIBLING branch that merely prints
+    * earlier never qualifies. */
+  private def ancestorsOf(planStr: String, pred: String => Boolean): Seq[String] = {
+    val lines = planStr.linesIterator.toVector
+    def markerPos(l: String): Int = {
+      val i = l.indexOf("+- "); val j = l.indexOf(":- ")
+      if (i < 0) j else if (j < 0) i else math.min(i, j)
+    }
+    val idx = lines.indexWhere(pred)
+    if (idx < 0) return Seq.empty
+    var cur = markerPos(lines(idx))
+    val anc = scala.collection.mutable.ArrayBuffer[String]()
+    var k = idx - 1
+    while (k >= 0 && cur > 0) {
+      val mp = markerPos(lines(k))
+      if (mp < cur) { anc += lines(k); cur = math.max(mp, 0) }
+      k -= 1
+    }
+    anc.toSeq
+  }
+
   test("q_region_revenue: every dimension hop broadcasts, nothing sort-merges") {
     val p = plan("q_region_revenue")
     assert(p.contains("BroadcastHashJoin"))
@@ -251,13 +277,15 @@ class PlanInvariantSpec extends SparkSpecBase {
     // side BEFORE any exchange — that IS the operator's scale claim
     val pb = plan("d_decontaminate_bloom")
     assert(pb.contains("bloom_probe"), s"probe not in the plan:\n$pb")
-    val probeLine = pb.linesIterator.indexWhere(_.contains("bloom_probe"))
-    val exchangeAbove = pb.linesIterator.take(probeLine)
-      .exists(l => l.contains("Exchange hashpartitioning"))
-    // plan prints root-first: the confirm join's exchange is above, the
-    // probe filter below it feeding the exchange — the probe must not be
-    // BELOW a hash exchange of the train side (i.e. post-shuffle)
-    assert(exchangeAbove, s"probe does not feed the exchange:\n$pb")
+    // tree-walked, not line-ordered (ADVICE r8): the probe Filter must be
+    // a DESCENDANT of a hash exchange — i.e. it feeds the confirm join's
+    // train-side shuffle from below. An exchange printing earlier on a
+    // sibling branch (e.g. the bench aggregate) no longer satisfies this;
+    // a probe migrated post-shuffle has the exchange as its descendant,
+    // not ancestor, and fails.
+    val anc = ancestorsOf(pb, _.contains("bloom_probe"))
+    assert(anc.exists(_.contains("Exchange hashpartitioning")),
+      s"probe is not below a train-side hash exchange:\n$pb")
     // p_quality_checks: one aggregate pass over the corpus scan — the
     // only keyed exchange allowed is countDistinct's doc_id expansion
     // (high-cardinality, scale-safe); the unpivot must be a Generate
