@@ -89,7 +89,10 @@ object Bench {
     // r8i additions: incremental MV maintenance, the FAISS IVFPQ compose
     "q_mv_incremental", "v_ivfpq_ann",
     // r8j additions: the data-expectations gate, the DeepWalk corpus
-    "p_quality_checks", "g_random_walks")
+    "p_quality_checks", "g_random_walks",
+    // r9 additions: the two sampled-source centralities (Brandes
+    // betweenness, landmark closeness)
+    "g_betweenness", "g_closeness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

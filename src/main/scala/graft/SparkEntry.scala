@@ -134,6 +134,8 @@ object SparkEntry {
     "g_node_similarity_lsh" -> ((s, d) => GraphOps.nodeSimilarityLsh(s, d)),
     "g_adamic_adar" -> ((s, d) => GraphOps.adamicAdar(s, d)),
     "g_adamic_adar_lsh" -> ((s, d) => GraphOps.adamicAdarLsh(s, d)),
+    "g_betweenness" -> ((s, d) => GraphOps.betweenness(s, d)),
+    "g_closeness" -> ((s, d) => GraphOps.closeness(s, d)),
     "g_kcore" -> ((s, d) => GraphOps.kCore(s, d)),
     "g_triangle_count" -> ((s, d) => GraphOps.triangleCount(s, d)),
     "g_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
@@ -1280,6 +1282,71 @@ object SparkEntry {
         |SELECT pa AS part_a, pb AS part_b, n_common,
         |  ROUND(CAST(aas AS DOUBLE), 6) AS aa_score
         |FROM nc ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // G19 replay: forward BFS with path counts as a recursive CTE (the
+    // G5 window-SUM trick; re-discovered rows at dist > min are junk that
+    // only breeds junk — any predecessor adjacent to a node v with a row
+    // at minDist(v)-1 must itself sit at exactly that level, so the
+    // min-dist slice `lv` carries the true σ), then the backward
+    // dependency accumulation UNROLLED over the 8-hop horizon (one
+    // chained CTE per level, deepest first — each level's δ needs only
+    // the level below, and levels past the eccentricity are empty
+    // frames that contribute COALESCE(·,0)). Every expression shape
+    // mirrors the Spark loop: CAST(σ)/CAST(σw)·(1.0+δw), per-source δ
+    // rounds to 6dp and sums as DECIMAL across sources.
+    "g_betweenness" -> {
+      val bw = (7 to 0 by -1).map { k =>
+        s"""d$k AS (SELECT l.s, l.v, l.sigma,
+           |  COALESCE(SUM(CAST(l.sigma AS DOUBLE)/CAST(w.sigma AS DOUBLE)*(1.0+w.delta)), 0.0) AS delta
+           | FROM lv l
+           | LEFT JOIN arcs a ON a.src = l.v
+           | LEFT JOIN d${k + 1} w ON w.s = l.s AND w.v = a.dst
+           | WHERE l.dist = $k GROUP BY l.s, l.v, l.sigma)""".stripMargin
+      }.mkString(",\n")
+      val all = (0 to 8).map(k => s"SELECT * FROM d$k").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+         |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+         |arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |srcs AS (SELECT DISTINCT src v FROM arcs ORDER BY v LIMIT 3),
+         |fw AS (
+         |  SELECT 0 AS dist, v AS s, v AS v, CAST(1 AS BIGINT) AS sigma FROM srcs
+         |  UNION ALL
+         |  SELECT DISTINCT dist, s, v2 AS v, sigma FROM (
+         |    SELECT f.dist + 1 AS dist, f.s, a.dst AS v2,
+         |      CAST(SUM(f.sigma) OVER (PARTITION BY f.s, a.dst) AS BIGINT) AS sigma
+         |    FROM fw f JOIN arcs a ON a.src = f.v
+         |    WHERE f.dist < 8) z
+         |),
+         |md AS (SELECT s, v, MIN(dist) d FROM fw GROUP BY s, v),
+         |lv AS (SELECT f.s, f.v, f.dist, f.sigma FROM fw f
+         |       JOIN md ON f.s = md.s AND f.v = md.v AND f.dist = md.d),
+         |d8 AS (SELECT s, v, sigma, CAST(0.0 AS DOUBLE) AS delta FROM lv WHERE dist = 8),
+         |$bw,
+         |ad AS ($all)
+         |SELECT v AS part,
+         |  ROUND(CAST(SUM(CAST(ROUND(delta, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS bc
+         |FROM ad WHERE v <> s GROUP BY v
+         |ORDER BY bc DESC, part LIMIT 20""".stripMargin
+    },
+    // G20 replay: the G8 BFS CTE + one aggregation — n/Σd as one double
+    // division of exact BIGINTs, harmonic as 6dp-rounded DECIMAL terms.
+    "g_closeness" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT src part FROM arcs),
+        |lm AS (SELECT part FROM nodes ORDER BY part LIMIT 3),
+        |bfs AS (
+        |  SELECT part AS landmark, part, 0 AS hops FROM lm
+        |  UNION
+        |  SELECT b.landmark, a.dst, b.hops + 1 FROM bfs b JOIN arcs a ON a.src = b.part
+        |  WHERE b.hops < 8
+        |),
+        |d AS (SELECT part, landmark, CAST(MIN(hops) AS BIGINT) hops
+        |      FROM bfs GROUP BY part, landmark)
+        |SELECT part, COUNT(*) AS n_reached,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE)/SUM(hops), 6) AS closeness,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE)/hops, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS harmonic
+        |FROM d WHERE hops > 0 GROUP BY part ORDER BY part""".stripMargin,
     // G14 replay: synchronous peel as a bounded recursive CTE carrying the
     // surviving ARC set (the node set can't recurse — both endpoints must
     // be checked, and a recursive term may reference the CTE once; on the

@@ -785,6 +785,139 @@ object GraphOps {
     dist
   }
 
+  // G19 — sampled-source betweenness centrality (Brandes 2001; Neo4j GDS
+  // gds.betweenness with samplingSize): how often a product sits ON the
+  // shortest co-purchase routes between others — the brokerage score
+  // degree and PageRank can't see (a low-degree node bridging two dense
+  // regions outranks a clique member). Exact Brandes is all-sources
+  // (O(V·E) — a non-starter at 100 TB); the standard estimator runs the
+  // source loop over a sample, and here the sample is DETERMINISTIC
+  // (the nSources smallest node ids — G8's landmark convention) with a
+  // bounded horizon (maxDepth hops, G15's fixed-round contract), so the
+  // result is a pure function of the edge list and replays in SQL.
+  def betweenness(s: SparkSession, dir: String, nSources: Int = 3,
+      maxDepth: Int = 8): DataFrame = {
+    import s.implicits._
+    betweennessOf(edgesUnsorted(s, dir), nSources, maxDepth)
+      .orderBy($"bc".desc, $"part")
+      .limit(20)
+  }
+
+  /** G19 core over an arbitrary canonical edge frame (fixture-testable).
+    *
+    * Two passes of level-synchronous frontier iteration, both shuffling
+    * only level-sized frames against the ONE pre-partitioned arc
+    * checkpoint (the pprOf discipline):
+    *
+    *  - FORWARD (the shortestPathsDF shape + path counts): per level,
+    *    frontier rows (source, v, σ) join the arcs, aggregate
+    *    σ(dst) = Σ σ(pred) with map-side combine, anti-join out nodes
+    *    already labeled. BFS discovers each (source, node) at its
+    *    minimum hop, and every predecessor row in the frontier carries
+    *    the TRUE σ (induction on levels), so σ counts exactly the
+    *    shortest paths. σ is BIGINT — exact, order-independent
+    *    (σ grows ≤ deg per level; the horizon bounds it ≪ 2^63 at the
+    *    corpus's ~222 max degree and 3-4 hop eccentricity).
+    *  - BACKWARD (dependency accumulation): δ(v) = Σ_{succ w}
+    *    σ(v)/σ(w)·(1+δ(w)), run from the deepest level up; each round
+    *    joins the (level+1) delta frame through the arcs to the level's
+    *    σ rows. Per (source, v) the δ sum is a double aggregation —
+    *    G5's 6dp-absorbed association-order class; ACROSS sources each
+    *    δ rounds to 6dp and sums as DECIMAL(18,6) (order-independent,
+    *    the V8 discipline), so the cross-source total is exact given
+    *    the per-source values.
+    *
+    * bc(v) = Σ_{s ∈ sample, s ≠ v} δ_s(v) — the raw sampled-source
+    * Brandes sum (GDS's samplingSize semantics; no n/|S| extrapolation,
+    * so the number is comparable across runs with the same sample). */
+  private[graft] def betweennessOf(edges: DataFrame, nSources: Int,
+      maxDepth: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .repartition($"src")
+      .localCheckpoint(eager = true)
+    val sources = arcs.select($"src").distinct().as[Long]
+      .orderBy($"src").limit(nSources).collect().toSeq
+    // ---- forward: levels with shortest-path counts
+    var frontier = sources.toDF("s")
+      .select($"s", $"s".as("v"), lit(1L).as("sigma"), lit(0).as("dist"))
+      .localCheckpoint(eager = true)
+    var levels = Vector(frontier)
+    var visited = frontier.select($"s", $"v").localCheckpoint(eager = true)
+    var d = 1
+    while (d <= maxDepth && !frontier.isEmpty) {
+      val next = frontier.join(arcs, $"v" === $"src")
+        .groupBy($"s", $"dst").agg(sum($"sigma").as("sigma"))
+        .select($"s", $"dst".as("v"), $"sigma")
+        .join(visited, Seq("s", "v"), "left_anti")
+        .select($"s", $"v", $"sigma", lit(d).as("dist"))
+        .localCheckpoint(eager = true)
+      if (!next.isEmpty) {
+        levels = levels :+ next
+        visited = visited.unionAll(next.select($"s", $"v"))
+          .localCheckpoint(eager = true)
+      }
+      frontier = next
+      d += 1
+    }
+    // ---- backward: dependency accumulation, deepest level first
+    val maxLev = levels.length - 1
+    var deltas = levels(maxLev)
+      .select($"s", $"v", $"sigma", lit(0.0).as("delta"))
+      .localCheckpoint(eager = true)
+    var acc = deltas
+    for (lev <- (maxLev - 1) to 0 by -1) {
+      val contrib = deltas // rows at lev+1: (s, w, σw, δw)
+        .select($"s", $"v".as("w"), $"sigma".as("sw"), $"delta".as("dw"))
+        .join(arcs, $"w" === $"dst") // predecessors ride arcs.src
+        .select($"s", $"src".as("v"), $"sw", $"dw")
+        .join(levels(lev).select($"s", $"v", $"sigma"), Seq("s", "v"))
+        .groupBy($"s", $"v")
+        .agg(sum($"sigma".cast("double") / $"sw".cast("double") *
+          (lit(1.0) + $"dw")).as("delta"))
+      deltas = levels(lev).select($"s", $"v", $"sigma")
+        .join(contrib.select($"s", $"v", $"delta"), Seq("s", "v"), "left")
+        .select($"s", $"v", $"sigma", coalesce($"delta", lit(0.0)).as("delta"))
+        .localCheckpoint(eager = true)
+      acc = acc.unionAll(deltas)
+    }
+    acc.filter($"v" =!= $"s")
+      .groupBy($"v")
+      .agg(sum(round($"delta", 6).cast("decimal(18,6)")).as("bcs"))
+      .select($"v".as("part"), round($"bcs".cast("double"), 6).as("bc"))
+  }
+
+  // G20 — landmark closeness centrality (Bavelas 1950; GDS gds.closeness):
+  // how near a product sits to everything else, estimated against G8's
+  // deterministic landmark set (exact closeness is all-pairs — the same
+  // sampling argument as G19). Emits BOTH the classic ratio
+  // n_reached/Σd (0 when isolated — no row) and harmonic closeness
+  // Σ 1/d (Boldi-Vigna's recommendation for disconnected graphs, where
+  // the classic ratio misbehaves). Harmonic terms round to 6dp and sum
+  // as DECIMAL — order-independent, engine-identical; the ratio is one
+  // division of exact BIGINTs. Reuses the G8 gated BFS verbatim, so the
+  // scan work is shared with g_shortest_paths under the session cache.
+  def closeness(s: SparkSession, dir: String, nLandmarks: Int = 3): DataFrame =
+    closenessOf(edgesUnsorted(s, dir), nLandmarks, Some(s"tri-edges:$dir"))
+
+  /** G20 core over an arbitrary canonical edge frame (fixture-testable). */
+  private[graft] def closenessOf(edges: DataFrame, nLandmarks: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val d = shortestPathsGated(edges, nLandmarks, cacheKey)
+    d.filter($"hops" > 0)
+      .groupBy($"part")
+      .agg(count(lit(1)).as("n_reached"), sum($"hops").as("sum_hops"),
+        sum(round(lit(1.0) / $"hops", 6).cast("decimal(18,6)")).as("hsum"))
+      .select($"part", $"n_reached",
+        round($"n_reached".cast("double") / $"sum_hops", 6).as("closeness"),
+        round($"hsum".cast("double"), 6).as("harmonic"))
+      .orderBy($"part")
+  }
+
   /** Per-node triangle counts for an arbitrary canonical edge frame. */
   /** GraphX leg of G7 — kept for the regime where the replicated
     * per-vertex neighbor sets fit memory (see triangleCountOf's gate). */

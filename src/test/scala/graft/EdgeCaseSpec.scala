@@ -161,6 +161,19 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(GraphOps.pprOf(edges.limit(0), Seq(1L).toDF("pk"), 3).count() == 0)
     // walks on an empty edge frame: no rows
     assert(GraphOps.randomWalksOf(edges.limit(0), 2, 3).count() == 0)
+    // r9: centralities on empty and single-edge graphs (closenessOf
+    // rides the G8 gate into graphOf, which reads the canonical
+    // 3-column (src, dst, weight) frame)
+    val wedges = Seq((1L, 2L, 1L)).toDF("src", "dst", "weight")
+    assert(GraphOps.betweennessOf(wedges.limit(0), 3, 8).count() == 0)
+    assert(GraphOps.closenessOf(wedges.limit(0), 3).count() == 0)
+    // single edge: no node sits BETWEEN any pair; closeness is 1/1 both ways
+    val bc1 = GraphOps.betweennessOf(wedges, 3, 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc1.values.forall(_ == 0.0), s"got $bc1")
+    val cl1 = GraphOps.closenessOf(wedges, 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(cl1 == Map(1L -> 1.0, 2L -> 1.0), s"got $cl1")
     // HITS on an empty arc frame: no rows
     assert(GraphOps.hitsOf(Seq((1L, 2L)).toDF("u", "p").limit(0), 2).count() == 0)
     // bloom + phash + ivfpq over the empty corpus dirs

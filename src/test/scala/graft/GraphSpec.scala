@@ -297,6 +297,64 @@ class GraphSpec extends SparkSpecBase {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
   }
 
+  test("betweenness: hand-computed Brandes deltas on the path graph 1-2-3-4") {
+    val s = spark
+    import s.implicits._
+    // sources = 3 smallest ids {1,2,3}. Per-source dependency sums:
+    //   s=1: δ(2)=2 (forwards to 3 and 4), δ(3)=1, δ(4)=0
+    //   s=2: δ(3)=1 (forwards to 4), δ(1)=δ(4)=0
+    //   s=3: δ(2)=1 (forwards to 1), δ(1)=δ(4)=0
+    // bc = Σ_s δ_s:  node 2 → 3.0, node 3 → 2.0, nodes 1 and 4 → 0.0
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = GraphOps.betweennessOf(g, nSources = 3, maxDepth = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 3.0, 3L -> 2.0, 4L -> 0.0), s"got $got")
+    // star 1-2, 1-3, 1-4: the hub carries every pair among its leaves.
+    //   s=1: all δ=0. s=2: δ(1)=2 (paths to 3 and 4). s=3: δ(1)=2.
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L))
+    val gs = GraphOps.betweennessOf(star, nSources = 3, maxDepth = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gs == Map(1L -> 4.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0), s"got $gs")
+    // shortcut kills brokerage: on the triangle every pair is adjacent
+    val tri = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    val gt = GraphOps.betweennessOf(tri, nSources = 3, maxDepth = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gt.values.forall(_ == 0.0), s"got $gt")
+  }
+
+  test("betweenness: sigma counts shortest paths, split deltas on the diamond") {
+    val s = spark
+    import s.implicits._
+    // diamond 1-2, 1-3, 2-4, 3-4: two shortest 1→4 paths (σ=2), so each
+    // middle node carries HALF the (1,4) dependency.
+    //   s=1: δ(2)=δ(3)=1/2·(1+0)=0.5, δ(4)=0
+    //   s=2: paths 2-1, 2-4, 2-1-3 and 2-4-3 (σ(3)=2 at dist 2 via BOTH):
+    //        δ(1)=1/2, δ(4)=1/2, δ(3)=0
+    //   s=3: symmetric: δ(1)=1/2, δ(4)=1/2, δ(2)=0
+    val g = edges((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val got = GraphOps.betweennessOf(g, nSources = 3, maxDepth = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.5, 4L -> 1.0), s"got $got")
+  }
+
+  test("closeness: hand-computed landmark distances on the path graph") {
+    val s = spark
+    import s.implicits._
+    // landmarks {1,2,3}; positive-distance rows only.
+    // node 1: d={1→·skip self, 2:1, 3:2} → n=2 Σ=3 C=2/3 H=1+1/2
+    // node 4: d={1:3, 2:2, 3:1}         → n=3 Σ=6 C=1/2 H=1/3+1/2+1
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = GraphOps.closenessOf(g, nLandmarks = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 0.666667, 1.5)), s"got ${got(1L)}")
+    assert(got(4L) == ((3L, 0.5, 1.833333)), s"got ${got(4L)}")
+    assert(got(2L) == ((2L, 1.0, 2.0)), s"got ${got(2L)}") // d(2,1)=d(2,3)=1
+    // island {10,11} reaches no landmark: no rows (the G8 contract)
+    val gi = GraphOps.closenessOf(edges((1L, 2L), (10L, 11L)), nLandmarks = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!gi.contains(10L) && !gi.contains(11L))
+  }
+
   test("communities: two heavy cliques with a weak bridge resolve to two labels") {
     val s = spark
     import s.implicits._
