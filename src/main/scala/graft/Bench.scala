@@ -91,8 +91,8 @@ object Bench {
     // r8j additions: the data-expectations gate, the DeepWalk corpus
     "p_quality_checks", "g_random_walks",
     // r9 additions: the two sampled-source centralities (Brandes
-    // betweenness, landmark closeness)
-    "g_betweenness", "g_closeness")
+    // betweenness, landmark closeness) and the node2vec biased walks
+    "g_betweenness", "g_closeness", "g_node2vec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

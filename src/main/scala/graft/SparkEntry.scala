@@ -146,6 +146,7 @@ object SparkEntry {
     "g_ppr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
     "g_hits" -> ((s, d) => GraphOps.hits(s, d)),
     "g_random_walks" -> ((s, d) => GraphOps.randomWalks(s, d)),
+    "g_node2vec" -> ((s, d) => GraphOps.node2vecWalks(s, d)),
     // Pipeline composition (SURVEY §2 P1–P2)
     "p_corpus_clean" -> ((s, d) => pipeline.CorpusPipeline.corpusClean(s, d)),
     "p_pack_tokens" -> ((s, d) => Packing.packTokens(s, d)),
@@ -1535,6 +1536,45 @@ object SparkEntry {
         |    FROM wk q JOIN arcs a ON a.src = q.node
         |    WHERE q.step < 4) z
         |  WHERE rk = 1
+        |)
+        |SELECT start, walk, step, node FROM wk
+        |ORDER BY start, walk, step""".stripMargin,
+    // G18b: the biased-walk replay is ALL integer arithmetic — each
+    // candidate is classed return/common/outward via the carried prev
+    // (common = LEFT JOIN membership probe on the arcs), the class
+    // weights (1,4,16) cumulative-sum over dst order, and the picked
+    // neighbor is the row whose [cum−w, cum) interval contains
+    // h64 mod Σw. No ln/pow ⇒ no libm ulp risk between engines; the
+    // dead-end guard (Σw=0 → all-ones weights) replays identically.
+    "g_node2vec" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |vs AS (SELECT DISTINCT src v FROM arcs),
+        |wk AS (
+        |  SELECT v AS start, CAST(w AS BIGINT) AS walk, 0 AS step, v AS node, v AS prev
+        |  FROM vs CROSS JOIN (SELECT unnest(range(0, 2)) w) t
+        |  UNION ALL
+        |  SELECT start, walk, step, nd AS node, newprev AS prev FROM (
+        |    SELECT start, walk, step, nd, newprev, w2, h,
+        |      SUM(w2) OVER (PARTITION BY start, walk ORDER BY nd) AS cum,
+        |      SUM(w2) OVER (PARTITION BY start, walk) AS tot
+        |    FROM (
+        |      SELECT start, walk, step, nd, newprev, h,
+        |        CASE WHEN SUM(w0) OVER (PARTITION BY start, walk) = 0
+        |             THEN 1 ELSE w0 END AS w2
+        |      FROM (
+        |        SELECT q.start, q.walk, q.step + 1 AS step, a.dst AS nd,
+        |          q.node AS newprev,
+        |          CASE WHEN a.dst = q.prev THEN 1
+        |               WHEN c.src IS NOT NULL THEN 4
+        |               ELSE 16 END AS w0,
+        |          CAST(('0x'||substr(md5('n2v:'||CAST(q.start AS VARCHAR)||':'||CAST(q.walk AS VARCHAR)
+        |            ||':'||CAST(q.step + 1 AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |        FROM wk q JOIN arcs a ON a.src = q.node
+        |        LEFT JOIN arcs c ON c.src = q.prev AND c.dst = a.dst
+        |        WHERE q.step < 4) z1) z2) z3
+        |  WHERE cum - w2 <= h % tot AND h % tot < cum
         |)
         |SELECT start, walk, step, node FROM wk
         |ORDER BY start, walk, step""".stripMargin,

@@ -1343,6 +1343,91 @@ object GraphOps {
     acc
   }
 
+  /** G18b core — node2vec SECOND-ORDER biased walks (Grover & Leskovec
+    * 2016, p/q ≠ 1): the transition out of `node` depends on the
+    * PREVIOUS hop, so the frontier row carries `prev` and each
+    * candidate neighbor is classed return (dst = prev, weight 1/p),
+    * common (dst ∈ N(prev), weight 1) or outward (weight 1/q). The
+    * class weights arrive as INTEGERS (wReturn, wCommon, wOut) — any
+    * common scaling of (1/p, 1, 1/q) — so the whole choice stays in
+    * BIGINT: the picked neighbor is the one whose cumulative-weight
+    * interval [cum−w, cum) over the dst-ordered candidates contains
+    * r = h64(start, walk, step) mod Σw. That is EXACTLY proportional
+    * sampling (r is a uniform function of the walk coordinates) with
+    * none of the ln/pow transcendentals an exponential-race argmin
+    * would need — which is what keeps the DuckDB replay bit-identical
+    * (libm ulp differences can flip an argmin; integer compares
+    * cannot). Dead ends (a pendant reached with wReturn = 0 ⇒ Σw = 0)
+    * fall back to uniform weights — the walk never strands. prev
+    * seeds as the start node itself, which classes every first-hop
+    * candidate `common` (dst ∈ N(start) by construction) — uniform,
+    * node2vec's first-step contract, with no special case. Per hop:
+    * one frontier⋈arcs expansion, one (prev, dst)-keyed membership
+    * join against the same pre-partitioned arc checkpoint
+    * (hashpartitioning(src) serves both — src is a subset of either
+    * join's keys), and one (start, walk)-partitioned window pair —
+    * high-cardinality keys, never a single-task group. */
+  private[graft] def node2vecWalksOf(edges: DataFrame, nWalks: Int,
+      steps: Int, wReturn: Long, wCommon: Long, wOut: Long): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val arcs = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .repartition($"src")
+      .localCheckpoint(eager = true)
+    val verts = arcs.select($"src".as("v")).distinct()
+    var cur = verts
+      .select($"v".as("start"),
+        explode(sequence(lit(0), lit(nWalks - 1))).as("walk"),
+        lit(0).as("step"), $"v".as("node"), $"v".as("prev"))
+      .select($"start", $"walk".cast("long").as("walk"), $"step",
+        $"node", $"prev")
+      .localCheckpoint(eager = true)
+    var acc = cur.select($"start", $"walk", $"step", $"node")
+    val wAll = Window.partitionBy($"start", $"walk")
+    val wCum = Window.partitionBy($"start", $"walk").orderBy($"dst")
+    for (st <- 1 to steps) {
+      val cand = cur.join(arcs, $"node" === $"src")
+        .select($"start", $"walk", $"node".as("newprev"), $"prev", $"dst")
+      val classed = cand
+        .join(arcs.select($"src".as("prev"), $"dst", lit(1).as("is_common")),
+          Seq("prev", "dst"), "left")
+        .withColumn("w",
+          when($"dst" === $"prev", lit(wReturn))
+            .when($"is_common".isNotNull, lit(wCommon))
+            .otherwise(lit(wOut)))
+      val picked = classed
+        .withColumn("tot0", sum($"w").over(wAll))
+        .withColumn("w2", when($"tot0" === 0, lit(1L)).otherwise($"w"))
+        .withColumn("cum", sum($"w2").over(wCum))
+        .withColumn("tot", sum($"w2").over(wAll))
+        .withColumn("r", graft.operators.TextOps.h64(concat(
+          lit("n2v:"), $"start".cast("string"), lit(":"),
+          $"walk".cast("string"), lit(":"), lit(st).cast("string"))) % $"tot")
+        .filter($"cum" - $"w2" <= $"r" && $"r" < $"cum")
+      cur = picked.select($"start", $"walk", lit(st).as("step"),
+          $"dst".as("node"), $"newprev".as("prev"))
+        .localCheckpoint(eager = true)
+      acc = acc.unionByName(cur.select($"start", $"walk", $"step", $"node"))
+    }
+    acc
+  }
+
+  // G18b — node2vec biased walk corpus over the co-purchase graph. The
+  // default (wReturn, wCommon, wOut) = (1, 4, 16) is (1/p, 1, 1/q)·4
+  // for p = 4, q = 0.25 — the outward-exploring (DFS-like) regime the
+  // node2vec paper shows captures community structure; (16, 4, 1)
+  // would be the BFS-like structural-role regime. Same output contract
+  // as G18 (the walk corpus feeds skip-gram), hash-replayable.
+  def node2vecWalks(s: SparkSession, dir: String, nWalks: Int = 2,
+      steps: Int = 4, wReturn: Long = 1L, wCommon: Long = 4L,
+      wOut: Long = 16L): DataFrame = {
+    import s.implicits._
+    node2vecWalksOf(edgesUnsorted(s, dir), nWalks, steps, wReturn, wCommon, wOut)
+      .orderBy($"start", $"walk", $"step")
+  }
+
   // G18 — DeepWalk/node2vec walk-corpus generation (Perozzi et al. 2014;
   // p=q=1 uniform regime): the training-data stage of graph-embedding
   // pipelines — skip-gram learns node vectors from these walks exactly

@@ -355,6 +355,46 @@ class GraphSpec extends SparkSpecBase {
     assert(!gi.contains(10L) && !gi.contains(11L))
   }
 
+  test("node2vec: class-weight limits force return / forbid backtrack; dead ends never strand") {
+    val s = spark
+    import s.implicits._
+    def walks(g: org.apache.spark.sql.DataFrame, wr: Long, wc: Long, wo: Long) =
+      GraphOps.node2vecWalksOf(g, nWalks = 2, steps = 4, wr, wc, wo)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(_._1).map(_._2).toSeq).toMap
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // p → 0 limit (return dominates): after the uniform first hop the
+    // walk oscillates start ↔ first-neighbor forever
+    walks(path, 1L, 0L, 0L).foreach { case ((st, _), ws) =>
+      assert(ws(0) == st && ws(2) == st && ws(4) == st, s"no oscillation: $ws")
+      assert(ws(1) == ws(3), s"no oscillation: $ws")
+    }
+    // p → ∞ limit (wReturn = 0): an interior node never backtracks when
+    // an alternative exists; a pendant reached with nowhere else to go
+    // exercises the Σw=0 dead-end guard (returns instead of stranding)
+    val deg = Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 1)
+    walks(path, 0L, 1L, 1L).foreach { case (_, ws) =>
+      ws.sliding(3).foreach { tri =>
+        if (tri.length == 3 && deg(tri(1)) >= 2)
+          assert(tri(2) != tri(0), s"interior backtrack in $ws")
+      }
+    }
+    // common-class limit: in the triangle 1-2-3 (+pendant 4 on 2), a
+    // walk sitting at 2 with prev 1 must pick 3 — the only candidate
+    // that closes the triangle (4 is outward, 1 is the return)
+    val tri = edges((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L))
+    walks(tri, 0L, 1L, 0L).foreach { case (_, ws) =>
+      ws.sliding(3).foreach { t =>
+        if (t.length == 3 && Set(t(0), t(1)) == Set(1L, 2L))
+          assert(t(2) == 3L, s"common class not forced: $ws")
+      }
+    }
+    // deterministic: replays are identical
+    assert(walks(path, 1L, 4L, 16L) == walks(path, 1L, 4L, 16L))
+  }
+
   test("communities: two heavy cliques with a weak bridge resolve to two labels") {
     val s = spark
     import s.implicits._
