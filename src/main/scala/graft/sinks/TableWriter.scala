@@ -51,6 +51,50 @@ object TableWriter {
     (batch: DataFrame, batchId: Long) =>
       batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
+  /** SCD1 batch MERGE (keyed upsert) into a hive-partitioned parquet
+    * table — the batch twin of streaming.ProductSync for the daily
+    * re-ingestion loop (a re-scraped catalog arrives as a delta frame;
+    * matched keys take the new row, unmatched keys insert, untouched
+    * rows survive). Parquet has no row-level transaction log, so the
+    * merge is DELETE-AND-INSERT AT PARTITION GRANULARITY under dynamic
+    * partition overwrite: only the partitions the delta actually
+    * touches are rewritten — work scales with the delta's partition
+    * footprint, never the table (the 100 TB contract; a Delta/Iceberg
+    * MERGE INTO does exactly this under copy-on-write). Per merge: one
+    * bounded collect of the delta's distinct partition values (dims of
+    * a partition column, not data), one keyed left_anti join of the
+    * affected slice against the delta, one dynamic-overwrite write.
+    * Re-merging the same delta rewrites the same partitions with the
+    * same bytes — idempotent. `updates` must be key-unique (a delta
+    * with two rows per key has no well-defined SCD1 winner; dedupe
+    * upstream with an ordering). */
+  def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], partitionCol: String): Unit = {
+    val exists =
+      try { spark.read.parquet(path).schema; true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!exists) {
+      updates.write.partitionBy(partitionCol).parquet(path)
+      return
+    }
+    val target = spark.read.parquet(path)
+    val parts = updates.select(partitionCol).distinct().collect()
+      .map(_.get(0)) // bounded: the delta's partition footprint
+    val affected = target.filter(col(partitionCol).isin(parts: _*))
+    val survivors = affected.join(
+      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    // the rewrite READS the same files the overwrite deletes, so the
+    // merged slice is materialized (spillable checkpoint) before the
+    // commit — bounded by the affected partitions, not the table
+    val merged = survivors.unionByName(updates.select(target.columns.map(col): _*))
+      .localCheckpoint(true)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally spark.conf.set(key, prior)
+  }
+
   /** Requires a session with a warehouse dir; registers `table`. */
   def writeBucketed(df: DataFrame, table: String,
       bucketCol: String, nBuckets: Int): Unit =

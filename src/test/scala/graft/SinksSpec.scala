@@ -54,6 +54,43 @@ class SinksSpec extends SparkSpecBase {
       == li.select(sum(col("l_quantity"))).collect()(0).getDouble(0))
   }
 
+  test("mergeInto: SCD1 upsert rewrites only touched partitions, re-merge is idempotent") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("merge").toString + "/t"
+    def table = Seq(
+      (1L, "widget", 10L, "tools"), (2L, "gadget", 20L, "tools"),
+      (3L, "cable", 30L, "wires"), (4L, "plug", 40L, "wires"))
+      .toDF("pk", "name", "price", "cat")
+    // first merge = create
+    TableWriter.mergeInto(spark, path, table, Seq("pk"), "cat")
+    assert(spark.read.parquet(path).count() == 4)
+    // delta: update pk=1 (tools), insert pk=5 (tools); wires untouched
+    // inputFiles is pre-pruning (see the partitioned-write test), so
+    // select the wires directory by path
+    val wiresFiles = spark.read.parquet(path)
+      .inputFiles.filter(_.contains("cat=wires")).sorted.toSeq
+    val delta = Seq((1L, "widget-v2", 11L, "tools"), (5L, "fuse", 50L, "tools"))
+      .toDF("pk", "name", "price", "cat")
+    TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")
+    val after = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(after == Map(
+      1L -> ("widget-v2", 11L), 2L -> ("gadget", 20L),
+      3L -> ("cable", 30L), 4L -> ("plug", 40L), 5L -> ("fuse", 50L)),
+      s"got $after")
+    // changed-partitions-only: the wires files are byte-identical
+    // (dynamic overwrite never rewrote that directory)
+    val wiresAfter = spark.read.parquet(path)
+      .inputFiles.filter(_.contains("cat=wires")).sorted.toSeq
+    assert(wiresAfter == wiresFiles, "untouched partition was rewritten")
+    // idempotent: re-merging the same delta changes nothing
+    TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")
+    val again = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(again == after)
+  }
+
   test("idempotent batch sink: replaying a micro-batch does not duplicate rows") {
     val s = spark
     import s.implicits._
