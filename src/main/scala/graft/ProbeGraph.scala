@@ -13,7 +13,10 @@ import graft.operators.GraphOps
   * mode ∈ {both, graphx, df} — df-only exists to test the fallback in a
   * deliberately small heap where GraphX itself would OOM first — or
   * {tri, tri-graphx, tri-df} to time the G7 triangle legs, or
-  * {sp, sp-graphx, sp-df} for the G8 landmark-BFS legs (r8).
+  * {sp, sp-graphx, sp-df} for the G8 landmark-BFS legs (r8), or
+  * {lpa, lpa-graphx, lpa-df} / {hits, hits-graphx, hits-df} to time the
+  * G11/G17 aggregateMessages-vs-checkpointed-DF legs (r9; iters = LPA
+  * rounds / HITS rounds there).
   * Prints one JSON line {"graphx":s,"df":s,"iters":n,"sf":dir}.
   */
 object ProbeGraph {
@@ -39,9 +42,20 @@ object ProbeGraph {
     edges.write.format("noop").mode("overwrite").save()
     val tri = mode.startsWith("tri")
     val sp = mode.startsWith("sp")
+    val lpa = mode.startsWith("lpa")
+    val hits = mode.startsWith("hits")
+    def hitsEd = { // the bipartite purchase arcs, built once per leg
+      import spark.implicits._
+      Tables.orders(spark, sfDir).select($"o_custkey".as("u"), $"o_orderkey")
+        .join(Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_partkey".as("p")),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"u", $"p").distinct()
+    }
     val tGx = if (mode.endsWith("-df") || mode == "df") -1.0 else time {
       (if (tri) GraphOps.triangleCountGraphX(edges)
        else if (sp) GraphOps.shortestPathsOf(edges, nLandmarks = 3)
+       else if (lpa) GraphOps.communitiesGX(edges, iters)
+       else if (hits) GraphOps.hitsGX(hitsEd, iters)
        else GraphOps.pageRankOf(edges, iters))
         .write.format("noop").mode("overwrite").save()
     }
@@ -49,6 +63,8 @@ object ProbeGraph {
     val tDf = if (mode.endsWith("-graphx") || mode == "graphx") -1.0 else time {
       (if (tri) GraphOps.triangleCountDF(edges, Some(s"probe-tri:$sfDir"))
        else if (sp) GraphOps.shortestPathsDF(edges, nLandmarks = 3)
+       else if (lpa) GraphOps.communitiesOf(edges, iters)
+       else if (hits) GraphOps.hitsOf(hitsEd, iters)
        else GraphOps.pageRankDF(edges, iters))
         .write.format("noop").mode("overwrite").save()
     }

@@ -179,9 +179,12 @@ object GraphOps {
     val deg = arcs.groupBy($"src").agg(count(lit(1)).as("deg"))
     // localCheckpoint truncates lineage each iteration — without it the
     // logical plan nests one level per iteration and Catalyst analysis
-    // cost grows quadratically (the iterative-DataFrame pitfall)
-    val arcsD = arcs.join(deg, "src").select($"src", $"dst", $"deg")
-      .localCheckpoint(eager = true)
+    // cost grows quadratically (the iterative-DataFrame pitfall).
+    // partitionedCheckpoint (r9): keeps hashpartitioning(src) through
+    // the checkpoint so the 10 per-round joins shuffle only the rank
+    // frame, never the arcs (a bare localCheckpoint loses it under AQE)
+    val arcsD = partitionedCheckpoint(
+      arcs.join(deg, "src").select($"src", $"dst", $"deg"), "src")
     val verts = deg.select($"src".as("v")).localCheckpoint(eager = true)
     var ranks = verts.select($"v", lit(1.0).as("rank"))
       .localCheckpoint(eager = true)
@@ -213,10 +216,10 @@ object GraphOps {
     val arcs = edges.select($"src", $"dst", $"weight")
       .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
     val wdeg = arcs.groupBy($"src").agg(sum($"weight").as("wdeg"))
-    val arcsD = arcs.join(wdeg, "src")
-      .select($"src", $"dst",
-        ($"weight".cast("double") / $"wdeg".cast("double")).as("rw"))
-      .localCheckpoint(eager = true)
+    val arcsD = partitionedCheckpoint(
+      arcs.join(wdeg, "src")
+        .select($"src", $"dst",
+          ($"weight".cast("double") / $"wdeg".cast("double")).as("rw")), "src")
     val verts = wdeg.select($"src".as("v")).localCheckpoint(eager = true)
     var ranks = verts.select($"v", lit(1.0).as("rank"))
       .localCheckpoint(eager = true)
@@ -692,9 +695,7 @@ object GraphOps {
       maxHops: Int = 64): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val arcs = edges.select($"src", $"dst")
-      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint(eager = true)
+    val arcs = loopArcs(edges, withWeight = false)
     // same landmark choice as the GraphX leg: smallest nLandmarks node ids
     val landmarks = arcs.select($"src").distinct().as[Long]
       .orderBy($"src").limit(nLandmarks).collect().toSeq
@@ -765,9 +766,13 @@ object GraphOps {
     val s = edges.sparkSession
     import s.implicits._
     val cost = expr("cast(1000000 as bigint) div weight")
-    val arcs = edges.select($"src", $"dst", cost.as("cost"))
-      .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), cost.as("cost")))
-      .localCheckpoint(eager = true)
+    // src-partitioned (r9): each of the maxIter relaxation rounds joins
+    // on src — the checkpointed layout turns those into frontier-only
+    // shuffles instead of re-exchanging 2|E| arcs per round
+    val arcs = partitionedCheckpoint(
+      edges.select($"src", $"dst", cost.as("cost"))
+        .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), cost.as("cost"))),
+      "src")
     // same landmark choice as G8: smallest nLandmarks node ids
     val landmarks = arcs.select($"src").distinct().as[Long]
       .orderBy($"src").limit(nLandmarks).collect().toSeq
@@ -834,10 +839,7 @@ object GraphOps {
       maxDepth: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val arcs = edges.select($"src", $"dst")
-      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
-      .repartition($"src")
-      .localCheckpoint(eager = true)
+    val arcs = loopArcs(edges, withWeight = false)
     val sources = arcs.select($"src").distinct().as[Long]
       .orderBy($"src").limit(nSources).collect().toSeq
     // ---- forward: levels with shortest-path counts
@@ -1097,13 +1099,46 @@ object GraphOps {
     * has the identical (vote DESC, lbl ASC) ordering but combines
     * map-side, so the second shuffle carries one row per (dst, lbl)
     * rather than sorting whole per-node vote groups. */
+  /** Repartition `df` by `c` and checkpoint it WITH AQE DISABLED for
+    * the checkpoint's own execution. Under AQE, Dataset.localCheckpoint
+    * captures the AdaptiveSparkPlanExec's pre-execution partitioning —
+    * UnknownPartitioning — so a plain repartition(c).localCheckpoint
+    * silently re-shuffles in EVERY downstream join (measured r9: the
+    * checkpointed scan reported UnknownPartitioning(0) and each LPA
+    * round re-exchanged the full arc list, exactly the per-round
+    * 2|E|-shuffle the pre-partitioning was supposed to remove). With
+    * AQE off for just this one query the LogicalRDD records
+    * hashpartitioning(c, shuffle.partitions), and joins planned later
+    * — WITH AQE on — reuse it: the checkpointed side gets a bare Sort,
+    * no Exchange (PlanInvariantSpec pins this). */
+  private[graft] def partitionedCheckpoint(df: DataFrame, c: String): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prior = s.conf.get(key)
+    s.conf.set(key, "false")
+    try df.repartition(col(c)).localCheckpoint(true)
+    finally s.conf.set(key, prior)
+  }
+
+  /** Mirrored arc frame for the iterative-DF loops, src-partitioned via
+    * partitionedCheckpoint: every per-round equi-join on src reuses the
+    * layout and shuffles ONLY the node-sized state frame — the loop's
+    * scale contract. */
+  private[graft] def loopArcs(edges: DataFrame, withWeight: Boolean): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val base =
+      if (withWeight) edges.select($"src", $"dst", $"weight")
+        .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+      else edges.select($"src", $"dst")
+        .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+    partitionedCheckpoint(base, "src")
+  }
+
   private[graft] def communitiesOf(edges: DataFrame, iters: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val arcs = edges.select($"src", $"dst", $"weight")
-      .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
-      .repartition($"src")
-      .localCheckpoint(eager = true)
+    val arcs = loopArcs(edges, withWeight = true)
     var labels = arcs.select($"src".as("v")).distinct()
       .select($"v", $"v".as("lbl"))
       .localCheckpoint(eager = true)
@@ -1162,23 +1197,26 @@ object GraphOps {
   // Reference scope: the Neo4j product graph is the natural home of a
   // community query (neo4j_service.py builds the graph; GDS labelPropagation
   // is the standard call on such a store).
-  // Two legs, edge-count-gated (r9, the G7/G8 discipline in the OTHER
-  // direction): GraphX aggregateMessages while the arc list fits
-  // executor storage (the measured-fast regime — PageRank's 3.7×), the
-  // checkpointed-DF loop above the budget (flat keyed frames spill
-  // instead of dying). Legs result-identical — integer votes, same
-  // tie-break — so the gate never changes answers, only plans.
+  // SANCTIONED LEG (r9, measured): the checkpointed-DF loop. With the
+  // arc frame genuinely src-partitioned (partitionedCheckpoint — the
+  // r9 AQE discovery), the DF loop reads 26.2 s at sf1 where the GraphX
+  // aggregateMessages twin reads 66.9 s: LPA's messages are per-triplet
+  // Map allocations merged object-by-object, a regime GraphX pays GC
+  // for while the DF loop's votes are codegen'd columnar aggs. (The r8
+  // "GraphX is 3.7× faster" premise was measured against DF loops whose
+  // repartition was silently VOID under AQE — see partitionedCheckpoint.)
+  // The GX twin stays, result-identical and spec-pinned, as the
+  // measured alternate for environments where it wins.
   def communities(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     import s.implicits._
-    communitiesGated(edgesUnsorted(s, dir), iters, Some(s"tri-edges:$dir"))
+    communitiesOf(edgesUnsorted(s, dir), iters)
       .select($"v".as("part"), $"lbl".as("community"))
       .orderBy($"part")
   }
 
-  /** Gate sized by the measured PageRank regime: 120M edges / 64 GiB
-    * runs the GraphX loop at 77-104 s where the DF loop pays 381 s, so
-    * the default budget admits the sf10 co-purchase graph and reroutes
-    * only beyond the at-memory envelope. */
+  /** Gate retained for callers that want the GraphX leg below a budget
+    * (legs are result-identical; the default call path is the DF loop —
+    * see `communities`). */
   private[graft] def communitiesGated(edges: DataFrame, iters: Int,
       cacheKey: Option[String] = None,
       maxGraphXEdges: Long = 150000000L): DataFrame = {
@@ -1265,17 +1303,20 @@ object GraphOps {
     // 0.15·pv + 0.85·Σ: non-seeds compute 0.15·0.0 + x ≡ 0.0 + x there
     // and coalesce(null→0.0) + x here — the same IEEE sum. Every vertex
     // of the mirrored graph has in-arcs, so the message agg covers the
-    // whole vertex set each round (no left-join backfill). deg joins
-    // LAST so the checkpointed arc frame keeps hashpartitioning(src)
-    // and per-round joins shuffle only the node-sized rank frame.
-    // rdeg = 1.0/deg is PRECOMPUTED on the arc frame (r9, ADVICE r8):
-    // the oracle's darcs carries rdeg = 1.0/COUNT(...) and sums
-    // r * rdeg, so the loop below multiplies by the same reciprocal —
-    // term-for-term IEEE-identical, no division-vs-reciprocal ulp gap
-    // (and one divide per arc per round becomes a multiply).
-    val arcsD = arcs.join(deg, "src")
-      .select($"src", $"dst", (lit(1.0) / $"deg").as("rdeg"))
-      .localCheckpoint(eager = true)
+    // whole vertex set each round (no left-join backfill). The arc
+    // frame goes through partitionedCheckpoint (r9: a bare
+    // localCheckpoint under AQE records UnknownPartitioning and every
+    // round re-shuffled the arcs — the join-order comment here used to
+    // claim otherwise) so per-round joins shuffle only the node-sized
+    // rank frame. rdeg = 1.0/deg is PRECOMPUTED on the arc frame (r9,
+    // ADVICE r8): the oracle's darcs carries rdeg = 1.0/COUNT(...) and
+    // sums r * rdeg, so the loop below multiplies by the same
+    // reciprocal — term-for-term IEEE-identical, no division-vs-
+    // reciprocal ulp gap (and one divide per arc per round becomes a
+    // multiply).
+    val arcsD = partitionedCheckpoint(
+      arcs.join(deg, "src")
+        .select($"src", $"dst", (lit(1.0) / $"deg").as("rdeg")), "src")
     val tp = 0.15 * pv // one IEEE product, the oracle's 0.15 * pv.pv
     val seedTp = seeds.select($"v".as("dst"), lit(tp).as("tp"))
     var ranks = verts.select($"v", $"pv".as("rank"))
@@ -1308,13 +1349,9 @@ object GraphOps {
       steps: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    // repartition($"src") BEFORE the checkpoint (the pprOf/hitsOf
-    // lesson): the per-hop join then reuses hashpartitioning(src) and
-    // shuffles only the frontier, never the 2|E| mirrored arc list
-    val arcs = edges.select($"src", $"dst")
-      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
-      .repartition($"src")
-      .localCheckpoint(eager = true)
+    // loopArcs: per-hop joins reuse hashpartitioning(src) and shuffle
+    // only the frontier, never the 2|E| mirrored arc list
+    val arcs = loopArcs(edges, withWeight = false)
     val verts = arcs.select($"src".as("v")).distinct()
     var cur = verts
       .select($"v".as("start"),
@@ -1372,10 +1409,7 @@ object GraphOps {
     val s = edges.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val arcs = edges.select($"src", $"dst")
-      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
-      .repartition($"src")
-      .localCheckpoint(eager = true)
+    val arcs = loopArcs(edges, withWeight = false)
     val verts = arcs.select($"src".as("v")).distinct()
     var cur = verts
       .select($"v".as("start"),
@@ -1456,13 +1490,12 @@ object GraphOps {
   private[graft] def hitsOf(ed: DataFrame, iters: Int): DataFrame = {
     val s = ed.sparkSession
     import s.implicits._
-    // one arc copy PER JOIN KEY, each pre-partitioned and checkpointed:
-    // the per-round joins then shuffle only the node-sized score
-    // frames, never the arc list (the pprOf join-order lesson)
-    val edU = ed.select($"u", $"p").repartition($"u")
-      .localCheckpoint(eager = true)
-    val edP = ed.select($"u", $"p").repartition($"p")
-      .localCheckpoint(eager = true)
+    // one arc copy PER JOIN KEY, each pre-partitioned and checkpointed
+    // via partitionedCheckpoint (r9: a bare repartition+localCheckpoint
+    // loses its partitioning under AQE): the per-round joins then
+    // shuffle only the node-sized score frames, never the arc list
+    val edU = partitionedCheckpoint(ed.select($"u", $"p"), "u")
+    val edP = partitionedCheckpoint(ed.select($"u", $"p"), "p")
     var hub = edU.select($"u".as("id")).distinct()
       .withColumn("v", lit(1.0)).localCheckpoint(eager = true)
     var auth = edP.select($"p".as("id")).distinct()
@@ -1543,10 +1576,12 @@ object GraphOps {
   // recursion degree counts can't see. The co-purchase projection would
   // be HITS-degenerate (undirected ⇒ hubs ≡ authorities); the bipartite
   // purchase graph is where the two roles genuinely differ.
-  // Two legs, edge-count-gated (r9, same move as g_communities): GraphX
-  // aggregateMessages in the at-memory regime, the checkpointed-DF loop
-  // beyond it. The gate never changes answers beyond G5's 6dp-absorbed
-  // fp-association class (GraphSpec pins leg identity).
+  // SANCTIONED LEG (r9, measured): the checkpointed-DF loop — 19.1 s at
+  // sf1 vs the GraphX twin's 31.1 (two aggregateMessages passes + two
+  // RDD max() actions per round vs node-sized keyed joins against the
+  // genuinely pre-partitioned arc copies; same r9 AQE discovery as
+  // G11). The GX twin stays, 6dp-identical and spec-pinned, as the
+  // measured alternate.
   def hits(s: SparkSession, dir: String, iters: Int = 6, k: Int = 20): DataFrame = {
     import s.implicits._
     val ed = Caches.cached(s"hits-ed:$dir") {
@@ -1555,14 +1590,14 @@ object GraphOps {
           $"o_orderkey" === $"l_orderkey")
         .select($"u", $"p").distinct()
     }
-    hitsGated(ed, iters, Some(s"hits-ed:$dir"))
+    hitsOf(ed, iters)
       .orderBy($"authority".desc, $"part")
       .limit(k)
   }
 
-  /** Gate sized like communitiesGated: the bipartite purchase edge list
-    * is order-lines-distinct (≈ |lineitem| · dedup factor), well inside
-    * the measured GraphX envelope at every probed SF. */
+  /** Gate retained for callers that want the GraphX leg below a budget
+    * (legs 6dp-identical; the default call path is the DF loop — see
+    * `hits`). */
   private[graft] def hitsGated(ed: DataFrame, iters: Int,
       cacheKey: Option[String] = None,
       maxGraphXEdges: Long = 150000000L): DataFrame = {

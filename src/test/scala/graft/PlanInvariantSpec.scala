@@ -306,4 +306,35 @@ class PlanInvariantSpec extends SparkSpecBase {
     assert(pm.contains("BroadcastHashJoin"), s"dim join lost broadcast:\n$pm")
     assert(!pm.contains("SortMergeJoin"), s"partial leg fell to SMJ:\n$pm")
   }
+
+  test("r9 iterative loops: checkpointed arc frame keeps hashpartitioning(src), joins re-shuffle only state") {
+    val s = spark
+    import s.implicits._
+    // the LPA/walk/Brandes loops all source their arcs from loopArcs —
+    // this pins the two properties their per-round cost model rests on
+    val edges = graft.operators.GraphOps.copurchaseEdges(spark, sfDir)
+      .select("src", "dst", "weight")
+    val arcs = graft.operators.GraphOps.loopArcs(edges, withWeight = true)
+    // 1. the checkpoint preserves the repartition: the scan's output
+    //    partitioning is hashpartitioning(src)
+    val part = arcs.queryExecution.executedPlan.outputPartitioning.toString
+    assert(part.contains("hashpartitioning(src"),
+      s"checkpoint dropped the arc partitioning: $part")
+    // 2. one LPA round body: the arc-side scan feeds the join with NO
+    //    Exchange between them (only the node-sized label frame and the
+    //    post-agg exchanges shuffle)
+    val labels = arcs.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("lbl")).localCheckpoint(true)
+    val votes = arcs.join(labels, $"src" === $"v")
+      .groupBy($"dst", $"lbl").agg(org.apache.spark.sql.functions.sum($"weight").as("vote"))
+    val pv = votes.queryExecution.executedPlan.toString
+    val arcScan = (l: String) =>
+      l.contains("Scan ExistingRDD") && l.contains("src") && l.contains("weight")
+    assert(pv.linesIterator.exists(arcScan), s"no arc scan in plan:\n$pv")
+    val anc = ancestorsOf(pv, arcScan)
+    val belowJoin = anc.takeWhile(!_.contains("Join"))
+    assert(belowJoin.forall(!_.contains("Exchange")),
+      s"arc side re-shuffles before the join:\n$pv")
+    assert(anc.exists(_.contains("Join")), s"arc scan not under a join:\n$pv")
+  }
 }
