@@ -1515,27 +1515,25 @@ object SparkEntry {
         |WHERE it = 6 AND kind = 'a'
         |ORDER BY authority DESC, part LIMIT 20""".stripMargin,
     // G18: the walk corpus replays exactly — the per-hop choice is the
-    // md5-argmin over the current node's neighbors, a pure function of
-    // (start, walk, step, neighbor); window ROW_NUMBER per (start, walk)
-    // with the identical (score, dst) tie-break.
+    // r-th smallest neighbor with r = h64(start, walk, step) mod degree
+    // (r9: indexed selection from the sorted adjacency list — one hash
+    // per walk-step, no per-neighbor scoring), pure integer arithmetic
+    // on both engines.
     "g_random_walks" ->
       """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
         |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
         |arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-        |vs AS (SELECT DISTINCT src v FROM arcs),
+        |adj AS (SELECT src, list_sort(list(dst)) nbrs, COUNT(*) deg FROM arcs GROUP BY src),
+        |vs AS (SELECT src v FROM adj),
         |wk AS (
         |  SELECT v AS start, CAST(w AS BIGINT) AS walk, 0 AS step, v AS node
         |  FROM vs CROSS JOIN (SELECT unnest(range(0, 2)) w) t
         |  UNION ALL
-        |  SELECT start, walk, step, node FROM (
-        |    SELECT q.start, q.walk, q.step + 1 AS step, a.dst AS node,
-        |      ROW_NUMBER() OVER (PARTITION BY q.start, q.walk ORDER BY
-        |        CAST(('0x'||substr(md5('w:'||CAST(q.start AS VARCHAR)||':'||CAST(q.walk AS VARCHAR)
-        |          ||':'||CAST(q.step + 1 AS VARCHAR)||':'||CAST(a.dst AS VARCHAR)),1,15)) AS BIGINT),
-        |        a.dst) rk
-        |    FROM wk q JOIN arcs a ON a.src = q.node
-        |    WHERE q.step < 4) z
-        |  WHERE rk = 1
+        |  SELECT q.start, q.walk, q.step + 1 AS step,
+        |    a.nbrs[CAST(CAST(('0x'||substr(md5('w:'||CAST(q.start AS VARCHAR)||':'||CAST(q.walk AS VARCHAR)
+        |      ||':'||CAST(q.step + 1 AS VARCHAR)),1,15)) AS BIGINT) % a.deg AS INT) + 1] AS node
+        |  FROM wk q JOIN adj a ON a.src = q.node
+        |  WHERE q.step < 4
         |)
         |SELECT start, walk, step, node FROM wk
         |ORDER BY start, walk, step""".stripMargin,

@@ -1333,26 +1333,94 @@ object GraphOps {
     ranks.select($"v".as("part"), round($"rank", 6).as("ppr"))
   }
 
+  /** GraphX aggregateMessages twin of pprOf (r9): PPR is PageRank with
+    * a seed-biased teleport — primitive-double messages, ONE
+    * send/reduce per round — exactly the regime where GraphX beats the
+    * checkpointed-DF loop (the r9 control measurement: PageRank GX
+    * 16.5 s vs DF 25.9 s at sf1, 77-104 s vs 326 s at sf10). Identical
+    * update arithmetic: edge attr rdeg = 1.0/deg(src), vertex update
+    * tp + 0.85·Σ(rank·rdeg) with tp = 0.15·pv folded once (the pprOf
+    * broadcast-teleport shape — the seed set rides a broadcast
+    * variable, bounded at one customer's parts). Differs from the DF
+    * leg only in fp association order — G5's 6dp-absorbed class
+    * (GraphSpec pins leg identity). */
+  private[graft] def pprGX(edges: DataFrame, seedIds: DataFrame,
+      iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val seedSet = seedIds.select($"pk").as[Long].collect().toSet
+    val g = graphOf(edges)
+    val bSeeds = s.sparkContext.broadcast(seedSet)
+    val nSeeds = g.vertices.filter { case (vid, _) => bSeeds.value(vid) }.count()
+    if (nSeeds == 0)
+      return Seq.empty[(Long, Double)].toDF("part", "ppr")
+    val pv = 1.0 / nSeeds
+    val tp = 0.15 * pv // one IEEE product, the pprOf/oracle shape
+    var rank: Graph[Double, Double] = g
+      .outerJoinVertices(g.outDegrees) { (_, _, d) => d.getOrElse(0) }
+      .mapTriplets(e => 1.0 / e.srcAttr,
+        org.apache.spark.graphx.TripletFields.Src)
+      .mapVertices((vid, _) => if (bSeeds.value(vid)) pv else 0.0)
+    rank.cache()
+    for (_ <- 0 until iters) {
+      val msgs = rank.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _,
+        org.apache.spark.graphx.TripletFields.Src)
+      val prev = rank
+      rank = rank.outerJoinVertices(msgs) { (vid, _, m) =>
+        (if (bSeeds.value(vid)) tp else 0.0) + 0.85 * m.getOrElse(0.0)
+      }.cache()
+      rank.edges.foreachPartition(_ => ()) // materialize before unpersist
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    s.createDataFrame(rank.vertices).toDF("part", "raw")
+      .select($"part", round($"raw", 6).as("ppr"))
+  }
+
+  /** Gate for G16 (r9): GraphX in the primitive-message at-memory
+    * regime (the default budget admits sf10), the checkpointed-DF loop
+    * beyond it (spills instead of dying). Legs 6dp-identical. */
+  private[graft] def pprGated(edges: DataFrame, seedIds: DataFrame,
+      iters: Int, cacheKey: Option[String] = None,
+      maxGraphXEdges: Long = 150000000L): DataFrame = {
+    def count = edges.count()
+    val m = cacheKey.fold(count)(key => edgeCountMemo.getOrElseUpdate(key, count))
+    if (m > maxGraphXEdges) pprOf(edges, seedIds, iters)
+    else pprGX(edges, seedIds, iters)
+  }
+
   /** Walk core over a canonical edge frame: `nWalks` DETERMINISTIC
     * uniform random walks of `steps` hops from every vertex. "Random"
-    * = at each hop take the neighbor minimizing the md5-derived hash of
-    * (start, walk, step, neighbor) — a high-quality uniform choice that
-    * is a pure FUNCTION of the graph (TextOps.h64, the repo's replay
-    * convention), so the generated corpus hash-matches a recursive-CTE
-    * replay and re-runs are reproducible without seeds-in-files. Per
-    * hop: one keyed join of the frontier (|V|·nWalks rows) against the
-    * cached mirrored arcs — fanout deg-bounded — then a window argmin
-    * partitioned by (start, walk): high-cardinality key, never a
-    * single-task group. localCheckpoint per hop (iterative-DF
-    * discipline). */
+    * = at each hop pick the r-th smallest neighbor, r = md5-derived
+    * h64(start, walk, step) mod degree — a uniform choice that is a
+    * pure FUNCTION of the graph (TextOps.h64, the repo's replay
+    * convention), so the corpus hash-matches a recursive-CTE replay and
+    * re-runs are reproducible without seeds-in-files.
+    *
+    * INDEXED SELECTION, not candidate scoring (r9): the r8 form hashed
+    * every (walk, neighbor) pair and aggregated an argmin — |frontier|
+    * × deg rows of md5 per hop (888M at sf10 — the measured 355 s
+    * bound was hashing, not shuffling). Picking by index needs ONE
+    * hash per (walk, step) and ZERO candidate expansion: the frontier
+    * joins the per-node sorted adjacency array (src-partitioned, built
+    * once beside the arcs) and `element_at` reads the chosen neighbor
+    * in place. Per hop: one frontier-sized shuffle, |frontier| hashes.
+    * A pathological hub's array is one long row (degree-bounded, same
+    * bound the old expansion paid deg times over). localCheckpoint per
+    * hop (iterative-DF discipline). */
   private[graft] def randomWalksOf(edges: DataFrame, nWalks: Int,
       steps: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    // loopArcs: per-hop joins reuse hashpartitioning(src) and shuffle
-    // only the frontier, never the 2|E| mirrored arc list
     val arcs = loopArcs(edges, withWeight = false)
-    val verts = arcs.select($"src".as("v")).distinct()
+    // sorted adjacency arrays, partitioned like the arcs: the per-hop
+    // join shuffles only the frontier
+    val adj = partitionedCheckpoint(
+      arcs.groupBy($"src")
+        .agg(sort_array(collect_list($"dst")).as("nbrs"),
+          count(lit(1)).as("deg")), "src")
+    val verts = adj.select($"src".as("v"))
     var cur = verts
       .select($"v".as("start"),
         explode(sequence(lit(0), lit(nWalks - 1))).as("walk"),
@@ -1361,19 +1429,12 @@ object GraphOps {
       .localCheckpoint(eager = true)
     var acc = cur
     for (st <- 1 to steps) {
-      // the hash-argmin is a hash AGGREGATION, not a sort window:
-      // min(struct(score, dst)) has the identical (score, dst) ordering
-      // but combines map-side, so the per-hop shuffle carries one row
-      // per (start, walk) — frontier-sized — instead of the deg-bounded
-      // arc expansion a row_number window would sort and ship
-      cur = cur.join(arcs, $"node" === $"src")
-        .withColumn("score", graft.operators.TextOps.h64(concat(
+      cur = cur.join(adj, $"node" === $"src")
+        .withColumn("r", graft.operators.TextOps.h64(concat(
           lit("w:"), $"start".cast("string"), lit(":"),
-          $"walk".cast("string"), lit(":"), lit(st).cast("string"),
-          lit(":"), $"dst".cast("string"))))
-        .groupBy($"start", $"walk")
-        .agg(min(struct($"score", $"dst")).as("m"))
-        .select($"start", $"walk", lit(st).as("step"), $"m.dst".as("node"))
+          $"walk".cast("string"), lit(":"), lit(st).cast("string"))) % $"deg")
+        .select($"start", $"walk", lit(st).as("step"),
+          element_at($"nbrs", ($"r" + 1).cast("int")).as("node"))
         .localCheckpoint(eager = true)
       acc = acc.unionByName(cur)
     }
@@ -1620,7 +1681,7 @@ object GraphOps {
     val owned = Tables.orders(s, dir).filter($"o_custkey" === custKey)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select($"l_partkey".as("pk")).distinct()
-    pprOf(edgesUnsorted(s, dir), owned, iters)
+    pprGated(edgesUnsorted(s, dir), owned, iters, Some(s"tri-edges:$dir"))
       .orderBy($"ppr".desc, $"part")
       .limit(k)
   }

@@ -413,6 +413,26 @@ class GraphSpec extends SparkSpecBase {
     assert(got(1L) != got(10L))
   }
 
+  test("ppr: GraphX aggregateMessages leg ≡ DF loop at 6dp (fixture + corpus + gated reroute)") {
+    val s = spark
+    import s.implicits._
+    val fx = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+    val seeds = Seq(1L).toDF("pk")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(toMap(GraphOps.pprGX(fx, seeds, 10)) == toMap(GraphOps.pprOf(fx, seeds, 10)))
+    assert(toMap(GraphOps.pprGated(fx, seeds, 10, maxGraphXEdges = 0L)) ==
+      toMap(GraphOps.pprOf(fx, seeds, 10)), "gate reroute changes the result")
+    // no in-graph seed: both legs answer the empty relation
+    assert(GraphOps.pprGX(fx, Seq(99L).toDF("pk"), 3).count() == 0)
+    val e = GraphOps.copurchaseEdges(spark, sfDir).select("src", "dst", "weight")
+    val owned = Tables.orders(s, sfDir).filter($"o_custkey" === 1L)
+      .join(Tables.lineitem(s, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select($"l_partkey".as("pk")).distinct()
+    assert(toMap(GraphOps.pprGX(e, owned, 10)) == toMap(GraphOps.pprOf(e, owned, 10)),
+      "corpus leg divergence at 6dp")
+  }
+
   test("communities: GraphX aggregateMessages leg ≡ DF loop (fixture + corpus + gated reroute)") {
     val s = spark
     import s.implicits._

@@ -72,10 +72,12 @@ class Wave10Spec extends SparkSpecBase {
     assert(w.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
-  test("random walks: the hash-argmin choice replays by hand") {
+  test("random walks: the indexed hash choice replays by hand") {
     val s = spark
     import s.implicits._
-    // path graph 1-2-3: from 2 the next hop is the md5-argmin of {1, 3}
+    // path graph 1-2-3: from 2 the next hop is sorted-neighbors {1, 3}
+    // indexed at h64("w:2:0:1") mod 2 (r9: one hash per walk-step, no
+    // per-neighbor scoring)
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     def h64(str: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -85,7 +87,7 @@ class Wave10Spec extends SparkSpecBase {
     val got = GraphOps.randomWalksOf(edges, 1, 1).collect()
       .filter(r => r.getLong(0) == 2L && r.getInt(2) == 1)
     assert(got.length == 1)
-    val expected = Seq(1L, 3L).minBy(nb => (h64(s"w:2:0:1:$nb"), nb))
+    val expected = Seq(1L, 3L)((h64("w:2:0:1") % 2).toInt)
     assert(got.head.getLong(3) == expected)
   }
 }
