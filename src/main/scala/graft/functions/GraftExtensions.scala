@@ -29,6 +29,14 @@ object GraftFunctions {
   def vecAbsMax(v: Column): Column =
     GraftColumn.of(VecAbsMax(GraftColumn.exprOf(v)))
 
+  /** node2vec biased transition over the sorted adjacency array (G18b's
+    * in-row kernel — see Node2VecPick). */
+  def node2vecPick(nbrs: Column, nprev: Column, prev: Column, h: Column,
+      wReturn: Long, wCommon: Long, wOut: Long): Column =
+    GraftColumn.of(Node2VecPick(GraftColumn.exprOf(nbrs),
+      GraftColumn.exprOf(nprev), GraftColumn.exprOf(prev),
+      GraftColumn.exprOf(h), wReturn, wCommon, wOut))
+
   /** Σ|q_i| of the int8 codes of (v, mx), quantize+reduce in one pass. */
   def vecQuantAbsSum(v: Column, mx: Column): Column =
     GraftColumn.of(VecQuantAbsSum(GraftColumn.exprOf(v), GraftColumn.exprOf(mx)))

@@ -1459,19 +1459,27 @@ object GraphOps {
     * fall back to uniform weights — the walk never strands. prev
     * seeds as the start node itself, which classes every first-hop
     * candidate `common` (dst ∈ N(start) by construction) — uniform,
-    * node2vec's first-step contract, with no special case. Per hop:
-    * one frontier⋈arcs expansion, one (prev, dst)-keyed membership
-    * join against the same pre-partitioned arc checkpoint
-    * (hashpartitioning(src) serves both — src is a subset of either
-    * join's keys), and one (start, walk)-partitioned window pair —
-    * high-cardinality keys, never a single-task group. */
+    * node2vec's first-step contract, with no special case.
+    *
+    * IN-ROW KERNEL, not candidate expansion (r9): the first form
+    * expanded |frontier|·deg candidate rows per hop and paid two
+    * (start, walk)-keyed sort windows plus a (prev, dst) membership
+    * shuffle over them — 134.8 s at sf1. Here each frontier row picks
+    * in place via the codegen'd Node2VecPick merge-walk over the two
+    * sorted adjacency arrays (N(node) scanned, N(prev) co-walked for
+    * the common test — both ascending, one O(deg) pass, identical
+    * cumulative-interval semantics, SAME ORACLE). Per hop: two
+    * node-keyed frontier-sized joins against the src-partitioned
+    * adjacency frame, |frontier| hashes, no window, no expansion. */
   private[graft] def node2vecWalksOf(edges: DataFrame, nWalks: Int,
       steps: Int, wReturn: Long, wCommon: Long, wOut: Long): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val arcs = loopArcs(edges, withWeight = false)
-    val verts = arcs.select($"src".as("v")).distinct()
+    val adj = partitionedCheckpoint(
+      arcs.groupBy($"src")
+        .agg(sort_array(collect_list($"dst")).as("nbrs")), "src")
+    val verts = adj.select($"src".as("v"))
     var cur = verts
       .select($"v".as("start"),
         explode(sequence(lit(0), lit(nWalks - 1))).as("walk"),
@@ -1480,29 +1488,18 @@ object GraphOps {
         $"node", $"prev")
       .localCheckpoint(eager = true)
     var acc = cur.select($"start", $"walk", $"step", $"node")
-    val wAll = Window.partitionBy($"start", $"walk")
-    val wCum = Window.partitionBy($"start", $"walk").orderBy($"dst")
     for (st <- 1 to steps) {
-      val cand = cur.join(arcs, $"node" === $"src")
-        .select($"start", $"walk", $"node".as("newprev"), $"prev", $"dst")
-      val classed = cand
-        .join(arcs.select($"src".as("prev"), $"dst", lit(1).as("is_common")),
-          Seq("prev", "dst"), "left")
-        .withColumn("w",
-          when($"dst" === $"prev", lit(wReturn))
-            .when($"is_common".isNotNull, lit(wCommon))
-            .otherwise(lit(wOut)))
-      val picked = classed
-        .withColumn("tot0", sum($"w").over(wAll))
-        .withColumn("w2", when($"tot0" === 0, lit(1L)).otherwise($"w"))
-        .withColumn("cum", sum($"w2").over(wCum))
-        .withColumn("tot", sum($"w2").over(wAll))
-        .withColumn("r", graft.operators.TextOps.h64(concat(
-          lit("n2v:"), $"start".cast("string"), lit(":"),
-          $"walk".cast("string"), lit(":"), lit(st).cast("string"))) % $"tot")
-        .filter($"cum" - $"w2" <= $"r" && $"r" < $"cum")
-      cur = picked.select($"start", $"walk", lit(st).as("step"),
-          $"dst".as("node"), $"newprev".as("prev"))
+      val h = graft.operators.TextOps.h64(concat(
+        lit("n2v:"), $"start".cast("string"), lit(":"),
+        $"walk".cast("string"), lit(":"), lit(st).cast("string")))
+      cur = cur
+        .join(adj, $"node" === $"src").drop("src")
+        .join(adj.select($"src".as("pv2"), $"nbrs".as("nprev")),
+          $"prev" === $"pv2")
+        .select($"start", $"walk", lit(st).as("step"),
+          graft.functions.GraftFunctions.node2vecPick(
+            $"nbrs", $"nprev", $"prev", h, wReturn, wCommon, wOut).as("node"),
+          $"node".as("prev"))
         .localCheckpoint(eager = true)
       acc = acc.unionByName(cur.select($"start", $"walk", $"step", $"node"))
     }
