@@ -144,8 +144,10 @@ object Bench {
     // the sentinel's job is to MEASURE the noise, not suppress it.
     def sentinel(): Double = {
       val t0 = System.nanoTime()
+      // per-row long multiply (the CPU work) then a double-typed sum: the
+      // long sum of 4e8 products is ~2e26 and overflows ANSI-mode bigint
       spark.range(0L, 400000000L, 1L, 32)
-        .selectExpr("sum(id * 2654435761)").collect()
+        .selectExpr("sum(cast(id * 2654435761 as double))").collect()
       (System.nanoTime() - t0) / 1e9
     }
     runOnce("q1_pricing_summary") // warm-up: JIT, codegen, FS metadata
