@@ -66,6 +66,7 @@ object SparkEntry {
     "t_bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
     "t_more_like_this" -> ((s, d) => TextOps.moreLikeThis(s, d)),
     "t_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(s, d)),
+    "t_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "d_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "d_cross_dedup" -> ((s, d) => Dedup.crossDedup(s, d)),
     "d_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    "d_line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     // k-means-seeded cluster scope ⇒ rows-only (V4b's argument); the
     // planted-fixture spec pins group semantics + the keeper choice
     "d_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
@@ -814,6 +816,26 @@ object SparkEntry {
         | COALESCE(ROUND(CAST(r.du AS DOUBLE)/r.gr, 6), 0.0) AS dup_frac
         |FROM d LEFT JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // D12: non-overlapping 8-word segments (1-based inclusive list
+    // slice ≡ Spark's slice(w, i*8+1, 8), both end-clamped); a segment
+    // is boilerplate iff it occurs in ≥2 distinct docs; string_agg
+    // skips the removed (NULLed) segments and orders by position, and
+    // an all-boilerplate doc rebuilds to '' via the COALESCE.
+    "d_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(0, CAST(ceil(len(w)/8.0) AS BIGINT)),
+        |          i -> {'pos': i, 'seg': array_to_string(w[(i*8+1):(i*8+8)], ' ')})) st
+        |      FROM d),
+        |segs AS (SELECT doc_id, st.pos AS pos, st.seg AS seg FROM g),
+        |f AS (SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) df FROM segs GROUP BY seg)
+        |      WHERE df >= 2)
+        |SELECT s.doc_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_segments,
+        | CAST(SUM(CASE WHEN f.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | COALESCE(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' ' ORDER BY s.pos), '') AS clean_text
+        |FROM segs s LEFT JOIN f ON s.seg = f.seg
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // Semantic decontamination: train×eval cosine through the same
     // list_transform dot-product shape as d_embedding_neardup.
     "d_decontaminate_semantic" ->
@@ -836,6 +858,42 @@ object SparkEntry {
         |  ROUND(1.0 - CAST(n_distinct AS DOUBLE)/n_words, 6) AS dup_word_frac,
         |  ROUND(CAST(max_bg AS DOUBLE)/n_bg, 6) AS top_bigram_frac
         |FROM wn w JOIN bgm ON w.doc_id = bgm.doc_id ORDER BY w.doc_id""".stripMargin,
+    // T16: the Gopher doc-quality rules; integer/double signals only
+    // (rule flags as 0/1 BIGINT), bigram mass reuses T6's expression.
+    "t_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |base AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) n_words,
+        |  ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)/len(w), 6) mean_wlen,
+        |  ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(w), 6) frac_alpha,
+        |  CAST((CASE WHEN list_contains(w,'the') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(w,'be') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(w,'to') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(w,'and') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(w,'of') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(w,'that') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(w,'have') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(w,'with') THEN 1 ELSE 0 END) AS BIGINT) n_stop
+        | FROM d),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1,len(w)), i -> w[i]||' '||w[i+1])) s
+        |       FROM d WHERE len(w) >= 2),
+        |bgc AS (SELECT doc_id, s, COUNT(*) c FROM bg GROUP BY 1,2),
+        |bgm AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE)/SUM(c), 6) tbf FROM bgc GROUP BY doc_id),
+        |r AS (SELECT b.doc_id, b.n_words, b.mean_wlen, b.frac_alpha, b.n_stop,
+        |  COALESCE(m.tbf, 0.0) top_bigram_frac,
+        |  CASE WHEN b.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END r_words,
+        |  CASE WHEN b.mean_wlen BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END r_wlen,
+        |  CASE WHEN b.frac_alpha >= 0.8 THEN 1 ELSE 0 END r_alpha,
+        |  CASE WHEN b.n_stop >= 2 THEN 1 ELSE 0 END r_stop,
+        |  CASE WHEN COALESCE(m.tbf, 0.0) <= 0.2 THEN 1 ELSE 0 END r_bigram
+        |  FROM base b LEFT JOIN bgm m USING (doc_id))
+        |SELECT doc_id, n_words, mean_wlen, frac_alpha, n_stop, top_bigram_frac,
+        | CAST(r_words AS BIGINT) AS r_words, CAST(r_wlen AS BIGINT) AS r_wlen,
+        | CAST(r_alpha AS BIGINT) AS r_alpha, CAST(r_stop AS BIGINT) AS r_stop,
+        | CAST(r_bigram AS BIGINT) AS r_bigram,
+        | CAST(5 - r_words - r_wlen - r_alpha - r_stop - r_bigram AS BIGINT) AS n_failed,
+        | CAST(CASE WHEN r_words + r_wlen + r_alpha + r_stop + r_bigram = 5 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
     "t_pii_redact" ->
       """WITH aug AS (SELECT doc_id,
         |  text || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@shop.example.com for details.' ELSE '' END

@@ -813,6 +813,59 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // D12 — line-level inter-document dedup (`d_line_dedup`): the CCNet /
+  // RefinedWeb boilerplate scrub (Wenzek et al. 2020 §3.1 paragraph
+  // dedup; Penedo et al. 2023 §4.2 line-wise filter) — REWRITE each
+  // document by dropping the spans that recur across the corpus
+  // (headers, footers, nav chrome at web scale). The corpus has no
+  // newline structure, so a "line" is a deterministic non-overlapping
+  // k-word segment (pos i covers words [i·k+1, i·k+k]); a segment is
+  // boilerplate when it appears in ≥ minDf DISTINCT documents, and the
+  // output is the doc with those segments removed plus removal stats.
+  // D10 measures duplicated-span mass; THIS is the operator that edits
+  // the corpus — the pair a pretraining pipeline runs in sequence.
+  // Scale shape: three keyed shuffles, all high-cardinality —
+  //   1. distinct (seg, doc_id) → groupBy(seg) for document frequency
+  //      (map-side combine after the distinct);
+  //   2. the mark join, segs ⋈ frequent-set on seg — the frequent set
+  //      is the df ≥ minDf slice (boilerplate is a thin tail of the
+  //      distinct-segment space), so AQE takes the broadcast plan when
+  //      it fits and falls back to the skew-tolerant shuffle join when
+  //      a 100 TB boilerplate set doesn't;
+  //   3. the doc_id regroup that reassembles the text — collect_list
+  //      order is nondeterministic, so segments carry their position
+  //      and array_sort on struct(pos, seg) restores document order
+  //      before the join; collect_list drops the NULLed (removed)
+  //      segments for free.
+  def lineDedup(s: SparkSession, dir: String, k: Int = 8,
+      minDf: Int = 2): DataFrame =
+    lineDedupOf(Tables.documents(s, dir), k, minDf)
+
+  /** D12 core over an arbitrary (doc_id, text) frame. */
+  private[graft] def lineDedupOf(docs: DataFrame, k: Int,
+      minDf: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val segs = docs
+      .select($"doc_id", wordsOf($"text").as("w"))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / ${k}.0) as int) - 1),
+           |          i -> concat_ws(' ', slice(w, i * $k + 1, $k)))""".stripMargin)))
+      .toDF("doc_id", "pos", "seg")
+    val frequent = segs.select($"seg", $"doc_id").distinct()
+      .groupBy($"seg").agg(count(lit(1)).as("df"))
+      .filter($"df" >= minDf)
+      .select($"seg", lit(1).as("is_dup"))
+    segs.join(frequent, Seq("seg"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when($"is_dup".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN is_dup IS NULL " +
+            "THEN struct(pos, seg) END)), x -> x.seg)"), " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   // D5 — embedding-cosine near-dup on `embeddings`, exact at threshold τ,
   // restructured from the r1 all-pairs self-join into a k-means cell-pair
   // block join with triangle-inequality pruning:

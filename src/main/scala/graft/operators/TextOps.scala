@@ -390,4 +390,68 @@ object TextOps {
       .select($"doc_id", $"lang", $"mean_logprob", $"ppl_bucket")
       .orderBy($"doc_id")
   }
+
+  /** MassiveText stop list (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1): a
+    * document must contain at least two of these to pass the stop-word
+    * rule. Published list, verbatim — on this synthetic corpus only
+    * "the" occurs, so r_stop fails corpus-wide; the fixture spec
+    * exercises the passing branch. */
+  private[graft] val gopherStops =
+    Seq("the", "be", "to", "and", "of", "that", "have", "with")
+
+  // T16 — Gopher / MassiveText document-quality gate (Rae et al. 2021
+  // §A1.1): the published doc-level filter rules composed into one
+  // pass/fail frame with per-rule verdicts, the standard pretraining
+  // pre-filter ahead of dedup and LM scoring. Rules (word-level
+  // approximations where the paper counts characters):
+  //   r_words  — 50 ≤ word count ≤ 100,000
+  //   r_wlen   — mean word length in [3, 10]
+  //   r_alpha  — ≥ 80% of words contain an alphabetic character
+  //   r_stop   — ≥ 2 distinct stop-list words present
+  //   r_bigram — most-common-bigram mass ≤ 0.20 (T6's signal; the
+  //              paper's top-2-gram character fraction, word-level)
+  // Scale shape: everything except r_bigram is IN-ROW array arithmetic
+  // (no shuffle); r_bigram rides T6's doc_id-keyed aggregation, which
+  // scales out like any high-cardinality groupBy. Rule flags are 0/1
+  // BIGINT so the oracle hash never depends on boolean encoding.
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(Tables.documents(s, dir))
+
+  /** T16 core over an arbitrary (doc_id, text) frame. */
+  private[graft] def gopherRulesOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stopHits = gopherStops
+      .map(t => when(array_contains($"w", t), 1).otherwise(0))
+      .reduce(_ + _)
+    val base = docs
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+      .withColumn("n_words", size($"w").cast("long"))
+      .withColumn("mean_wlen", round(
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double") /
+          $"n_words", 6))
+      .withColumn("frac_alpha", round(
+        size(expr("filter(w, x -> x rlike '[a-z]')")).cast("double") /
+          $"n_words", 6))
+      .withColumn("n_stop", stopHits.cast("long"))
+      .drop("w")
+    val rep = repetitionOn(docs).select($"doc_id", $"top_bigram_frac")
+    // left join: a doc under 2 words has no bigram frame row — its
+    // top-bigram mass is 0 (vacuously passes r_bigram)
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    base.join(rep, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac", coalesce($"top_bigram_frac", lit(0.0)))
+      .withColumn("r_words", flag($"n_words" >= 50 && $"n_words" <= 100000))
+      .withColumn("r_wlen", flag($"mean_wlen" >= 3.0 && $"mean_wlen" <= 10.0))
+      .withColumn("r_alpha", flag($"frac_alpha" >= 0.8))
+      .withColumn("r_stop", flag($"n_stop" >= 2))
+      .withColumn("r_bigram", flag($"top_bigram_frac" <= 0.2))
+      .withColumn("n_failed", lit(5L) - $"r_words" - $"r_wlen" - $"r_alpha" -
+        $"r_stop" - $"r_bigram")
+      .withColumn("pass", flag($"n_failed" === 0L))
+      .select($"doc_id", $"n_words", $"mean_wlen", $"frac_alpha", $"n_stop",
+        $"top_bigram_frac", $"r_words", $"r_wlen", $"r_alpha", $"r_stop",
+        $"r_bigram", $"n_failed", $"pass")
+      .orderBy($"doc_id")
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+
+/** r9 wave-11 operators: line-level inter-document dedup (D12) and the
+  * Gopher document-quality gate (T16). */
+class Wave11Spec extends SparkSpecBase {
+
+  // ---------------------------------------------------------------- D12
+
+  test("line dedup: cross-doc segments removed, within-doc repeats kept, short docs intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // segs [a b c][d e f][g h]; first shared with doc 2
+      (2L, "a b c x y z"),     // both segs shared -> rebuilds to ""
+      (3L, "x y z"),           // single shared seg
+      (4L, "q r"),             // short partial seg, unique -> untouched
+      (5L, "m n o m n o")      // seg repeats WITHIN one doc only: df=1, kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedupOf(docs, 3, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(got(1L) == ((3L, 1L, "d e f g h")))
+    assert(got(2L) == ((2L, 2L, "")))
+    assert(got(3L) == ((1L, 1L, "")))
+    assert(got(4L) == ((1L, 0L, "q r")))
+    // document-frequency (distinct docs), not occurrence count: doc 5's
+    // self-repeat survives — the CCNet rule targets CROSS-doc boilerplate
+    assert(got(5L) == ((2L, 0L, "m n o m n o")))
+  }
+
+  test("line dedup: minDf raises the boilerplate bar") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), // df=3
+      (4L, "d e f"), (5L, "d e f")                 // df=2
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedupOf(docs, 3, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(4L) == 0L && got(5L) == 0L)
+  }
+
+  // ---------------------------------------------------------------- T16
+
+  private def doc(words: Seq[String]): String = words.mkString(" ")
+
+  test("gopher rules: each rule fails in isolation on its crafted doc") {
+    import spark.implicits._
+    val filler = (0 until 48).map(i => f"w$i%02d") // 3-char alpha words
+    val docs = Seq(
+      // all five rules pass
+      (1L, doc(Seq("the", "and") ++ filler)),
+      // word count: 10 words < 50 (3-char words keep mean_wlen passing)
+      (2L, doc(Seq("the", "and") ++ filler.take(8))),
+      // alpha: 45/50 digit-only words -> frac_alpha = 0.1
+      (3L, doc(Seq("the", "and", "aaa", "bbb", "ccc") ++ (100 until 145).map(_.toString))),
+      // bigram: "xxx yyy" dominates (24/49 > 0.2); 3-char words keep wlen at 3.0
+      (4L, doc(Seq("the", "and") ++ Seq.fill(24)(Seq("xxx", "yyy")).flatten)),
+      // stop words: zero stop-list hits
+      (5L, doc((0 until 50).map(i => f"v$i%02d"))),
+      // 1-word doc: no bigram frame row -> vacuous r_bigram pass via left join
+      (6L, "hello")
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRulesOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("r_words"), r.getAs[Long]("r_wlen"),
+          r.getAs[Long]("r_alpha"), r.getAs[Long]("r_stop"),
+          r.getAs[Long]("r_bigram"), r.getAs[Long]("n_failed"),
+          r.getAs[Long]("pass"))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 1L, 0L, 1L)))
+    assert(got(2L) == ((0L, 1L, 1L, 1L, 1L, 1L, 0L)))
+    assert(got(3L) == ((1L, 1L, 0L, 1L, 1L, 1L, 0L)))
+    assert(got(4L) == ((1L, 1L, 1L, 1L, 0L, 1L, 0L)))
+    assert(got(5L) == ((1L, 1L, 1L, 0L, 1L, 1L, 0L)))
+    assert(got(6L) == ((0L, 1L, 1L, 0L, 1L, 2L, 0L)))
+  }
+
+  test("gopher rules: signal values on the passing doc") {
+    import spark.implicits._
+    val filler = (0 until 48).map(i => f"w$i%02d")
+    val docs = Seq((1L, doc(Seq("the", "and") ++ filler))).toDF("doc_id", "text")
+    val r = TextOps.gopherRulesOn(docs).collect().head
+    assert(r.getAs[Long]("n_words") == 50L)
+    assert(r.getAs[Double]("mean_wlen") == 3.0)
+    assert(r.getAs[Double]("frac_alpha") == 1.0)
+    assert(r.getAs[Long]("n_stop") == 2L)
+    // 49 distinct bigrams -> top mass 1/49
+    assert(math.abs(r.getAs[Double]("top_bigram_frac") - 0.020408) < 1e-9)
+  }
+}
