@@ -92,7 +92,10 @@ object Bench {
     "p_quality_checks", "g_random_walks",
     // r9 additions: the two sampled-source centralities (Brandes
     // betweenness, landmark closeness) and the node2vec biased walks
-    "g_betweenness", "g_closeness", "g_node2vec")
+    "g_betweenness", "g_closeness", "g_node2vec",
+    // r9b additions: the corpus-rewriting line dedup, the Gopher gate,
+    // word-histogram entropy, winnowing fingerprints
+    "d_line_dedup", "t_gopher_rules", "t_entropy", "t_winnow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -67,6 +67,8 @@ object SparkEntry {
     "t_more_like_this" -> ((s, d) => TextOps.moreLikeThis(s, d)),
     "t_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(s, d)),
     "t_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
+    "t_entropy" -> ((s, d) => TextOps.wordEntropy(s, d)),
+    "t_winnow" -> ((s, d) => TextOps.winnow(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -894,6 +896,38 @@ object SparkEntry {
         | CAST(5 - r_words - r_wlen - r_alpha - r_stop - r_bigram AS BIGINT) AS n_failed,
         | CAST(CASE WHEN r_words + r_wlen + r_alpha + r_stop + r_bigram = 5 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM r ORDER BY doc_id""".stripMargin,
+    // T17: Shannon entropy of the word histogram; T11's float
+    // discipline (6dp decimal terms — association-order-free sum).
+    "t_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text),' ')) wrd FROM documents),
+        |tf AS (SELECT doc_id, wrd, COUNT(*) tf FROM t GROUP BY 1,2),
+        |n AS (SELECT doc_id, SUM(tf) n_words, COUNT(*) n_distinct FROM tf GROUP BY doc_id),
+        |tm AS (SELECT tf.doc_id,
+        |         SUM(CAST(ROUND(tf.tf * ln(CAST(tf.tf AS DOUBLE)/n.n_words), 6) AS DECIMAL(18,6))) tsum
+        |       FROM tf JOIN n USING (doc_id) GROUP BY tf.doc_id)
+        |SELECT n.doc_id,
+        | CAST(n.n_words AS BIGINT) AS n_words,
+        | CAST(n.n_distinct AS BIGINT) AS n_distinct,
+        | ROUND(-CAST(tsum AS DOUBLE)/n.n_words, 6) AS entropy,
+        | ROUND(CASE WHEN n.n_distinct > 1
+        |   THEN (-CAST(tsum AS DOUBLE)/n.n_words)/ln(CAST(n.n_distinct AS DOUBLE))
+        |   ELSE 0.0 END, 6) AS norm_entropy
+        |FROM n JOIN tm USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    // T18: winnowing (k=3 grams, w=4 windows) — rightmost window min
+    // via list_position over the reversed slice; 1-based inclusive
+    // slices ≡ Spark's slice(hs, j, 4); (doc, pos) is unique (the fp
+    // IS hs[pos]) so DISTINCT + the order-by give a total order.
+    "t_winnow" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') wds FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(wds) - 1), i ->
+        |        CAST(('0x'||substr(md5(wds[i]||' '||wds[i+1]||' '||wds[i+2]),1,15)) AS BIGINT)) hs
+        |      FROM d WHERE len(wds) >= 6),
+        |u AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 2), j ->
+        |        {'pos': j + 4 - list_position(list_reverse(hs[j:j+3]), list_min(hs[j:j+3])),
+        |         'fp': list_min(hs[j:j+3])})) st
+        |      FROM h)
+        |SELECT DISTINCT doc_id, CAST(st.pos AS BIGINT) AS pos, st.fp AS fp
+        |FROM u ORDER BY doc_id, pos""".stripMargin,
     "t_pii_redact" ->
       """WITH aug AS (SELECT doc_id,
         |  text || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@shop.example.com for details.' ELSE '' END

@@ -32,7 +32,13 @@ object Dedup {
       dedup: Boolean = true): DataFrame =
     shinglesOf(Tables.documents(s, dir), n, dedup)
 
-  /** Same, over an arbitrary (doc_id, text) frame (fixture specs). */
+  /** Same, over an arbitrary (doc_id, text) frame (fixture specs).
+    * The bare `w` references inside the gram lambda are SAFE here —
+    * CollapseProject refuses to inline a non-cheap multi-referenced
+    * alias, so the optimized plan keeps `w` materialized in the Project
+    * below the Generate (verified r9b; contrast T18's winnow, where the
+    * Generate-inferred size()>0 filter DID re-materialize the chain —
+    * SURVEY §5 r9b). */
   private[graft] def shinglesOf(docs: DataFrame, n: Int,
       dedup: Boolean = true): DataFrame = {
     import docs.sparkSession.implicits._

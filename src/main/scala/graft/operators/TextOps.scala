@@ -454,4 +454,92 @@ object TextOps {
         $"r_bigram", $"n_failed", $"pass")
       .orderBy($"doc_id")
   }
+
+  // T17 — word-distribution entropy (`t_entropy`): Shannon entropy of
+  // each document's word histogram plus its normalized form — the
+  // gibberish/degenerate-text signal quality filters use alongside T6's
+  // repetition fractions (a stuck-loop doc scores near 0, keyboard mash
+  // near ln(n_distinct); prose sits in a stable band between).
+  // H = -Σ (c/n)·ln(c/n) = -(Σ c·ln(c/n))/n, computed with T11's float
+  // discipline: per-(doc, word) terms rounded at 6dp and summed as
+  // DECIMAL(18,6) (exact, association-order-free), single IEEE
+  // divisions at the end — the hash never depends on aggregation order.
+  // Shapes: corpus explode → (doc, word) groupBy with map-side combine,
+  // doc-keyed totals join, doc-keyed rollup. No windows, no collects.
+  def wordEntropy(s: SparkSession, dir: String): DataFrame =
+    wordEntropyOn(Tables.documents(s, dir))
+
+  /** T17 core over an arbitrary (doc_id, text) frame. */
+  private[graft] def wordEntropyOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tf = docs
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("wrd"))
+      .groupBy($"doc_id", $"wrd").agg(count(lit(1)).as("tf"))
+    val n = tf.groupBy($"doc_id").agg(
+      sum($"tf").as("n_words"), count(lit(1)).as("n_distinct"))
+    val tsum = tf.join(n.select($"doc_id", $"n_words"), "doc_id")
+      .withColumn("term", round(
+        $"tf" * log($"tf".cast("double") / $"n_words"), 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id").agg(sum($"term").as("tsum"))
+    n.join(tsum, "doc_id")
+      .select($"doc_id", $"n_words", $"n_distinct",
+        round(-$"tsum".cast("double") / $"n_words", 6).as("entropy"),
+        round(when($"n_distinct" > 1,
+          (-$"tsum".cast("double") / $"n_words") /
+            log($"n_distinct".cast("double"))).otherwise(0.0), 6)
+          .as("norm_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  // T18 — winnowing fingerprints (`t_winnow`; Schleimer et al. 2003,
+  // the MOSS local fingerprinting): hash every k-word gram, slide a
+  // w-hash window over the sequence, keep each window's minimum
+  // (RIGHTMOST on ties — robust winnowing), emit the distinct selected
+  // (pos, hash) per doc. Guarantees: any shared run of ≥ w+k-1 words
+  // between two docs shares a fingerprint; expected density 2/(w+1) —
+  // the position-aware match primitive between T4's whole-doc
+  // fingerprint and D10's every-gram coverage.
+  // Entirely IN-ROW (array HOFs; zero shuffle before the final
+  // explode): the gram-hash array builds ONCE per doc, the window scan
+  // is an O(n·w) in-row transform, selection dedups via array_distinct.
+  // Rightmost-min via array_position over the REVERSED window slice
+  // (first hit in reverse = last in order).
+  // The once-per-doc claim needs care (SURVEY §5 r9b): this operator's
+  // explode triggers InferFiltersFromGenerate, and predicate PUSHDOWN
+  // substitutes aliases with no cheapness guard — the inferred
+  // size(sel) > 0 filter lands at the scan with the FULL wds→hs→sel
+  // chain re-materialized inside it, including the split() re-inlined
+  // at every lambda reference site: O(words²) re-splitting per doc,
+  // measured as one task pegged 10+ min at sf0.1. Two defenses:
+  // (1) lambda LET-bindings — transform(array(<e>), v -> ...)[1]
+  // evaluates <e> once and the body references the cheap VARIABLE, so
+  // even a substituted copy of the chain stays linear; (2)
+  // explode_outer instead of explode — no inferred filter at all (sel
+  // is never empty after the word-count pre-filter, so the rows are
+  // identical and the double evaluation disappears).
+  def winnow(s: SparkSession, dir: String, k: Int = 3, w: Int = 4): DataFrame =
+    winnowOf(Tables.documents(s, dir), k, w)
+
+  /** T18 core over an arbitrary (doc_id, text) frame. */
+  private[graft] def winnowOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val parts = (0 until k).map(o => s"element_at(wv, i + $o)").mkString(", ")
+    val hsExpr = // over the let-bound word array `wv`
+      s"transform(sequence(1, size(wv) - ${k - 1}), i -> " +
+        s"cast(conv(substring(md5(concat_ws(' ', $parts)), 1, 15), 16, 10) as bigint))"
+    docs
+      .select($"doc_id", split(lower($"text"), " ").as("wds"))
+      .filter(size($"wds") >= k + w - 1) // need at least one full window
+      .withColumn("sel", expr(
+        s"""element_at(transform(array(wds), wv ->
+           |  element_at(transform(array($hsExpr), hsv ->
+           |    array_distinct(transform(sequence(1, size(hsv) - ${w - 1}), j ->
+           |      element_at(transform(array(slice(hsv, j, $w)), sl ->
+           |        struct(
+           |          cast(j + $w - array_position(reverse(sl), array_min(sl)) as bigint) AS pos,
+           |          array_min(sl) AS fp)), 1)))), 1)), 1)""".stripMargin))
+      .select($"doc_id", explode_outer($"sel").as("e"))
+      .select($"doc_id", $"e.pos".as("pos"), $"e.fp".as("fp"))
+      .orderBy($"doc_id", $"pos")
+  }
 }

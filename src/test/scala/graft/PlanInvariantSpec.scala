@@ -337,4 +337,28 @@ class PlanInvariantSpec extends SparkSpecBase {
       s"arc side re-shuffles before the join:\n$pv")
     assert(anc.exists(_.contains("Join")), s"arc scan not under a join:\n$pv")
   }
+
+  test("r9b operators: winnow shuffles only for the output sort; line-dedup and the text gates never window or nest-loop") {
+    // t_winnow's claim is ZERO data-dependent shuffle: the only
+    // Exchanges in the whole plan are the output sort's range partition
+    // and the under-split-scan widening (Tables.documents round-robin)
+    val pw = plan("t_winnow")
+    val ex = pw.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.nonEmpty && ex.forall(l =>
+      l.contains("rangepartitioning") || l.contains("RoundRobinPartitioning")),
+      s"unexpected shuffle in the winnow plan:\n$pw")
+    // d_line_dedup reassembles positionally via array_sort-of-struct in
+    // an AGG — a row_number window would funnel each doc through one
+    // task slot per partition boundary; and both its joins are keyed
+    val pl = plan("d_line_dedup")
+    assert(!pl.contains("CartesianProduct") &&
+      !pl.contains("BroadcastNestedLoopJoin"), s"non-keyed join:\n$pl")
+    assert(!pl.contains("Window"), s"positional window crept in:\n$pl")
+    for (q <- Seq("t_entropy", "t_gopher_rules")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q non-keyed join:\n$p")
+      assert(!p.contains("Window"), s"$q uses a window:\n$p")
+    }
+  }
 }

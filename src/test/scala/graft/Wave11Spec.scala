@@ -77,6 +77,83 @@ class Wave11Spec extends SparkSpecBase {
     assert(got(6L) == ((0L, 1L, 1L, 0L, 1L, 2L, 0L)))
   }
 
+  // ---------------------------------------------------------------- T17
+
+  test("entropy: uniform, constant and skewed histograms hit closed forms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // uniform: H = ln 4, norm = 1
+      (2L, "x x x x"),   // constant: H = 0, norm = 0 (n_distinct = 1 branch)
+      (3L, "a a b")      // skewed: H = ln 3 - (2/3) ln 2
+    ).toDF("doc_id", "text")
+    val got = TextOps.wordEntropyOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy"))).toMap
+    assert(got(1L) == ((4L, 4L, 1.386294, 1.0)))
+    assert(got(2L) == ((4L, 1L, -0.0, 0.0)) || got(2L) == ((4L, 1L, 0.0, 0.0)))
+    assert(got(3L)._3 == 0.636514) // -(round(2·ln(2/3),6) + round(ln(1/3),6))/3
+    assert(math.abs(got(3L)._4 - 0.636514 / math.log(2)) < 1e-5)
+  }
+
+  // ---------------------------------------------------------------- T18
+
+  /** Single-JVM winnowing reference fold (Schleimer et al. 2003):
+    * rightmost minimum per window, distinct (pos, fp). */
+  private def h64ref(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def refWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val wds = text.toLowerCase.split(" ", -1).toSeq
+    if (wds.size < k + w - 1) Set.empty
+    else {
+      val hs = (0 to wds.size - k).map(i => h64ref(wds.slice(i, i + k).mkString(" ")))
+      (0 to hs.size - w).map { j =>
+        val sl = hs.slice(j, j + w)
+        val mn = sl.min
+        ((j + sl.lastIndexOf(mn) + 1).toLong, mn) // rightmost min, 1-based pos
+      }.toSet
+    }
+  }
+
+  test("winnow: DF selection ≡ reference fold, incl. ties and short docs") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      2L -> "a b c a b c a b c a b c",   // repeated grams: equal hashes tie in-window
+      3L -> "one two three four five six",
+      4L -> "too short now",             // < k+w-1 words: no windows, no rows
+      5L -> "x y z x y z q r s t u v w"
+    )
+    val got = TextOps.winnowOf(texts.toDF("doc_id", "text"), 3, 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("pos"), r.getAs[Long]("fp"))).toSet)
+      .toMap
+    for ((id, text) <- texts) {
+      val exp = refWinnow(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == exp, s"doc $id")
+    }
+    assert(!got.contains(4L))
+  }
+
+  test("winnow: a shared run of ≥ w+k-1 words guarantees a shared fingerprint") {
+    import spark.implicits._
+    // docs 1 and 2 share the 6-word run "north south east west up down"
+    val docs = Seq(
+      (1L, "p q r north south east west up down m n"),
+      (2L, "north south east west up down zz yy xx ww vv"),
+      (3L, "totally different words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowOf(docs, 3, 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("gopher rules: signal values on the passing doc") {
     import spark.implicits._
     val filler = (0 until 48).map(i => f"w$i%02d")
