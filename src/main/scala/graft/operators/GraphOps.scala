@@ -665,15 +665,44 @@ object GraphOps {
 
   /** Hop distances to landmarks for an arbitrary canonical edge frame
     * (vertices unreachable from a landmark carry no row for it — the
-    * Pregel ShortestPaths contract). */
-  private[graft] def shortestPathsOf(edges: DataFrame, nLandmarks: Int): DataFrame = {
+    * Pregel ShortestPaths contract).
+    *
+    * r10 (ADVICE r9): BOUNDED Pregel — `maxIterations = maxHops` caps the
+    * supersteps, so this leg computes exactly the distances ≤ maxHops the
+    * oracle's recursive CTE (`WHERE hops < maxHops`) and the DF leg's
+    * level loop compute. The stock lib.ShortestPaths runs to convergence,
+    * which made oracle parity depend on corpus eccentricity (~3-4 here)
+    * instead of on the contract; all three legs now share one bound.
+    * State stays the replicated per-vertex Map[landmark→dist] regime the
+    * gate documents (fine at ≤3M edges, the reason the DF leg exists). */
+  private[graft] def shortestPathsOf(edges: DataFrame, nLandmarks: Int,
+      maxHops: Int = 8): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val g = graphOf(edges)
     val landmarks = g.vertices.map(_._1).takeOrdered(nLandmarks).toSeq
-    val res = org.apache.spark.graphx.lib.ShortestPaths.run(g, landmarks).vertices
-      .flatMap { case (v, spmap) => spmap.map { case (lm, d) => (v, lm, d.toLong) } }
-    s.createDataFrame(res).toDF("part", "landmark", "hops")
+    val lmSet = landmarks.toSet
+    type SPMap = Map[Long, Long]
+    def merged(a: SPMap, b: SPMap): SPMap =
+      (a.keySet ++ b.keySet).iterator.map { lm =>
+        lm -> math.min(a.getOrElse(lm, Long.MaxValue), b.getOrElse(lm, Long.MaxValue))
+      }.toMap
+    val init: Graph[SPMap, Long] = g.mapVertices((vid, _) =>
+      if (lmSet(vid)) Map(vid -> 0L) else Map.empty[Long, Long])
+    // graphOf mirrors every edge, so src→dst messages walk both directions
+    val res = org.apache.spark.graphx.Pregel(
+        init, Map.empty[Long, Long], maxIterations = maxHops)(
+      (_, attr, msg) => merged(attr, msg),
+      t => {
+        val better = t.srcAttr.iterator
+          .map { case (lm, d) => lm -> (d + 1L) }
+          .filter { case (lm, d) => d < t.dstAttr.getOrElse(lm, Long.MaxValue) }
+          .toMap
+        if (better.nonEmpty) Iterator((t.dstId, better)) else Iterator.empty
+      },
+      merged)
+    val rows = res.vertices.flatMap { case (v, m) => m.map { case (lm, d) => (v, lm, d) } }
+    s.createDataFrame(rows).toDF("part", "landmark", "hops")
       .orderBy($"part", $"landmark")
   }
 
@@ -692,7 +721,7 @@ object GraphOps {
     * Map[landmark→dist] state, every structure here is a flat keyed
     * frame that spills under pressure instead of dying. */
   private[graft] def shortestPathsDF(edges: DataFrame, nLandmarks: Int,
-      maxHops: Int = 64): DataFrame = {
+      maxHops: Int = 8): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val arcs = loopArcs(edges, withWeight = false)
@@ -731,11 +760,12 @@ object GraphOps {
 
   private[graft] def shortestPathsGated(edges: DataFrame, nLandmarks: Int,
       cacheKey: Option[String] = None,
-      maxGraphXEdges: Long = 3000000L): DataFrame = {
+      maxGraphXEdges: Long = 3000000L,
+      maxHops: Int = 8): DataFrame = {
     def count = edges.count()
     val m = cacheKey.fold(count)(key => edgeCountMemo.getOrElseUpdate(key, count))
-    if (m > maxGraphXEdges) shortestPathsDF(edges, nLandmarks)
-    else shortestPathsOf(edges, nLandmarks)
+    if (m > maxGraphXEdges) shortestPathsDF(edges, nLandmarks, maxHops)
+    else shortestPathsOf(edges, nLandmarks, maxHops)
   }
 
   // G15 — WEIGHTED shortest paths to the G8 landmarks (the Cypher
@@ -871,10 +901,16 @@ object GraphOps {
       .localCheckpoint(eager = true)
     var acc = deltas
     for (lev <- (maxLev - 1) to 0 by -1) {
+      // predecessors of w: the arcs INTO w — but the frame is MIRRORED
+      // (loopArcs), so {src = w}.dst is the identical neighbor set as
+      // {dst = w}.src. Joining on src (r10, VERDICT r9 #3) rides the
+      // checkpoint's hashpartitioning(src): only the level-sized delta
+      // frame shuffles, where the dst-keyed join re-exchanged all 2|E|
+      // arcs at EVERY backward level (the bulk of the 349 s sf10 cost).
       val contrib = deltas // rows at lev+1: (s, w, σw, δw)
         .select($"s", $"v".as("w"), $"sigma".as("sw"), $"delta".as("dw"))
-        .join(arcs, $"w" === $"dst") // predecessors ride arcs.src
-        .select($"s", $"src".as("v"), $"sw", $"dw")
+        .join(arcs, $"w" === $"src")
+        .select($"s", $"dst".as("v"), $"sw", $"dw")
         .join(levels(lev).select($"s", $"v", $"sigma"), Seq("s", "v"))
         .groupBy($"s", $"v")
         .agg(sum($"sigma".cast("double") / $"sw".cast("double") *
@@ -1113,11 +1149,33 @@ object GraphOps {
     * no Exchange (PlanInvariantSpec pins this). */
   private[graft] def partitionedCheckpoint(df: DataFrame, c: String): DataFrame = {
     val s = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val prior = s.conf.get(key)
-    s.conf.set(key, "false")
-    try df.repartition(col(c)).localCheckpoint(true)
-    finally s.conf.set(key, prior)
+    // r10 (ADVICE r9): the AQE override is scoped to a THROWAWAY child
+    // session instead of mutating the caller's session conf — a set/
+    // restore on the shared conf de-AQE'd any query another thread
+    // planned concurrently (streaming micro-batches, multi-threaded
+    // drivers) and two overlapping calls could race the restore. The
+    // child session shares the SparkContext, catalog and cache but owns
+    // its conf; global temp views carry the ANALYZED plans across, so
+    // the checkpoint executes under AQE-off without the caller's
+    // session ever observing a conf change. shuffle.partitions is copied
+    // explicitly: it sizes the recorded hashpartitioning, and a mismatch
+    // with the caller's setting would void the layout reuse downstream.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    val name = "graft_pc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(name)
+    try {
+      val ck = s2.table(s"global_temp.$name")
+        .repartition(col(c)).localCheckpoint(true)
+      ck.createOrReplaceGlobalTempView(s"${name}_ck")
+      // Dataset creation analyzes eagerly, inlining the view's LogicalRDD
+      // (with its recorded partitioning) into a frame bound to the
+      // CALLER's session — safe to drop both views immediately after
+      try s.table(s"global_temp.${name}_ck")
+      finally s.catalog.dropGlobalTempView(s"${name}_ck")
+    } finally s.catalog.dropGlobalTempView(name)
   }
 
   /** Mirrored arc frame for the iterative-DF loops, src-partitioned via
@@ -1150,6 +1208,93 @@ object GraphOps {
         .agg(min(struct((-$"vote").as("nv"), $"lbl".as("lbl"))).as("m"))
         .select($"dst".as("v"), $"m.lbl".as("lbl"))
         .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
+  /** Label-change-frontier (delta) LPA — EXACT refinement of
+    * communitiesOf (r10, VERDICT r9 #1: the 429 s sf10 floor was the
+    * per-round (dst, label) vote aggregate shuffling the full ~240M-row
+    * arc-join output for all 5 rounds, even though LPA's change rate
+    * collapses after round 2).
+    *
+    * The invariant that makes the delta exact: under the SYNCHRONOUS
+    * update, round t+1's vote at node v reads only its in-neighbors'
+    * round-t labels. If none of those changed in the t-1→t transition,
+    * the round-t vote at v re-reads the exact multiset round t-1 read,
+    * so its argmax — labels_t(v) — is reproduced: carrying the label
+    * forward IS the synchronous result. Hence rounds ≥2 only re-vote
+    * the "touched" nodes (out-neighbors of last round's changed set):
+    *
+    *   changed_t = {v : labels_t(v) ≠ labels_{t-1}(v)}   (node-sized)
+    *   touched   = distinct dst of arcs out of changed_t (node-sized)
+    *   labels_{t+1} = revote(touched) ∪ carry-forward(rest)
+    *
+    * Same fixed-round semantics, bit-identical labels, same oracle hash
+    * (Wave12Spec pins delta ≡ full re-vote per intermediate round count
+    * on fixtures + the sf corpus). Converged early (changed = ∅) ⇒ every
+    * remaining round is a no-op and the loop exits — also exact.
+    *
+    * Scale shape: changed/touched ride BROADCAST hash joins against the
+    * src-partitioned arc checkpoint (two arc scans, zero arc shuffles),
+    * and the vote aggregate — the old bottleneck — now shuffles only the
+    * in-arcs of touched nodes, which shrinks with the frontier. Rounds
+    * where the frontier is still wide (> half the nodes, or past the
+    * broadcast cap on huge graphs) fall back to the full re-vote, which
+    * is cheaper than two near-complete arc scans. */
+  private[graft] def communitiesDeltaOf(edges: DataFrame, iters: Int,
+      maxBroadcastNodes: Long = 5000000L): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = loopArcs(edges, withWeight = true)
+    var labels = arcs.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("lbl"))
+      .localCheckpoint(eager = true)
+    val nNodes = labels.count()
+    def argmax(votes: DataFrame): DataFrame = votes
+      .groupBy($"dst")
+      .agg(min(struct((-$"vote").as("nv"), $"lbl".as("lbl"))).as("m"))
+      .select($"dst".as("v"), $"m.lbl".as("lbl"))
+    def fullVote(lbls: DataFrame): DataFrame =
+      argmax(arcs.join(lbls, $"src" === $"v")
+        .groupBy($"dst", $"lbl").agg(sum($"weight").as("vote")))
+    var changed: Option[DataFrame] = None // None ⇒ full re-vote this round
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      val next = (changed match {
+        case None => fullVote(labels)
+        case Some(ch) =>
+          val touched = arcs.join(broadcast(ch), $"src" === $"c")
+            .select($"dst".as("c")).distinct()
+            .localCheckpoint(eager = true)
+          // hub-heavy frontiers can touch far more nodes than changed —
+          // the broadcast cap guards the frontier's OUT-set too
+          if (touched.count() > math.min(nNodes / 2, maxBroadcastNodes))
+            fullVote(labels)
+          else {
+            val revoted = argmax(
+              arcs.join(broadcast(touched), $"dst" === $"c").drop("c")
+                .join(labels, $"src" === $"v")
+                .groupBy($"dst", $"lbl").agg(sum($"weight").as("vote")))
+            labels.join(broadcast(touched), $"v" === $"c", "left_anti")
+              .unionAll(revoted)
+          }
+      }).localCheckpoint(eager = true)
+      if (round < iters - 1) {
+        val ch = next.as("n")
+          .join(labels.select($"v", $"lbl".as("prev")), "v")
+          .filter($"lbl" =!= $"prev")
+          .select($"v".as("c"))
+          .localCheckpoint(eager = true)
+        val nCh = ch.count()
+        if (nCh == 0) converged = true // fixpoint: remaining rounds no-op
+        changed =
+          if (nCh == 0 || nCh > nNodes / 2 || nCh > maxBroadcastNodes) None
+          else Some(ch)
+      }
+      labels = next
+      round += 1
     }
     labels
   }
@@ -1209,7 +1354,10 @@ object GraphOps {
   // measured alternate for environments where it wins.
   def communities(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     import s.implicits._
-    communitiesOf(edgesUnsorted(s, dir), iters)
+    // r10: the delta-frontier loop is the sanctioned leg — bit-identical
+    // to communitiesOf (see communitiesDeltaOf's invariant), same oracle
+    // hash, but rounds ≥2 shuffle only the shrinking frontier's in-arcs
+    communitiesDeltaOf(edgesUnsorted(s, dir), iters)
       .select($"v".as("part"), $"lbl".as("community"))
       .orderBy($"part")
   }
@@ -1222,7 +1370,7 @@ object GraphOps {
       maxGraphXEdges: Long = 150000000L): DataFrame = {
     def count = edges.count()
     val m = cacheKey.fold(count)(key => edgeCountMemo.getOrElseUpdate(key, count))
-    if (m > maxGraphXEdges) communitiesOf(edges, iters)
+    if (m > maxGraphXEdges) communitiesDeltaOf(edges, iters)
     else communitiesGX(edges, iters)
   }
 
@@ -1589,6 +1737,11 @@ object GraphOps {
   private[graft] def hitsGX(ed: DataFrame, iters: Int): DataFrame = {
     val s = ed.sparkSession
     import s.implicits._
+    // r10 (ADVICE r9): an edge-free frame must return the empty relation
+    // like hitsOf does — without this, rawA.values.max() below throws
+    // UnsupportedOperationException on the empty message RDD
+    if (ed.isEmpty)
+      return ed.limit(0).select($"p".as("part"), lit(0.0).as("authority"))
     val cur = ed.rdd.getNumPartitions
     val rows = ed.queryExecution.optimizedPlan.stats.rowCount
       .map(_.toLong).getOrElse(ed.count())

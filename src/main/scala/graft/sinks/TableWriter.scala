@@ -69,7 +69,8 @@ object TableWriter {
     * with two rows per key has no well-defined SCD1 winner; dedupe
     * upstream with an ordering). */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], partitionCol: String): Unit = {
+      keyCols: Seq[String], partitionCol: String,
+      assumeStablePartitionKeys: Boolean = false): Unit = {
     val exists =
       try { spark.read.parquet(path).schema; true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
@@ -78,8 +79,24 @@ object TableWriter {
       return
     }
     val target = spark.read.parquet(path)
-    val parts = updates.select(partitionCol).distinct().collect()
+    val deltaParts = updates.select(partitionCol).distinct().collect()
       .map(_.get(0)) // bounded: the delta's partition footprint
+    // ADVICE r9 (medium): an update may MOVE a key to a new partition
+    // value — the stale row then lives in a partition the delta never
+    // names, and rewriting only the delta's partitions would leave two
+    // rows for one key. The partitions hosting the delta's keys TODAY
+    // come from one column-pruned keyed semi-join over the table (the
+    // scan reads keyCols + partitionCol only — the same matching scan a
+    // Delta/Iceberg MERGE pays under copy-on-write); the REWRITE stays
+    // scoped to the true affected footprint. Callers that guarantee
+    // partition-stable keys (the common daily re-scrape: partition = a
+    // stable category) can skip the scan explicitly.
+    val hostParts =
+      if (assumeStablePartitionKeys) Array.empty[Any]
+      else target
+        .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        .select(partitionCol).distinct().collect().map(_.get(0))
+    val parts = (deltaParts ++ hostParts).distinct
     val affected = target.filter(col(partitionCol).isin(parts: _*))
     val survivors = affected.join(
       updates.select(keyCols.map(col): _*), keyCols, "left_anti")
@@ -93,6 +110,21 @@ object TableWriter {
     spark.conf.set(key, "dynamic")
     try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     finally spark.conf.set(key, prior)
+    // dynamic overwrite only replaces partitions it WRITES — an affected
+    // partition whose every row moved away or was superseded gets no new
+    // file and would keep its stale directory. Drop those explicitly.
+    val kept = merged.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSet
+    val emptied = parts.filterNot(kept)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partitionCol, String.valueOf(v))
+        fs.delete(new org.apache.hadoop.fs.Path(path, dir), true)
+      }
+    }
   }
 
   /** Requires a session with a warehouse dir; registers `table`. */

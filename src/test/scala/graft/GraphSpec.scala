@@ -454,6 +454,41 @@ class GraphSpec extends SparkSpecBase {
       "corpus leg divergence")
   }
 
+  test("communities: delta-frontier loop ≡ full re-vote at every round count (fixture + corpus + early exit)") {
+    val s = spark
+    import s.implicits._
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // clique + hanging tail: the clique settles by round 2 while labels
+    // keep cascading down the tail — later rounds change a MINORITY of
+    // nodes, so the delta branch (not just the wide-frontier fallback)
+    // is genuinely exercised; equality must hold at EVERY intermediate
+    // round count, which pins the per-round transition, not one endpoint
+    def clique(ids: Seq[Long], w: Long) =
+      for { a <- ids; b <- ids if a < b } yield (a, b, w)
+    val fx = (clique(Seq(1L, 2L, 3L, 4L, 5L, 6L), 10L) ++
+      Seq((6L, 30L, 1L), (30L, 31L, 1L), (31L, 32L, 1L), (32L, 33L, 1L)))
+      .toDF("src", "dst", "weight")
+    for (it <- 1 to 8)
+      assert(toMap(GraphOps.communitiesDeltaOf(fx, it)) ==
+        toMap(GraphOps.communitiesOf(fx, it)), s"divergence at iters=$it")
+    // synchronous LPA on an even path 2-cycles (bipartite oscillation) —
+    // changed never empties, so this pins the delta under sustained churn
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    for (it <- 1 to 6)
+      assert(toMap(GraphOps.communitiesDeltaOf(path, it)) ==
+        toMap(GraphOps.communitiesOf(path, it)), s"path divergence at iters=$it")
+    // early exit: K3 converges to all-1 by round 2; iters=10 must equal
+    // the full loop's fixed 10 rounds (no-op rounds change nothing)
+    val k3 = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(toMap(GraphOps.communitiesDeltaOf(k3, 10)) ==
+      toMap(GraphOps.communitiesOf(k3, 10)), "early-exit divergence")
+    // corpus identity at the sanctioned round count
+    val e = GraphOps.copurchaseEdges(spark, sfDir).select("src", "dst", "weight")
+    assert(toMap(GraphOps.communitiesDeltaOf(e, 5)) ==
+      toMap(GraphOps.communitiesOf(e, 5)), "corpus divergence")
+  }
+
   test("communities: deterministic on the corpus, labels are member nodes") {
     val a = GraphOps.communities(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

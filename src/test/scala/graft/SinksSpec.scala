@@ -91,6 +91,46 @@ class SinksSpec extends SparkSpecBase {
     assert(again == after)
   }
 
+  test("mergeInto: a key that changes its partition value leaves no stale row behind") {
+    val s = spark
+    import s.implicits._
+    // ADVICE r9 (medium): the SCD1 contract is keyed upsert — if the
+    // delta moves pk=3 from wires to tools, the wires copy must DIE,
+    // exactly as a Delta/Iceberg MERGE deletes the matched row wherever
+    // it lives. pk=6 is the SOLE row of its partition and moves out:
+    // the emptied directory must disappear too (dynamic overwrite alone
+    // cannot delete a partition it writes nothing to).
+    val path = Files.createTempDirectory("mergemv").toString + "/t"
+    val table = Seq(
+      (1L, "widget", 10L, "tools"), (3L, "cable", 30L, "wires"),
+      (4L, "plug", 40L, "wires"), (6L, "lamp", 60L, "lights"))
+      .toDF("pk", "name", "price", "cat")
+    TableWriter.mergeInto(spark, path, table, Seq("pk"), "cat")
+    val delta = Seq((3L, "cable-v2", 31L, "tools"), (6L, "lamp-v2", 61L, "tools"))
+      .toDF("pk", "name", "price", "cat")
+    TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")
+    val after = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(after == Map(
+      1L -> ("widget", 10L, "tools"), 3L -> ("cable-v2", 31L, "tools"),
+      4L -> ("plug", 40L, "wires"), 6L -> ("lamp-v2", 61L, "tools")),
+      s"got $after")
+    assert(after.size == 4, "stale moved-partition rows survive")
+    // the emptied lights partition directory is gone
+    assert(!spark.read.parquet(path).inputFiles.exists(_.contains("cat=lights")))
+    // re-merge stays idempotent after the move
+    TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")
+    assert(spark.read.parquet(path).count() == 4)
+    // the fast path honors its documented contract when keys are stable:
+    // an in-place update under assumeStablePartitionKeys=true still works
+    val delta2 = Seq((4L, "plug-v2", 41L, "wires")).toDF("pk", "name", "price", "cat")
+    TableWriter.mergeInto(spark, path, delta2, Seq("pk"), "cat",
+      assumeStablePartitionKeys = true)
+    val p4 = spark.read.parquet(path).filter($"pk" === 4L).collect()
+    assert(p4.length == 1 && p4(0).getString(1) == "plug-v2")
+  }
+
   test("idempotent batch sink: replaying a micro-batch does not duplicate rows") {
     val s = spark
     import s.implicits._
