@@ -1161,19 +1161,31 @@ object GraphOps {
     // explicitly: it sizes the recorded hashpartitioning, and a mismatch
     // with the caller's setting would void the layout reuse downstream.
     val s2 = s.newSession()
+    // r11 (ADVICE r10): the child session inherits the caller's FULL
+    // runtime SQL conf (modifiable keys only — static/core entries in
+    // getAll reject set() and are already shared via the context), so a
+    // caller-tuned exchange knob (shuffle.partitions, maxPartitionBytes,
+    // codegen flags…) shapes the recorded layout exactly as it would the
+    // caller's own plan. Only the AQE flag is forced off — the one conf
+    // this helper exists to scope.
+    s.conf.getAll.foreach { case (k, v) =>
+      if (k != "spark.sql.adaptive.enabled" && s.conf.isModifiable(k))
+        s2.conf.set(k, v)
+    }
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    s2.conf.set("spark.sql.shuffle.partitions",
-      s.conf.get("spark.sql.shuffle.partitions"))
+    // the global-temp database name is itself configurable (r11, ADVICE
+    // r10) — resolve it instead of hard-coding "global_temp"
+    val gtDb = s.conf.get("spark.sql.globalTempDatabase", "global_temp")
     val name = "graft_pc_" + java.util.UUID.randomUUID().toString.replace("-", "")
     df.createOrReplaceGlobalTempView(name)
     try {
-      val ck = s2.table(s"global_temp.$name")
+      val ck = s2.table(s"$gtDb.$name")
         .repartition(col(c)).localCheckpoint(true)
       ck.createOrReplaceGlobalTempView(s"${name}_ck")
       // Dataset creation analyzes eagerly, inlining the view's LogicalRDD
       // (with its recorded partitioning) into a frame bound to the
       // CALLER's session — safe to drop both views immediately after
-      try s.table(s"global_temp.${name}_ck")
+      try s.table(s"$gtDb.${name}_ck")
       finally s.catalog.dropGlobalTempView(s"${name}_ck")
     } finally s.catalog.dropGlobalTempView(name)
   }
@@ -1231,7 +1243,7 @@ object GraphOps {
     *   labels_{t+1} = revote(touched) ∪ carry-forward(rest)
     *
     * Same fixed-round semantics, bit-identical labels, same oracle hash
-    * (Wave12Spec pins delta ≡ full re-vote per intermediate round count
+    * (GraphSpec pins delta ≡ full re-vote per intermediate round count
     * on fixtures + the sf corpus). Converged early (changed = ∅) ⇒ every
     * remaining round is a no-op and the loop exits — also exact.
     *
@@ -1354,10 +1366,25 @@ object GraphOps {
   // measured alternate for environments where it wins.
   def communities(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     import s.implicits._
-    // r10: the delta-frontier loop is the sanctioned leg — bit-identical
-    // to communitiesOf (see communitiesDeltaOf's invariant), same oracle
-    // hash, but rounds ≥2 shuffle only the shrinking frontier's in-arcs
-    communitiesDeltaOf(edgesUnsorted(s, dir), iters)
+    // r11 (VERDICT r10 #2): edge-count-gated dual leg, the repo's own
+    // G7/G8 pattern. The delta-frontier loop is bit-identical to
+    // communitiesOf (see communitiesDeltaOf's invariant, same oracle
+    // hash) but its per-round driver actions — two count()s, two extra
+    // localCheckpoints, broadcast materializations — cost MORE than the
+    // frontier saves on small graphs: sf0.1 (116k edges) measured 8.78 s
+    // delta vs 5.50 s plain in BENCH_r10 vs r09. Above the budget the
+    // trade inverts: rounds ≥2 shuffle only the shrinking frontier's
+    // in-arcs instead of the full arc-join output (sf10: see SURVEY §5
+    // r11 for the measured before/after). 10M canonical edges ≈ the
+    // scale where a full vote round's shuffle clearly dominates the
+    // delta loop's fixed per-round driver overhead.
+    val edges = edgesUnsorted(s, dir)
+    def count = edges.count()
+    val m = edgeCountMemo.getOrElseUpdate(s"tri-edges:$dir", count)
+    val labels =
+      if (m > 10000000L) communitiesDeltaOf(edges, iters)
+      else communitiesOf(edges, iters)
+    labels
       .select($"v".as("part"), $"lbl".as("community"))
       .orderBy($"part")
   }
@@ -1739,9 +1766,14 @@ object GraphOps {
     import s.implicits._
     // r10 (ADVICE r9): an edge-free frame must return the empty relation
     // like hitsOf does — without this, rawA.values.max() below throws
-    // UnsupportedOperationException on the empty message RDD
+    // UnsupportedOperationException on the empty message RDD. r11
+    // (ADVICE r10): built positionally — the loop below reads columns by
+    // position (getLong(0)/getLong(1)), so the guard must not be the one
+    // place that demands a column literally named "p"
     if (ed.isEmpty)
-      return ed.limit(0).select($"p".as("part"), lit(0.0).as("authority"))
+      return ed.limit(0)
+        .select(col(ed.columns(1)).cast("long").as("part"),
+          lit(0.0).as("authority"))
     val cur = ed.rdd.getNumPartitions
     val rows = ed.queryExecution.optimizedPlan.stats.rowCount
       .map(_.toLong).getOrElse(ed.count())

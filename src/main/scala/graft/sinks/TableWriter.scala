@@ -79,8 +79,19 @@ object TableWriter {
       return
     }
     val target = spark.read.parquet(path)
-    val deltaParts = updates.select(partitionCol).distinct().collect()
-      .map(_.get(0)) // bounded: the delta's partition footprint
+    // r11 (ADVICE r10, medium): partition values are collected AS THE
+    // WRITER-ENCODED STRING — cast(partitionCol as string) under the
+    // session timezone is exactly the string the dynamic-partition
+    // writer feeds to getPartitionPathString, so timestamps render
+    // "…00:00:00" (not java.sql.Timestamp's "…00:00:00.0") and the
+    // emptied-dir names below reproduce the on-disk layout. NULL is kept
+    // as a real null (String.valueOf would bake the literal "null"):
+    // getPartitionPathString maps it to __HIVE_DEFAULT_PARTITION__.
+    val partStr = col(partitionCol).cast("string")
+    def collectParts(df: DataFrame): Array[String] =
+      df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val deltaParts = collectParts(
+      updates.select(partStr).distinct()) // bounded: the delta's footprint
     // ADVICE r9 (medium): an update may MOVE a key to a new partition
     // value — the stale row then lives in a partition the delta never
     // names, and rewriting only the delta's partitions would leave two
@@ -92,12 +103,24 @@ object TableWriter {
     // partition-stable keys (the common daily re-scrape: partition = a
     // stable category) can skip the scan explicitly.
     val hostParts =
-      if (assumeStablePartitionKeys) Array.empty[Any]
-      else target
+      if (assumeStablePartitionKeys) Array.empty[String]
+      else collectParts(target
         .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-        .select(partitionCol).distinct().collect().map(_.get(0))
+        .select(partStr).distinct())
     val parts = (deltaParts ++ hostParts).distinct
-    val affected = target.filter(col(partitionCol).isin(parts: _*))
+    // isin never matches NULL (three-valued logic) — a delta touching the
+    // null partition would otherwise leave it out of `affected`, and the
+    // dynamic overwrite would then DROP that partition's unmatched rows
+    // (the write replaces the dir with only the delta's rows). Filter on
+    // the same cast-to-string expression the values were collected from,
+    // with an explicit isNull leg when the footprint includes null.
+    val nonNullParts = parts.filter(_ != null)
+    val inNonNull = partStr.isin(nonNullParts: _*)
+    val partFilter =
+      if (!parts.contains(null)) inNonNull
+      else if (nonNullParts.isEmpty) col(partitionCol).isNull
+      else inNonNull || col(partitionCol).isNull
+    val affected = target.filter(partFilter)
     val survivors = affected.join(
       updates.select(keyCols.map(col): _*), keyCols, "left_anti")
     // the rewrite READS the same files the overwrite deletes, so the
@@ -105,23 +128,29 @@ object TableWriter {
     // commit — bounded by the affected partitions, not the table
     val merged = survivors.unionByName(updates.select(target.columns.map(col): _*))
       .localCheckpoint(true)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prior = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    finally spark.conf.set(key, prior)
+    // r11 (ADVICE r10, low): the overwrite mode rides a WRITE-SCOPED
+    // option instead of a set/restore on the shared session conf — the
+    // same concurrent-planning race partitionedCheckpoint eliminated for
+    // the AQE flag (a concurrent thread's overwrite could plan under
+    // "dynamic", and two overlapping mergeInto calls could race the
+    // restore). DataFrameWriter options shadow the SQL conf per write.
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
     // dynamic overwrite only replaces partitions it WRITES — an affected
     // partition whose every row moved away or was superseded gets no new
-    // file and would keep its stale directory. Drop those explicitly.
-    val kept = merged.select(partitionCol).distinct().collect()
-      .map(_.get(0)).toSet
+    // file and would keep its stale directory. Drop those explicitly,
+    // with dir names encoded exactly as the writer encodes them (see
+    // partStr above: cast-to-string value, null → DEFAULT_PARTITION_NAME
+    // via getPartitionPathString).
+    val kept = collectParts(merged.select(partStr).distinct()).toSet
     val emptied = parts.filterNot(kept)
     if (emptied.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       emptied.foreach { v =>
         val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partitionCol, String.valueOf(v))
+          .getPartitionPathString(partitionCol, v)
         fs.delete(new org.apache.hadoop.fs.Path(path, dir), true)
       }
     }

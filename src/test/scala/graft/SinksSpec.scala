@@ -131,6 +131,57 @@ class SinksSpec extends SparkSpecBase {
     assert(p4.length == 1 && p4(0).getString(1) == "plug-v2")
   }
 
+  test("mergeInto: null and timestamp partition values — exact writer encoding, no data loss") {
+    val s = spark
+    import s.implicits._
+    // ADVICE r10 (medium): two partition-value classes the string-naive
+    // path got wrong. (a) NULL: isin never matches null, so the null
+    // partition fell out of `affected` and the dynamic overwrite DROPPED
+    // its unmatched rows; the emptied-dir name also rendered "cat=null"
+    // instead of __HIVE_DEFAULT_PARTITION__. (b) timestamp: the dir name
+    // rendered java.sql.Timestamp's trailing ".0", never matching disk.
+    val path = Files.createTempDirectory("mergenull").toString + "/t"
+    val table = Seq(
+      (1L, "widget", Some("tools")), (2L, "gadget", Some("tools")),
+      (3L, "mystery", None), (4L, "enigma", None))
+      .toDF("pk", "name", "cat")
+    TableWriter.mergeInto(spark, path, table, Seq("pk"), "cat")
+    assert(spark.read.parquet(path).count() == 4)
+    // update pk=3 in place (stays null): pk=4's row must SURVIVE — the
+    // pre-fix filter missed the null partition entirely and the dynamic
+    // overwrite then rewrote it with only the delta's row
+    val delta = Seq((3L, "mystery-v2", None: Option[String])).toDF("pk", "name", "cat")
+    TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")
+    val after = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(after == Map(
+      1L -> ("widget", Some("tools")), 2L -> ("gadget", Some("tools")),
+      3L -> ("mystery-v2", None), 4L -> ("enigma", None)), s"got $after")
+    // now move BOTH null-partition keys out: the
+    // __HIVE_DEFAULT_PARTITION__ directory must disappear
+    val delta2 = Seq((3L, "mystery-v3", Some("tools")), (4L, "enigma-v2", Some("tools")))
+      .toDF("pk", "name", "cat")
+    TableWriter.mergeInto(spark, path, delta2, Seq("pk"), "cat")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 4)
+    assert(back.filter($"cat".isNull).count() == 0, "stale null-partition rows survive")
+    assert(!back.inputFiles.exists(_.contains("HIVE_DEFAULT_PARTITION")),
+      "emptied null-partition directory survives")
+    // timestamp partition: sole key of its partition moves → the dir
+    // (writer-encoded "yyyy-MM-dd HH:mm:ss", no trailing ".0") must die
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val path2 = Files.createTempDirectory("mergets").toString + "/t"
+    val ttable = Seq((1L, "a", t0), (2L, "b", t1)).toDF("pk", "name", "day")
+    TableWriter.mergeInto(spark, path2, ttable, Seq("pk"), "day")
+    val tdelta = Seq((1L, "a-v2", t1)).toDF("pk", "name", "day")
+    TableWriter.mergeInto(spark, path2, tdelta, Seq("pk"), "day")
+    val tafter = spark.read.parquet(path2)
+    assert(tafter.count() == 2, "stale moved timestamp-partition row survives")
+    assert(!tafter.inputFiles.exists(_.contains("2024-01-01")),
+      "emptied timestamp-partition directory survives")
+  }
+
   test("idempotent batch sink: replaying a micro-batch does not duplicate rows") {
     val s = spark
     import s.implicits._
