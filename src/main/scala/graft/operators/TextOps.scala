@@ -542,4 +542,45 @@ object TextOps {
       .select($"doc_id", $"e.pos".as("pos"), $"e.fp".as("fp"))
       .orderBy($"doc_id", $"pos")
   }
+
+  // T18b — winnowing pair-overlap detector (`t_winnow_pairs`; the MOSS
+  // match step over T18's fingerprints — Schleimer et al. 2003 §4: two
+  // documents sharing any run of ≥ w+k-1 words share a selected
+  // fingerprint, so joining the fingerprint postings cross-document
+  // finds every such overlap). Per qualifying pair: the number of
+  // DISTINCT shared fingerprints and the position extent of the shared
+  // material in each document (the span MOSS highlights).
+  // Scale shape (the D4 inverted-index discipline, Dedup.scala
+  // ngramJaccard): postings are one row per (fp, doc) — expected
+  // 2/(w+1) × words total; the df-cap drops boilerplate fingerprints
+  // shared by > dfCap docs BEFORE the self-join, bounding the per-fp
+  // pair fanout at C(dfCap, 2) — the join output is linear in postings,
+  // never all-pairs. minShared ≥ 2 keeps single-fingerprint
+  // coincidences (one hash landing in two unrelated docs) out of the
+  // pair list.
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 3, w: Int = 4,
+      dfCap: Int = 10, minShared: Int = 2): DataFrame =
+    winnowPairsOf(Tables.documents(s, dir), k, w, dfCap, minShared)
+
+  /** T18b core over an arbitrary (doc_id, text) frame. */
+  private[graft] def winnowPairsOf(docs: DataFrame, k: Int, w: Int,
+      dfCap: Int, minShared: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val fps = winnowOf(docs, k, w)
+    // postings: one row per (fp, doc) with the doc-local position extent
+    // of that fingerprint (a fp can be selected at several positions)
+    val post = fps.groupBy($"fp", $"doc_id")
+      .agg(min($"pos").as("lo"), max($"pos").as("hi"))
+    val keep = post.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .filter($"df" <= dfCap).drop("df")
+    keep.as("a")
+      .join(keep.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min($"a.lo").as("a_lo"), max($"a.hi").as("a_hi"),
+        min($"b.lo").as("b_lo"), max($"b.hi").as("b_hi"))
+      .filter($"n_shared" >= minShared)
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

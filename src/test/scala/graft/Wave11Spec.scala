@@ -154,6 +154,60 @@ class Wave11Spec extends SparkSpecBase {
     assert((fps(1L) intersect fps(3L)).isEmpty)
   }
 
+  test("winnow pairs: planted shared runs detected with spans, boilerplate df-capped out") {
+    import spark.implicits._
+    // docs 1/2 share a 10-word run (≥ w+k-1 = 6 ⇒ ≥ 2 shared selected
+    // fingerprints for a run this long at density 2/(w+1)); doc 3 is
+    // unrelated; docs 10-21 all share one 6-word boilerplate run, whose
+    // fingerprints exceed dfCap=10 docs and must vanish from the pairs.
+    val run = "north south east west up down left right back forth"
+    val boiler = "standard legal disclaimer applies here always"
+    val docs = (Seq(
+      (1L, s"p q r $run m n"),
+      (2L, s"$run zz yy xx ww vv"),
+      (3L, "totally different words here nothing shared at all")) ++
+      (10L to 21L).map(i => (i, s"unique$i only$i words$i $boiler tail$i end$i")))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairsOf(docs, 3, 4, dfCap = 10, minShared = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    // the planted pair must surface; the unrelated doc 3 must pair with
+    // nothing. (Boilerplate docs may still pair via EDGE-window
+    // selections — a boilerplate gram selected in only a few docs has
+    // low df; the cap's guarantee is on fps selected in > dfCap docs,
+    // asserted separately below.)
+    assert(pairs.contains((1L, 2L)), s"planted pair missing: ${pairs.keySet}")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    val p = pairs((1L, 2L))
+    assert(p.getAs[Long]("n_shared") >= 2L)
+    // span sanity: doc 1's run occupies gram positions 4..11 (words
+    // 4-13 of 15), doc 2's positions 1..8 — the reported extents must
+    // lie inside each doc's gram range and a's span must start at or
+    // after the run does
+    assert(p.getAs[Long]("a_lo") >= 4L && p.getAs[Long]("a_hi") <= 13L)
+    assert(p.getAs[Long]("b_lo") >= 1L && p.getAs[Long]("b_hi") <= 13L)
+    // the cap's guarantee: the all-12-doc boilerplate fingerprint (the
+    // window fully inside the shared run selects the SAME fp in every
+    // boilerplate doc) is dropped at dfCap=10 and kept at dfCap=12 —
+    // so raising the cap past 12 must strictly grow the pair shared
+    // counts among boilerplate docs
+    def boilerShared(cap: Int): Long =
+      TextOps.winnowPairsOf(docs, 3, 4, dfCap = cap, minShared = 1)
+        .collect()
+        .filter(r => r.getAs[Long]("doc_a") >= 10L)
+        .map(_.getAs[Long]("n_shared")).sum
+    val capped = boilerShared(10)
+    val uncapped = boilerShared(12)
+    assert(uncapped > capped,
+      s"df-cap had no effect on boilerplate mass: capped=$capped uncapped=$uncapped")
+    // every one of the C(12,2)=66 boilerplate pairs shares the interior
+    // fp once uncapped
+    val up = TextOps.winnowPairsOf(docs, 3, 4, dfCap = 12, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert((10L to 21L).combinations(2).forall(c => up.contains((c(0), c(1)))),
+      "boilerplate pairs incomplete even uncapped — fixture broken")
+  }
+
   test("gopher rules: signal values on the passing doc") {
     import spark.implicits._
     val filler = (0 until 48).map(i => f"w$i%02d")
