@@ -95,7 +95,9 @@ object Bench {
     "g_betweenness", "g_closeness", "g_node2vec",
     // r9b additions: the corpus-rewriting line dedup, the Gopher gate,
     // word-histogram entropy, winnowing fingerprints
-    "d_line_dedup", "t_gopher_rules", "t_entropy", "t_winnow")
+    "d_line_dedup", "t_gopher_rules", "t_entropy", "t_winnow",
+    // r11 addition: the MOSS pair matcher over the winnow fingerprints
+    "t_winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

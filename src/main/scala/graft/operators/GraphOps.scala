@@ -1366,25 +1366,23 @@ object GraphOps {
   // measured alternate for environments where it wins.
   def communities(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     import s.implicits._
-    // r11 (VERDICT r10 #2): edge-count-gated dual leg, the repo's own
-    // G7/G8 pattern. The delta-frontier loop is bit-identical to
-    // communitiesOf (see communitiesDeltaOf's invariant, same oracle
-    // hash) but its per-round driver actions — two count()s, two extra
-    // localCheckpoints, broadcast materializations — cost MORE than the
-    // frontier saves on small graphs: sf0.1 (116k edges) measured 8.78 s
-    // delta vs 5.50 s plain in BENCH_r10 vs r09. Above the budget the
-    // trade inverts: rounds ≥2 shuffle only the shrinking frontier's
-    // in-arcs instead of the full arc-join output (sf10: see SURVEY §5
-    // r11 for the measured before/after). 10M canonical edges ≈ the
-    // scale where a full vote round's shuffle clearly dominates the
-    // delta loop's fixed per-round driver overhead.
-    val edges = edgesUnsorted(s, dir)
-    def count = edges.count()
-    val m = edgeCountMemo.getOrElseUpdate(s"tri-edges:$dir", count)
-    val labels =
-      if (m > 10000000L) communitiesDeltaOf(edges, iters)
-      else communitiesOf(edges, iters)
-    labels
+    // r11 (VERDICT r10 #1/#2, MEASURED — ProbeLpa, SURVEY §5 r11): the
+    // delta-frontier leg is DEMOTED; the plain full-vote loop is the
+    // sanctioned leg at every scale. The r10 delta design assumed LPA's
+    // change rate collapses after round 2; the sf10 probe (2M nodes,
+    // 119.6M canonical edges) measured changed-per-round [2.0M, 1.72M,
+    // 1.58M, 1.37M, 0.56M] — the frontier exceeds n/2 in EVERY round of
+    // the 5-round contract, so communitiesDeltaOf fell back to the full
+    // re-vote each round and paid only its frontier bookkeeping:
+    // same-session min-of-2, plain 269.7 s vs delta 294.5 s (sf0.1:
+    // 5.50 vs 8.78 s, BENCH_r09 vs r10). Min-label LPA on a dense
+    // co-purchase graph keeps cascading smaller labels for all 5
+    // rounds — there is no quiet frontier to exploit here.
+    // communitiesDeltaOf remains the specced opt-in twin (bit-identical;
+    // GraphSpec pins delta ≡ full per round count) for the regime it IS
+    // built for: label churn that actually collapses — e.g. re-running
+    // LPA over a near-converged or incrementally-updated graph.
+    communitiesOf(edgesUnsorted(s, dir), iters)
       .select($"v".as("part"), $"lbl".as("community"))
       .orderBy($"part")
   }
