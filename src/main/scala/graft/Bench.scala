@@ -155,6 +155,35 @@ object Bench {
         .selectExpr("sum(cast(id * 2654435761 as double))").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Memory-bandwidth sentinel (r11): the sf10 campaign found a
+    // contention class the CPU sentinel CANNOT see — a
+    // sentinel-certified-quiet run (pre 0.265 ≈ post 0.238) still read
+    // uniformly ~1.8× the r8 record across every query INCLUDING pure
+    // scans, i.e. a co-tenant was saturating memory/IO bandwidth while
+    // leaving in-cache CPU timing untouched (the CPU sentinel's working
+    // set is one cache-resident long per row). This probe streams a
+    // 1 GiB long array with 8 threads — bandwidth-bound by construction
+    // — so the stamp pair now separates the two contention classes.
+    // The array allocates ONCE (GC/page-fault variance stays out of the
+    // timings) and the first, untimed pass pays the fill + JIT.
+    val memArr = new Array[Long](1 << 27) // 128M longs = 1 GiB
+    def memSentinel(): Double = {
+      val n = memArr.length
+      val nt = 8
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      val threads = (0 until nt).map { t =>
+        new Thread(() => {
+          var s = 0L; var i = t * (n / nt); val end = (t + 1) * (n / nt)
+          while (i < end) { s += memArr(i); i += 1 }
+          acc.addAndGet(s) // observed result defeats dead-code elimination
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc.get == Long.MinValue) System.err.println("") // never true
+      dt
+    }
     runOnce("q1_pricing_summary") // warm-up: JIT, codegen, FS metadata
     // r10 (VERDICT r9): the sentinel query pays its OWN first-compile on
     // its first execution, which made pre ≈ 3-4× post on quiet hosts too —
@@ -162,6 +191,8 @@ object Bench {
     // compiles it; only then does pre ≈ post certify a quiet host.
     sentinel()
     val sentinelPre = sentinel()
+    java.util.Arrays.fill(memArr, 1L); memSentinel() // fill + JIT, untimed
+    val memPre = memSentinel()
     val results = headlineFor(sys.env).map(n => n -> run(n))
     // GRAFT_BENCH_EXTRAS=0 → headline only (large-SF scaling probes where
     // the extras' exact-similarity legs would dominate the wall-clock)
@@ -208,6 +239,7 @@ object Bench {
         Seq("v_lsh_ann_index_build" -> buildSec, "v_lsh_ann_indexed" -> querySec)
       }
     val sentinelPost = sentinel()
+    val memPost = memSentinel()
     val qs = (results ++ extraResults ++ servingResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // headline only
@@ -216,7 +248,7 @@ object Bench {
     // metric/value leading, a short tail window truncated the headline
     // total right out of BENCH_r09.json. The summary scalars now trail the
     // queries map so whatever survives a tail cut is the part that matters.
-    println(f"""{"queries":$qs,"sf":"$sfDir","sentinel_pre":$sentinelPre%.3f,"sentinel_post":$sentinelPost%.3f,"metric":"total","unit":"sec","value":$total%.3f}""")
+    println(f"""{"queries":$qs,"sf":"$sfDir","sentinel_pre":$sentinelPre%.3f,"sentinel_post":$sentinelPost%.3f,"sentinel_mem_pre":$memPre%.3f,"sentinel_mem_post":$memPost%.3f,"metric":"total","unit":"sec","value":$total%.3f}""")
     spark.stop()
   }
 }
