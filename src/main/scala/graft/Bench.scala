@@ -140,59 +140,34 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }
 
-    // Contention sentinel (r9, VERDICT r8): a fixed-cost in-memory agg —
-    // no I/O, no shuffle variance, pure CPU — timed once before and once
-    // after the whole run and stamped into the JSON. On a quiet host the
-    // two readings agree within noise; a co-tenant burst (the r8 driver
-    // artifact read 3-9× on six extras) shows up as an inflated reading,
-    // making the artifact self-diagnosing. Deliberately NOT min-of-N:
-    // the sentinel's job is to MEASURE the noise, not suppress it.
-    def sentinel(): Double = {
-      val t0 = System.nanoTime()
-      // per-row long multiply (the CPU work) then a double-typed sum: the
-      // long sum of 4e8 products is ~2e26 and overflows ANSI-mode bigint
-      spark.range(0L, 400000000L, 1L, 32)
-        .selectExpr("sum(cast(id * 2654435761 as double))").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // Memory-bandwidth sentinel (r11): the sf10 campaign found a
-    // contention class the CPU sentinel CANNOT see — a
-    // sentinel-certified-quiet run (pre 0.265 ≈ post 0.238) still read
-    // uniformly ~1.8× the r8 record across every query INCLUDING pure
-    // scans, i.e. a co-tenant was saturating memory/IO bandwidth while
-    // leaving in-cache CPU timing untouched (the CPU sentinel's working
-    // set is one cache-resident long per row). This probe streams a
-    // 1 GiB long array with 8 threads — bandwidth-bound by construction
-    // — so the stamp pair now separates the two contention classes.
-    // The array allocates ONCE (GC/page-fault variance stays out of the
-    // timings) and the first, untimed pass pays the fill + JIT.
-    val memArr = new Array[Long](1 << 27) // 128M longs = 1 GiB
-    def memSentinel(): Double = {
-      val n = memArr.length
-      val nt = 8
-      val acc = new java.util.concurrent.atomic.AtomicLong
-      val t0 = System.nanoTime()
-      val threads = (0 until nt).map { t =>
-        new Thread(() => {
-          var s = 0L; var i = t * (n / nt); val end = (t + 1) * (n / nt)
-          while (i < end) { s += memArr(i); i += 1 }
-          acc.addAndGet(s) // observed result defeats dead-code elimination
-        })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (acc.get == Long.MinValue) System.err.println("") // never true
-      dt
-    }
+    // Contention sentinels (graft.Sentinels, r9 + r11): stamped once
+    // before and once after the whole run. On a quiet host pre ≈ post;
+    // a co-tenant burst (the r8 driver artifact read 3-9× on six
+    // extras) shows up as an inflated reading, making the artifact
+    // self-diagnosing. The CPU/memory pair separates compute contention
+    // from bandwidth contention — see Sentinels' scaladoc.
+    //
+    // COMPARABILITY (ADVICE r11): the memory probe's array stays
+    // strongly reachable for the whole run, so every measured query sees
+    // the heap shrunk by its size relative to the r8-r10 artifacts
+    // (which had no mem sentinel). Default 1 GiB against the 8+ GiB
+    // driver heap is <13% — the r11 driver/builder sf0.1 totals
+    // (11.75/14.67 s) sit inside the pre-sentinel noise band, so no
+    // drift is attributed to it; if cross-round totals ever drift, size
+    // it down via GRAFT_MEM_SENTINEL_MIB (or to 0 to disable the
+    // stamp). Size and thread count come from the environment, not
+    // hard-coded constants.
+    val memMiB = sys.env.get("GRAFT_MEM_SENTINEL_MIB").map(_.toInt).getOrElse(1024)
+    val mem = new Sentinels.Mem(memMiB, math.min(8, cpus.toInt))
     runOnce("q1_pricing_summary") // warm-up: JIT, codegen, FS metadata
     // r10 (VERDICT r9): the sentinel query pays its OWN first-compile on
     // its first execution, which made pre ≈ 3-4× post on quiet hosts too —
     // warm-up vs contention were indistinguishable. One untimed run
     // compiles it; only then does pre ≈ post certify a quiet host.
-    sentinel()
-    val sentinelPre = sentinel()
-    java.util.Arrays.fill(memArr, 1L); memSentinel() // fill + JIT, untimed
-    val memPre = memSentinel()
+    Sentinels.cpu(spark)
+    val sentinelPre = Sentinels.cpu(spark)
+    mem.run() // JIT, untimed (the fill happened at construction)
+    val memPre = mem.run()
     val results = headlineFor(sys.env).map(n => n -> run(n))
     // GRAFT_BENCH_EXTRAS=0 → headline only (large-SF scaling probes where
     // the extras' exact-similarity legs would dominate the wall-clock)
@@ -238,8 +213,8 @@ object Bench {
           }
         Seq("v_lsh_ann_index_build" -> buildSec, "v_lsh_ann_indexed" -> querySec)
       }
-    val sentinelPost = sentinel()
-    val memPost = memSentinel()
+    val sentinelPost = Sentinels.cpu(spark)
+    val memPost = mem.run()
     val qs = (results ++ extraResults ++ servingResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // headline only

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Extended large-SF bench (r12, VERDICT r11 #6): the iterative-graph
+  * standing records previously lived scattered across three rounds of
+  * ad-hoc BenchOne runs in SURVEY prose (walks 115 s, node2vec 107.8 s,
+  * PPR 140 s, weighted paths 143 s, betweenness 68 s, LPA 269.7 s,
+  * HITS 215 s…). This main times exactly that set — min-of-2, dual
+  * contention sentinels — into ONE artifact (BENCH_SF10_EXT_r{N}.json)
+  * that SURVEY §5 cites instead of prose numbers.
+  *
+  * Min-of-2 (not Bench's min-of-3): each entry here runs minutes at
+  * sf10; a third rep buys little once the two agree, and the sentinel
+  * pair already certifies the window. The headline Bench set is NOT
+  * duplicated here — run Bench with GRAFT_BENCH_EXTRAS=0 for that.
+  *
+  *   SPARK_GRAFT_SF_DIR=target/sf10 sbt "runMain graft.BenchSf10"
+  */
+object BenchSf10 {
+  // the loop-heavy graph set: every entry whose sf10 record SURVEY §5
+  // tracks as a standing number
+  private val set = Seq(
+    "g_pagerank", "g_pagerank_weighted", "g_communities", "g_hits",
+    "g_ppr", "g_betweenness", "g_closeness", "g_weighted_paths",
+    "g_random_walks", "g_node2vec")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.get("GRAFT_SF10_REPS").map(_.toInt).getOrElse(2)
+    val only = args.toSeq // optional: bench a subset, e.g. "g_hits"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[benchsf10] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      finally Caches.clearAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val names = if (only.nonEmpty) set.filter(only.contains) else set
+    val memMiB = sys.env.get("GRAFT_MEM_SENTINEL_MIB").map(_.toInt).getOrElse(1024)
+    val mem = new Sentinels.Mem(memMiB, math.min(8, cpus.toInt))
+    runOnce(names.head) // warm-up: JIT, codegen, FS metadata
+    Sentinels.cpu(spark) // first execution pays its own codegen compile
+    val sentinelPre = Sentinels.cpu(spark)
+    mem.run() // JIT, untimed
+    val memPre = mem.run()
+    val results = names.map { n =>
+      val ts = Seq.fill(reps)(runOnce(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    val sentinelPost = Sentinels.cpu(spark)
+    val memPost = mem.run()
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"sentinel_pre":$sentinelPre%.3f,"sentinel_post":$sentinelPost%.3f,"sentinel_mem_pre":$memPre%.3f,"sentinel_mem_post":$memPost%.3f,"metric":"total","unit":"sec","value":$total%.3f}""")
+    spark.stop()
+  }
+}

@@ -51,15 +51,29 @@ object ProbeMerge {
       .localCheckpoint(true)
 
     def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      val dt = try { f; (System.nanoTime() - t0) / 1e9 } finally {
+        // r12 (ADVICE r11, low): each mergeInto leaves its `merged`
+        // localCheckpoint persisted; un-persisting between reps (outside
+        // the timed span) keeps accumulated storage pressure out of the
+        // later timings
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+      dt
     }
     // warm-up merge (untimed): page cache, codegen, committer paths
     TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")
-    val defSecs = Seq.fill(3)(timed(
-      TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")))
-    val stableSecs = Seq.fill(3)(timed(
-      TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat",
-        assumeStablePartitionKeys = true)))
+    // r12 (ADVICE r11, low): INTERLEAVED default/stable reps — running
+    // the three default merges as a block before the three stable ones
+    // let page-cache and storage state drift bias the second block; the
+    // a/b/a/b ordering puts both paths under the same ambient state
+    val pairs = Seq.fill(3)((
+      timed(TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")),
+      timed(TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat",
+        assumeStablePartitionKeys = true))))
+    val defSecs = pairs.map(_._1)
+    val stableSecs = pairs.map(_._2)
     val n = spark.read.parquet(path).count()
     assert(n == rows, s"merge changed row count: $n != $rows")
     println(f"""{"probe":"mergeInto","rows":$rows,"nParts":$nParts,""" +

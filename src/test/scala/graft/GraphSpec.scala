@@ -489,6 +489,32 @@ class GraphSpec extends SparkSpecBase {
       toMap(GraphOps.communitiesOf(e, 5)), "corpus divergence")
   }
 
+  test("communities: warm-start legs ≡ plain legs (incremental-update regime)") {
+    val s = spark
+    import s.implicits._
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the incremental story end-to-end: converge on the corpus, drop a
+    // deterministic ~1% of edges (the update event), continue from the
+    // warm labels — delta and plain must stay bit-identical per round
+    val e = GraphOps.copurchaseEdges(spark, sfDir).select("src", "dst", "weight")
+    val warm = GraphOps.communitiesOf(e, 5).localCheckpoint(true)
+    val perturbed = e.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash($"src", $"dst"),
+      org.apache.spark.sql.functions.lit(100)) =!= 0).localCheckpoint(true)
+    for (it <- 1 to 3)
+      assert(toMap(GraphOps.communitiesDeltaOf(perturbed, it, initialLabels = Some(warm))) ==
+        toMap(GraphOps.communitiesOf(perturbed, it, Some(warm))),
+        s"warm divergence at iters=$it")
+    // warm-start with identity labels ≡ no warm start (seed totality:
+    // lpaStart coalesces missing nodes to identity, ignores extras)
+    val ident = perturbed.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("lbl"))
+      .unionAll(Seq((999999999L, 7L)).toDF("v", "lbl")) // extra row ignored
+    assert(toMap(GraphOps.communitiesOf(perturbed, 3, Some(ident))) ==
+      toMap(GraphOps.communitiesOf(perturbed, 3)), "identity-seed divergence")
+  }
+
   test("communities: deterministic on the corpus, labels are member nodes") {
     val a = GraphOps.communities(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

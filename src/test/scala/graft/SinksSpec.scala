@@ -182,6 +182,38 @@ class SinksSpec extends SparkSpecBase {
       "emptied timestamp-partition directory survives")
   }
 
+  test("mergeInto: empty-string and null partition values are ONE class — no fresh-row delete") {
+    val s = spark
+    import s.implicits._
+    // ADVICE r11 (low): getPartitionPathString maps BOTH '' and null to
+    // __HIVE_DEFAULT_PARTITION__ (and read-back re-infers '' as null), so
+    // they are one on-disk partition class. Pre-fix, a delta writing ''
+    // while the host footprint said null kept the two values distinct:
+    // kept={''} ≠ parts' null → the shared default dir was listed as
+    // 'emptied' and fs.delete removed the rows the overwrite HAD JUST
+    // WRITTEN into it.
+    val path = Files.createTempDirectory("mergeempty").toString + "/t"
+    val table = Seq((1L, "widget", Some("tools")), (2L, "mystery", None: Option[String]))
+      .toDF("pk", "name", "cat")
+    TableWriter.mergeInto(spark, path, table, Seq("pk"), "cat")
+    // pk=2 updated with cat='' — same default-partition class as its
+    // current null home
+    val delta = Seq((2L, "mystery-v2", Some(""))).toDF("pk", "name", "cat")
+    TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")
+    val after = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    // read-back re-infers the default dir as null
+    assert(after == Map(1L -> ("widget", Some("tools")), 2L -> ("mystery-v2", None)),
+      s"fresh default-partition row deleted: got $after")
+    // and the symmetric direction: a '' delta row inserting NEW data next
+    // to surviving null rows must not strand or delete either class
+    val delta2 = Seq((3L, "enigma", Some(""))).toDF("pk", "name", "cat")
+    TableWriter.mergeInto(spark, path, delta2, Seq("pk"), "cat")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3)
+    assert(back.filter($"cat".isNull).count() == 2, "default-class rows lost")
+  }
+
   test("idempotent batch sink: replaying a micro-batch does not duplicate rows") {
     val s = spark
     import s.implicits._
