@@ -23,8 +23,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
-  "-Dspark.ui.enabled=false",
-  "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+// Heap is PINNED (-Xms = -Xmx) and pre-touched (r12, measured): with a
+// growable heap, G1's adaptive commit/uncommit churn on this kernel
+// generates hundreds of millions of minor page faults that serialize
+// every executor thread on in-kernel mmu work (observed 97% SYSTEM cpu,
+// 230M minflt in 2 min) — allocation-heavy queries ran 4-30× slow with
+// wild variance (sf10 q1: 14-126 s unpinned vs 3.7 s pinned). Pre-touch
+// pays a one-time startup cost proportional to the heap and keeps
+// first-touch faults out of the measurements.
+javaOptions ++= jdk17AddOpens ++ {
+  val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+  Seq(
+    "-Dspark.ui.enabled=false",
+    "-Dspark.sql.session.timeZone=UTC",
+    s"-Xms$mem", s"-Xmx$mem", "-XX:+AlwaysPreTouch",
+  )
+}

@@ -10,6 +10,8 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java -Xmx"$MEM" $ADD_OPENS \
+# Heap pinned + pre-touched (r12): growable-heap commit/uncommit churn
+# fault-storms the kernel and serializes executors — see build.sbt.
+exec java -Xms"$MEM" -Xmx"$MEM" -XX:+AlwaysPreTouch $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"

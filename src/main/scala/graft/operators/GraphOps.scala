@@ -1273,7 +1273,16 @@ object GraphOps {
     * in-arcs of touched nodes, which shrinks with the frontier. Rounds
     * where the frontier is still wide (> half the nodes, or past the
     * broadcast cap on huge graphs) fall back to the full re-vote, which
-    * is cheaper than two near-complete arc scans. */
+    * is cheaper than two near-complete arc scans.
+    *
+    * Regime (r11 ProbeLpa, MEASURED): from a COLD identity start this
+    * corpus's change rate never collapses within the 5-round contract
+    * (frontier > n/2 every round), so the plain loop wins — the entry
+    * path routes there. The delta leg's regime is the WARM start
+    * (`initialLabels`, r12): near-converged or incrementally-updated
+    * labels present a collapsed frontier from round 2 on, and rounds
+    * past the first full vote cost only the perturbation's cascade —
+    * see ProbeLpa's warm leg for the measurement. */
   private[graft] def communitiesDeltaOf(edges: DataFrame, iters: Int,
       maxBroadcastNodes: Long = 5000000L,
       initialLabels: Option[DataFrame] = None): DataFrame = {
@@ -1399,8 +1408,11 @@ object GraphOps {
     // rounds — there is no quiet frontier to exploit here.
     // communitiesDeltaOf remains the specced opt-in twin (bit-identical;
     // GraphSpec pins delta ≡ full per round count) for the regime it IS
-    // built for: label churn that actually collapses — e.g. re-running
-    // LPA over a near-converged or incrementally-updated graph.
+    // built for: label churn that actually collapses. r12 made that
+    // regime REACHABLE — both loops take `initialLabels` warm-start
+    // seeds, so re-running LPA over a near-converged or
+    // incrementally-updated graph presents the delta leg a collapsed
+    // frontier (ProbeLpa's warm leg measures it).
     communitiesOf(edgesUnsorted(s, dir), iters)
       .select($"v".as("part"), $"lbl".as("community"))
       .orderBy($"part")
