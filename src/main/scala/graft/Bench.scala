@@ -129,7 +129,7 @@ object Bench {
         }
         return -1.0
       }
-      finally Caches.clearAll() // scoped persists don't leak into the next run
+      finally Caches.clearAll(spark) // scoped persists + leaked RDDs don't outlive the rep
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -202,7 +202,7 @@ object Bench {
                 val t = System.nanoTime()
                 graft.operators.VectorOps.lshAnnIndexed(spark, sfDir, "bench_lsh_sigs")
                   .write.format("noop").mode("overwrite").save()
-                Caches.clearAll()
+                Caches.clearAll(spark)
                 (System.nanoTime() - t) / 1e9
               }
               Seq.fill(3)(once()).min

@@ -25,7 +25,7 @@ object BenchOne {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      finally Caches.clearAll()
+      finally Caches.clearAll(spark)
       (System.nanoTime() - t0) / 1e9
     }
     println(f"""{"query":"$name","min":${ts.min}%.3f,"runs":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")},"sf":"$sfDir"}""")

@@ -47,7 +47,7 @@ object BenchSf10 {
         System.err.println(s"[benchsf10] $name failed: ${e.getMessage}")
         return -1.0
       }
-      finally Caches.clearAll()
+      finally Caches.clearAll(spark)
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -33,4 +33,23 @@ object Caches {
   /** Forget every frame WITHOUT touching it — for recovery after the
     * SparkContext died (unpersist on a stopped context throws). */
   def reset(): Unit = registry.clear()
+
+  /** Session-aware deep clear for the bench/verify harnesses (r12):
+    * `clearAll()` only unpersists REGISTERED SQL frames, but a completed
+    * query can leave other persisted RDDs behind — GraphX legs cache
+    * their final graph (staticPageRank's returned ranks, Pregel
+    * leftovers), and localCheckpoint frames pin their materialized
+    * partitions. Across bench reps those accumulate: measured at sf10,
+    * g_pagerank reps DEGRADED 149 → 294 s as leaked graphs filled the
+    * heap and GC pressure compounded. Between queries nothing in-flight
+    * references them (each queries(name) call derives fresh frames), so
+    * the harnesses drop everything still persisted. NOT for use inside
+    * operators — a mid-query clear would sever live localCheckpoint
+    * lineage (unpersisting a local checkpoint makes the frame
+    * unrecomputable). */
+  def clearAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    clearAll()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -61,9 +61,23 @@ object ProbeLpa {
       ch
     }
 
+    // Per-rep cleanup with KEEP-WHAT-PREEXISTED semantics (r12): the
+    // loops localCheckpoint their label frames each round and nothing
+    // unpersisted them between reps — leaked checkpoints accumulate heap
+    // pressure across reps (the g_pagerank degradation class). A blanket
+    // clearAll(spark) would ALSO sever the probe's own cross-rep
+    // fixtures (warmLabels/perturbed below — unpersisting a local
+    // checkpoint makes the frame unrecomputable), so each rep drops only
+    // the RDDs IT created.
     def timed(f: => Unit): Double = {
+      val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val t0 = System.nanoTime()
-      try f finally Caches.clearAll()
+      try f finally {
+        Caches.clearAll()
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+          if (!keep(id)) r.unpersist(blocking = false)
+        }
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // interleaved reps (ADVICE r11): a/b/a/b, not aa/bb

@@ -50,15 +50,20 @@ object ProbeMerge {
         ($"pk" % nParts).cast("int").as("cat"))
       .localCheckpoint(true)
 
+    // r12 (ADVICE r11, low): each mergeInto leaves its `merged`
+    // localCheckpoint persisted; un-persisting between reps (outside the
+    // timed span) keeps accumulated storage pressure out of the later
+    // timings. KEEP-WHAT-PREEXISTED semantics (the ProbeLpa discipline):
+    // the `delta` fixture above is itself a localCheckpoint reused by
+    // every rep — a blanket unpersist severs its lineage and the next
+    // merge dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    val fixtures = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
       val dt = try { f; (System.nanoTime() - t0) / 1e9 } finally {
-        // r12 (ADVICE r11, low): each mergeInto leaves its `merged`
-        // localCheckpoint persisted; un-persisting between reps (outside
-        // the timed span) keeps accumulated storage pressure out of the
-        // later timings
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+          if (!fixtures(id)) r.unpersist(blocking = true)
+        }
       }
       dt
     }

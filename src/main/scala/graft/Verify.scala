@@ -24,7 +24,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally Caches.clearAll() // one query's working set never outlives it
+      finally Caches.clearAll(spark) // one query's working set never outlives it
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -69,14 +69,16 @@ object TableWriter {
     * with two rows per key has no well-defined SCD1 winner; dedupe
     * upstream with an ordering).
     *
-    * Cost of the default path (measured, ProbeMerge r11/r12): the
-    * host-partition semi-join scan prices at ~35% of a 200×-ratio merge
-    * (20M-row table, 100K-row delta: default 12.4 s vs stable-keys
-    * 8.1 s); it is column-pruned to keyCols + partitionCol, so it
-    * scales with TABLE ROWS, not table bytes. Callers whose partition
-    * key provably never changes for an existing key (the daily
-    * re-scrape where partition = a stable category) should pass
-    * `assumeStablePartitionKeys = true` and skip that scan. */
+    * Cost of the default path (measured, ProbeMerge r12 — interleaved
+    * reps, pinned heap): the host-partition semi-join scan prices at
+    * ~37% of a 200×-ratio merge (20M-row table, 100K-row delta:
+    * default 3.4 s vs stable-keys 2.1 s min-of-3; same ~35% ratio as
+    * the r11 reading at 12.4/8.1 s pre-heap-pin); it is column-pruned
+    * to keyCols + partitionCol, so it scales with TABLE ROWS, not
+    * table bytes. Callers whose partition key provably never changes
+    * for an existing key (the daily re-scrape where partition = a
+    * stable category) should pass `assumeStablePartitionKeys = true`
+    * and skip that scan. */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCol: String,
       assumeStablePartitionKeys: Boolean = false): Unit = {
