@@ -70,6 +70,7 @@ object SparkEntry {
     "t_entropy" -> ((s, d) => TextOps.wordEntropy(s, d)),
     "t_winnow" -> ((s, d) => TextOps.winnow(s, d)),
     "t_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
+    "d_decontaminate_spans" -> ((s, d) => TextOps.decontaminateSpans(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -952,6 +953,28 @@ object SparkEntry {
         |FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // D6d replays the same winnow postings + df-cap, joined across the
+    // train/bench boundary (doc_id % 10) instead of the a<b triangle.
+    "d_decontaminate_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') wds FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(wds) - 1), i ->
+        |        CAST(('0x'||substr(md5(wds[i]||' '||wds[i+1]||' '||wds[i+2]),1,15)) AS BIGINT)) hs
+        |      FROM d WHERE len(wds) >= 6),
+        |u AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 2), j ->
+        |        {'pos': j + 4 - list_position(list_reverse(hs[j:j+3]), list_min(hs[j:j+3])),
+        |         'fp': list_min(hs[j:j+3])})) st
+        |      FROM h),
+        |w AS (SELECT DISTINCT doc_id, CAST(st.pos AS BIGINT) pos, st.fp fp FROM u),
+        |post AS (SELECT fp, doc_id, MIN(pos) lo, MAX(pos) hi FROM w GROUP BY 1, 2),
+        |keep AS (SELECT * FROM post QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 10)
+        |SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |  MIN(a.lo) AS train_lo, MAX(a.hi) AS train_hi,
+        |  MIN(b.lo) AS bench_lo, MAX(b.hi) AS bench_hi
+        |FROM keep a JOIN keep b ON a.fp = b.fp
+        |  AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY train_doc, bench_doc""".stripMargin,
     "t_pii_redact" ->
       """WITH aug AS (SELECT doc_id,
         |  text || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@shop.example.com for details.' ELSE '' END

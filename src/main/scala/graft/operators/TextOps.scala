@@ -562,18 +562,27 @@ object TextOps {
       dfCap: Int = 10, minShared: Int = 2): DataFrame =
     winnowPairsOf(Tables.documents(s, dir), k, w, dfCap, minShared)
 
+  /** Winnow POSTINGS with the df-cap applied: one row per (fp, doc)
+    * carrying the doc-local position extent of that fingerprint (a fp
+    * can be selected at several positions), with fingerprints shared by
+    * more than dfCap docs dropped as boilerplate BEFORE any join — the
+    * bound that keeps every consumer's per-fp pair fanout at
+    * C(dfCap, 2) and its join output linear in postings. */
+  private[graft] def winnowPostings(docs: DataFrame, k: Int, w: Int,
+      dfCap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val post = winnowOf(docs, k, w).groupBy($"fp", $"doc_id")
+      .agg(min($"pos").as("lo"), max($"pos").as("hi"))
+    post.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .filter($"df" <= dfCap).drop("df")
+  }
+
   /** T18b core over an arbitrary (doc_id, text) frame. */
   private[graft] def winnowPairsOf(docs: DataFrame, k: Int, w: Int,
       dfCap: Int, minShared: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val fps = winnowOf(docs, k, w)
-    // postings: one row per (fp, doc) with the doc-local position extent
-    // of that fingerprint (a fp can be selected at several positions)
-    val post = fps.groupBy($"fp", $"doc_id")
-      .agg(min($"pos").as("lo"), max($"pos").as("hi"))
-    val keep = post.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
-      .filter($"df" <= dfCap).drop("df")
+    val keep = winnowPostings(docs, k, w, dfCap)
     keep.as("a")
       .join(keep.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -582,5 +591,50 @@ object TextOps {
         min($"b.lo").as("b_lo"), max($"b.hi").as("b_hi"))
       .filter($"n_shared" >= minShared)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  // D6d — span-level benchmark decontamination forensics
+  // (`d_decontaminate_spans`): the cross-corpus consumer of T18's
+  // fingerprints. D6/D6c answer "WHICH train docs share n-grams with the
+  // benchmark" at document granularity; this answers WHERE — for every
+  // (train doc, bench doc) pair sharing a verbatim run of ≥ w+k-1 words
+  // (the winnowing guarantee: any such run shares a selected
+  // fingerprint), the distinct-fingerprint count and the position extent
+  // of the shared material in BOTH documents — the span a scrubbing
+  // rewrite or a manual audit actually needs. Benchmark set = the
+  // repo-wide doc_id % 10 == 0 slice (the D6 convention).
+  // Scale shape: identical to T18b — df-capped postings (the cap counts
+  // BOTH sides, so corpus-wide boilerplate is dropped exactly as MOSS
+  // drops it), one fp-equi-join restricted to cross-side pairs, output
+  // linear in postings. The join is train-postings × bench-postings per
+  // fp — at a bounded benchmark the bench side is the small build side.
+  def decontaminateSpans(s: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4, dfCap: Int = 10, minShared: Int = 2): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    decontaminateSpansOn(docs.filter($"doc_id" % 10 =!= 0),
+      docs.filter($"doc_id" % 10 === 0), k, w, dfCap, minShared)
+  }
+
+  /** D6d core over arbitrary (doc_id, text) train/bench frames. The
+    * df-cap is computed over the UNION's postings so a fingerprint's
+    * boilerplate verdict is a property of the whole corpus, not of one
+    * side (and matches winnowPairsOf's cap on the same data). */
+  private[graft] def decontaminateSpansOn(train: DataFrame, bench: DataFrame,
+      k: Int, w: Int, dfCap: Int, minShared: Int): DataFrame = {
+    import train.sparkSession.implicits._
+    val keep = winnowPostings(
+      train.select($"doc_id", $"text")
+        .unionAll(bench.select($"doc_id", $"text")), k, w, dfCap)
+    val benchIds = bench.select($"doc_id".as("bid"))
+    val t = keep.join(benchIds, $"doc_id" === $"bid", "left_anti")
+    val b = keep.join(benchIds, $"doc_id" === $"bid", "left_semi")
+    t.as("t").join(b.as("b"), $"t.fp" === $"b.fp")
+      .groupBy($"t.doc_id".as("train_doc"), $"b.doc_id".as("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"),
+        min($"t.lo").as("train_lo"), max($"t.hi").as("train_hi"),
+        min($"b.lo").as("bench_lo"), max($"b.hi").as("bench_hi"))
+      .filter($"n_shared" >= minShared)
+      .orderBy($"train_doc", $"bench_doc")
   }
 }
