@@ -30,6 +30,15 @@ object BenchSf10 {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.get("GRAFT_SF10_REPS").map(_.toInt).getOrElse(2)
     val only = args.toSeq // optional: bench a subset, e.g. "g_hits"
+    // fail fast on any unrecognized name (r13, ADVICE r12): silently
+    // dropping a typo'd arg either benches the wrong subset or — when
+    // nothing matches — dies later with NoSuchElementException
+    val unknown = only.filterNot(set.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[benchsf10] unknown name(s): ${unknown.mkString(", ")}" +
+        s" — valid: ${set.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -57,9 +57,16 @@ object ProbeLpa {
       val ch = next.as("n")
         .join(labels.select($"v", $"lbl".as("prev")), "v")
         .filter($"lbl" =!= $"prev").count()
+      // keep only the current round's checkpoint (r13, ADVICE r12): the
+      // superseded label frames otherwise stay persisted through the
+      // timed ab() legs below — timed()'s keep-set protects whatever
+      // preexists it, so the trace must clean up after itself
+      labels.unpersist(blocking = false)
       labels = next
       ch
     }
+    labels.unpersist(blocking = false) // final trace frame, never read again
+    arcs.unpersist(blocking = false)   // trace-only arc fixture
 
     // Per-rep cleanup with KEEP-WHAT-PREEXISTED semantics (r12): the
     // loops localCheckpoint their label frames each round and nothing
@@ -72,12 +79,7 @@ object ProbeLpa {
     def timed(f: => Unit): Double = {
       val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val t0 = System.nanoTime()
-      try f finally {
-        Caches.clearAll()
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
-          if (!keep(id)) r.unpersist(blocking = false)
-        }
-      }
+      try f finally Caches.clearAllExcept(spark, keep)
       (System.nanoTime() - t0) / 1e9
     }
     // interleaved reps (ADVICE r11): a/b/a/b, not aa/bb
@@ -116,9 +118,12 @@ object ProbeLpa {
       val ch = next.as("n")
         .join(wl.select($"v", $"lbl".as("prev")), "v")
         .filter($"lbl" =!= $"prev").count()
+      wl.unpersist(blocking = false) // same trace-leak discipline as above
       wl = next
       ch
     }
+    wl.unpersist(blocking = false)    // final warm trace frame
+    warcs.unpersist(blocking = false) // trace-only; the ab legs use `perturbed`
     val (wplain, wdelta) = ab(2)(graft.operators.GraphOps
       .communitiesOf(perturbed, iters, Some(warmLabels))
       .write.format("noop").mode("overwrite").save())(graft.operators.GraphOps

@@ -60,12 +60,8 @@ object ProbeMerge {
     val fixtures = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      val dt = try { f; (System.nanoTime() - t0) / 1e9 } finally {
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
-          if (!fixtures(id)) r.unpersist(blocking = true)
-        }
-      }
-      dt
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      finally Caches.clearAllExcept(spark, fixtures, blocking = true)
     }
     // warm-up merge (untimed): page cache, codegen, committer paths
     TableWriter.mergeInto(spark, path, delta, Seq("pk"), "cat")

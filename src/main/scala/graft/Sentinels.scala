@@ -37,7 +37,13 @@ object Sentinels {
     * The array stays strongly reachable for the owner's lifetime — a
     * documented, env-tunable resident cost (see Bench). */
   final class Mem(miB: Int, nt: Int) {
-    private val arr = new Array[Long](math.max(0, miB) * 131072) // MiB → longs
+    // MiB → longs, computed in Long (r13, ADVICE r12): Int math overflows
+    // at 16384 MiB (negative array size — startup crash) and wraps to 0 at
+    // 32768 (probe silently disabled while the artifact still stamps 0.0)
+    private val longs = math.max(0, miB).toLong * 131072L
+    require(longs <= Int.MaxValue, s"GRAFT_MEM_SENTINEL_MIB=$miB exceeds " +
+      s"the max supported ${Int.MaxValue / 131072} MiB (Java arrays are Int-indexed)")
+    private val arr = new Array[Long](longs.toInt)
     java.util.Arrays.fill(arr, 1L)
     private val acc = new java.util.concurrent.atomic.AtomicLong
     def run(): Double = {
