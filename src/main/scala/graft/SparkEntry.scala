@@ -46,6 +46,7 @@ object SparkEntry {
     "q_nation_trade" -> ((s, d) => Relational.nationTrade(s, d)),
     "q_market_share" -> ((s, d) => Relational.marketShare(s, d)),
     "q_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
+    "q_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q_segment_status_pivot" -> ((s, d) => Relational.segmentStatusPivot(s, d)),
     "q_segment_status_unpivot" -> ((s, d) => Relational.segmentStatusUnpivot(s, d)),
     // Text analysis (SURVEY §2 T1–T4)
@@ -194,7 +195,9 @@ object SparkEntry {
     "s_transitions" -> ((s, d) => streaming.EventOps.transitionsQuery(s, d)),
     // Temporal joins (SURVEY §2 J1–J3)
     "j_asof_attribution" -> ((s, d) => TemporalJoins.asofAttribution(s, d)),
+    "j_asof_forward" -> ((s, d) => TemporalJoins.asofForward(s, d)),
     "j_range_promo" -> ((s, d) => TemporalJoins.promoRangeJoin(s, d)),
+    "j_interval_overlap" -> ((s, d) => TemporalJoins.sessionOverlap(s, d)),
     "j_scd2_lookup" -> ((s, d) => TemporalJoins.scd2Lookup(s, d)),
     "v_matryoshka" -> ((s, d) => VectorOps.matryoshkaAnn(s, d)),
     // float-fitted (covariance eigensolve) ⇒ rows-only like the k-means
@@ -485,6 +488,14 @@ object SparkEntry {
         | JOIN region ON n_regionkey=r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_cube_revenue" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders,
+        | CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_segment_status_pivot" ->
       """SELECT c_mktsegment,
         | COUNT(*) FILTER (WHERE o_orderstatus='F') AS n_f,
@@ -2162,6 +2173,48 @@ object SparkEntry {
         |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, view_id, view_ts,
         |  epoch_us(ts) - epoch_us(view_ts) AS lag_us
         |FROM w WHERE tag=1 ORDER BY user_id, purchase_ts, purchase_id""".stripMargin,
+    // Forward as-of with tolerance: the DESC carry-forward window mirrors
+    // the Spark plan exactly; the CASE nulls out matches past the 1 h bar.
+    "j_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts,
+        |             CASE WHEN event_type='view' THEN 0 ELSE 1 END tag
+        |           FROM events WHERE event_type IN ('view','purchase')),
+        |w AS (SELECT *,
+        |  LAST_VALUE(CASE WHEN tag=1 THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts DESC, tag DESC, event_id DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) p_id,
+        |  LAST_VALUE(CASE WHEN tag=1 THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts DESC, tag DESC, event_id DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) p_ts
+        | FROM e),
+        |m AS (SELECT user_id, event_id AS view_id, ts AS view_ts, p_id, p_ts,
+        |        epoch_us(p_ts) - epoch_us(ts) AS gap_us
+        |      FROM w WHERE tag=0)
+        |SELECT user_id, view_id, view_ts,
+        |  CASE WHEN gap_us <= 3600000000 THEN p_id END AS purchase_id,
+        |  CASE WHEN gap_us <= 3600000000 THEN p_ts END AS purchase_ts,
+        |  CASE WHEN gap_us <= 3600000000 THEN gap_us END AS lag_us
+        |FROM m ORDER BY user_id, view_ts, view_id""".stripMargin,
+    // Interval-overlap join: the oracle states the overlap predicate
+    // directly on the session intervals (sessions = the s_sessionize
+    // CTE chain); the Spark side proves the grid-bucketed equi-join with
+    // the count-once-at-the-later-start rule computes the same relation.
+    "j_interval_overlap" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+        |l AS (SELECT user_id, event_id, ts,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) pts FROM e),
+        |n AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN pts IS NULL OR epoch_us(ts)-epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END ns FROM l),
+        |ss AS (SELECT user_id, ts,
+        |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) sess_id
+        | FROM n),
+        |sess AS (SELECT user_id, sess_id, epoch_us(MIN(ts)) lo, epoch_us(MAX(ts)) hi
+        |         FROM ss GROUP BY user_id, sess_id)
+        |SELECT s.user_id, s.sess_id, COUNT(o.user_id) AS n_concurrent
+        |FROM sess s LEFT JOIN sess o
+        |  ON o.user_id <> s.user_id AND s.lo <= o.hi AND o.lo <= s.hi
+        |GROUP BY s.user_id, s.sess_id
+        |ORDER BY s.user_id, s.sess_id""".stripMargin,
     // Range join: the oracle states the interval condition directly; the
     // Spark side proves the bucketed equi-join computes the same relation.
     "j_range_promo" ->

@@ -568,6 +568,25 @@ object Relational {
       .orderBy($"gid", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
+  // R29 — full CUBE (every grouping-set combination): order revenue at
+  // (segment, priority), per-segment, per-priority, and grand total in
+  // ONE pass — R22's rollup only descends the hierarchy; the cube also
+  // produces the (null, priority) cross-slices a dashboard's
+  // two-dimensional filter needs. Single Expand + aggregation like R22
+  // (4 grouping sets ⇒ 4× the Expand fanout, still one shuffle);
+  // grouping_id disambiguates subtotal NULLs from data NULLs.
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderpriority")
+      .agg(dsum($"o_totalprice").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"c_mktsegment".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
   // R23 — pivot: order counts per segment × status, statuses as columns
   // (the admin-dashboard reshape). Values are enumerated explicitly so
   // the plan is a single pass with no distinct-collection job, and the

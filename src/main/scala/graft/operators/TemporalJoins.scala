@@ -121,4 +121,82 @@ object TemporalJoins {
         $"v_at".as("version"), $"s_at".as("state"), $"value")
       .orderBy($"user_id", $"ts", $"purchase_id")
   }
+
+  // J1b — FORWARD as-of join with a tolerance bound (pandas
+  // merge_asof(direction='forward', tolerance=…) semantics; the
+  // conversion-window query): every view row kept, matched to the same
+  // user's EARLIEST purchase at-or-after it, and the match nulled out
+  // when the gap exceeds the tolerance — a view that never converts (or
+  // converts too late) survives with null purchase columns, which is
+  // what makes this a left as-of join rather than a filter.
+  // Same scalable shape as J1: NOT an inequality join (per-key
+  // quadratic) but the union of both tagged streams + ONE carry-forward
+  // window over the DESCENDING timeline. Sort (ts DESC, tag DESC,
+  // event_id DESC): at an equal timestamp the purchase is processed
+  // before the view (at-or-after includes ties), and among equal-ts
+  // purchases the LAST one carried — the smallest event_id — wins, so
+  // the match is min(ts, event_id) among qualifying purchases.
+  def asofForward(s: SparkSession, dir: String,
+      toleranceSeconds: Long = 3600L): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "view", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"tag".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolUs = toleranceSeconds * 1000000L
+    e.withColumn("p_id",
+        last(when($"tag" === 1, $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("p_ts",
+        last(when($"tag" === 1, $"ts"), ignoreNulls = true).over(w))
+      .filter($"tag" === 0)
+      .withColumn("lag_us", unix_micros($"p_ts") - unix_micros($"ts"))
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"),
+        when($"lag_us" <= tolUs, $"p_id").as("purchase_id"),
+        when($"lag_us" <= tolUs, $"p_ts").as("purchase_ts"),
+        when($"lag_us" <= tolUs, $"lag_us").as("lag_us"))
+      .orderBy($"user_id", $"view_ts", $"view_id")
+  }
+
+  // J4 — interval-OVERLAP join (both sides carry intervals — J2's range
+  // join has points on one side): per user session, the number of OTHER
+  // users' sessions overlapping it in time (closed-interval overlap:
+  // a.lo <= b.hi AND b.lo <= a.hi) — the concurrency metric behind
+  // capacity planning and co-presence analysis. The naive form is an
+  // inequality self-join — per-time-neighborhood quadratic with no
+  // equi-key, which Spark plans as a broadcast nested loop. The
+  // scalable form grids time into fixed cells, expands each interval to
+  // the cells it covers (bounded fanout: duration/cell + 1 — sessions
+  // are gap-bounded so duration is too), equi-joins on the cell, and
+  // counts each overlapping pair EXACTLY ONCE by accepting it only in
+  // the cell containing the later of the two starts — the cell where
+  // the overlap begins — so no distinct-pair frame is ever
+  // materialized and the only shuffles are the cell equi-join and the
+  // per-session rollup. Zero-overlap sessions survive via the left
+  // join back onto the session frame. Integer `div` for the cell id on
+  // both engines — double division near a cell boundary is a
+  // correctness bug, not a style choice.
+  def sessionOverlap(s: SparkSession, dir: String,
+      cellSeconds: Long = 3600L): DataFrame = {
+    import s.implicits._
+    val cellUs = cellSeconds * 1000000L
+    val sess = EventOps.sessionize(Tables.events(s, dir))
+      .select($"user_id", $"sess_id",
+        unix_micros($"sess_start").as("lo"), unix_micros($"sess_end").as("hi"))
+    val cells = sess.withColumn("cell",
+      explode(sequence(expr(s"lo div ${cellUs}L"), expr(s"hi div ${cellUs}L"))))
+    val counts = cells.as("a").join(cells.as("b"),
+        $"a.cell" === $"b.cell" &&
+        $"a.user_id" =!= $"b.user_id" &&
+        $"a.lo" <= $"b.hi" && $"b.lo" <= $"a.hi" &&
+        expr(s"greatest(a.lo, b.lo) div ${cellUs}L") === $"a.cell")
+      .groupBy($"a.user_id".as("user_id"), $"a.sess_id".as("sess_id"))
+      .agg(count(lit(1)).as("n_concurrent"))
+    sess.join(counts, Seq("user_id", "sess_id"), "left")
+      .select($"user_id", $"sess_id",
+        coalesce($"n_concurrent", lit(0L)).as("n_concurrent"))
+      .orderBy($"user_id", $"sess_id")
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, TemporalJoins}
+
+/** r13 wave: forward as-of with tolerance, interval-overlap join, CUBE.
+  * The temporal joins must equal their brute-force inequality-join
+  * definitions while planning only equi-joins (the scalable forms). */
+class Wave13Spec extends SparkSpecBase {
+
+  test("forward as-of equals the brute-force earliest-purchase-at-or-after join with tolerance") {
+    val s = spark
+    import s.implicits._
+    val tolUs = 3600L * 1000000L
+    val e = Tables.events(s, sfDir).filter($"event_type".isin("view", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type").cache()
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"event_id".as("view_id"), $"ts".as("vts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("pid"), $"ts".as("pts"))
+    // brute force: inequality join + argmin by (ts, event_id), tolerance
+    // applied after the match — exactly merge_asof(direction='forward')
+    val brute = v.join(p, $"vu" === $"pu" && $"pts" >= $"vts", "left")
+      .groupBy($"vu", $"view_id", $"vts")
+      .agg(min_by(struct($"pid", $"pts"), struct($"pts", $"pid")).as("m"))
+      .withColumn("gap", unix_micros($"m.pts") - unix_micros($"vts"))
+      .select($"vu".as("user_id"), $"view_id", $"vts".as("view_ts"),
+        when($"gap" <= tolUs, $"m.pid").as("purchase_id"),
+        when($"gap" <= tolUs, $"m.pts").as("purchase_ts"),
+        when($"gap" <= tolUs, $"gap").as("lag_us"))
+      .orderBy($"user_id", $"view_ts", $"view_id")
+      .collect().map(_.toString).toSeq
+    val got = TemporalJoins.asofForward(s, sfDir).collect().map(_.toString).toSeq
+    assert(got == brute)
+    // the tolerance must actually bite somewhere AND leave matches alive
+    val lags = TemporalJoins.asofForward(s, sfDir).collect().map(r =>
+      if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    assert(lags.exists(_.isEmpty) && lags.exists(_.isDefined))
+    assert(lags.flatten.forall(l => l >= 0 && l <= tolUs))
+    e.unpersist()
+  }
+
+  test("interval-overlap join equals the brute-force overlap self-join and plans no nested loop") {
+    val s = spark
+    import s.implicits._
+    val sess = graft.streaming.EventOps.sessionize(Tables.events(s, sfDir))
+      .select($"user_id", $"sess_id",
+        unix_micros($"sess_start").as("lo"), unix_micros($"sess_end").as("hi"))
+      .cache()
+    val brute = sess.as("a").join(sess.as("b"),
+        $"a.user_id" =!= $"b.user_id" &&
+        $"a.lo" <= $"b.hi" && $"b.lo" <= $"a.hi", "left")
+      .groupBy($"a.user_id".as("user_id"), $"a.sess_id".as("sess_id"))
+      .agg(count($"b.user_id").as("n_concurrent"))
+      .orderBy($"user_id", $"sess_id")
+      .collect().map(_.toString).toSeq
+    val q = TemporalJoins.sessionOverlap(s, sfDir)
+    val got = q.collect().map(_.toString).toSeq
+    assert(got == brute)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval-overlap join fell back to a nested loop")
+    // a pair overlapping across a cell boundary must be counted exactly
+    // once (the later-start rule): force one with a 2-second cell
+    val tiny = TemporalJoins.sessionOverlap(s, sfDir, cellSeconds = 2L)
+      .collect().map(_.toString).toSeq
+    assert(tiny == brute, "cell-boundary pairs double-counted at small cells")
+    sess.unpersist()
+  }
+
+  test("cube revenue: grouping sets are internally consistent") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational.cubeRevenue(s, sfDir).collect()
+    val byGid = rows.groupBy(_.getLong(4))
+    // gid 3 = grand total (both dims null): exactly one row, and its
+    // n_orders equals the sum over the finest grouping (gid 0)
+    assert(byGid(3L).length == 1)
+    val totalN = byGid(3L).head.getLong(3)
+    assert(byGid(0L).map(_.getLong(3)).sum == totalN)
+    // each one-dim margin also sums to the total
+    assert(byGid(1L).map(_.getLong(3)).sum == totalN) // priority rolled up
+    assert(byGid(2L).map(_.getLong(3)).sum == totalN) // segment rolled up
+    // margin revenue sums match the grand total to decimal precision
+    val totalRev = byGid(3L).head.getDouble(2)
+    assert(math.abs(byGid(0L).map(_.getDouble(2)).sum - totalRev) < 1e-6)
+    // cube cardinality: |seg×prio| + |seg| + |prio| + 1
+    val nSeg = byGid(1L).length
+    val nPrio = byGid(2L).length
+    assert(rows.length == byGid(0L).length + nSeg + nPrio + 1)
+  }
+}
