@@ -97,7 +97,10 @@ object Bench {
     // word-histogram entropy, winnowing fingerprints
     "d_line_dedup", "t_gopher_rules", "t_entropy", "t_winnow",
     // r11 addition: the MOSS pair matcher over the winnow fingerprints
-    "t_winnow_pairs")
+    "t_winnow_pairs",
+    // r13 additions: HyperANF distance profile, interval-overlap join,
+    // forward as-of
+    "g_reach_profile", "j_interval_overlap", "j_asof_forward")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

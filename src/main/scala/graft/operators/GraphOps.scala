@@ -1896,4 +1896,61 @@ object GraphOps {
       .orderBy($"ppr".desc, $"part")
       .limit(k)
   }
+
+  // G21 — neighborhood function / effective diameter (HyperANF — Boldi,
+  // Rosa & Vigna, WWW 2011): N(t) = # ordered pairs (u,v) with
+  // dist(u,v) ≤ t — the distance CDF behind effective-diameter and
+  // closeness dashboards (the algorithm that measured Facebook's "four
+  // degrees of separation"). Exact all-pairs BFS is O(n·m) — dead at
+  // scale; HyperANF keeps ONE constant-size HLL sketch per node (the
+  // ball B_t(v)) and grows it by unioning neighbors' sketches each
+  // round: B_t(v) = B_{t−1}(v) ∪ ⋃_{(v,u)∈arcs} B_{t−1}(u) — O(m)
+  // register-merges per round regardless of ball size. Spark-native:
+  // the sketch column is a datasketches HLL binary via the codegen'd
+  // hll_sketch_agg / hll_union_agg built-ins; each node's ball flows
+  // OUT along its arcs (join on src — the key the loopArcs checkpoint
+  // is partitioned on, so only the node-sized ball frame shuffles per
+  // round, the same contract as every iterative loop here); per-round
+  // total = one sum over node rows. lgConfigK=8 (256 registers,
+  // ~6.5% per-node rel. err — errors average out in the sum; HyperANF
+  // itself ran coarser) keeps the shuffled sketch payload ~150 B/arc.
+  // Register merge is per-register max — commutative/associative — so
+  // the profile is deterministic under any partitioning; estimates are
+  // floats ⇒ rows-only (spec: exact on a coupon-mode fixture, ≡ exact
+  // BFS closure within tolerance on the sf graph, monotone, n²
+  // fixpoint on a connected graph).
+  private[graft] def reachProfileOf(edges: DataFrame, iters: Int,
+      lgConfigK: Int = 8): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = loopArcs(edges, withWeight = false)
+    var balls = partitionedCheckpoint(
+      arcs.select($"src".as("v")).distinct()
+        .groupBy($"v").agg(hll_sketch_agg($"v", lgConfigK).as("sk")), "v")
+    def estimate(b: DataFrame): Double =
+      b.agg(sum(hll_sketch_estimate($"sk"))).as[Double].first()
+    val est0 = estimate(balls)
+    val rows = scala.collection.mutable.ArrayBuffer((0, est0, est0))
+    var prev = est0
+    for (t <- 1 to iters) {
+      val nxt = partitionedCheckpoint(
+        arcs.join(balls.select($"v".as("src"), $"sk"), "src")
+          .select($"dst".as("v"), $"sk")
+          .unionAll(balls.select($"v", $"sk"))
+          .groupBy($"v").agg(hll_union_agg($"sk").as("sk")), "v")
+      balls.unpersist(blocking = false) // loop discipline: one live frame
+      balls = nxt
+      val est = estimate(balls)
+      rows += ((t, est, est - prev))
+      prev = est
+    }
+    balls.unpersist(blocking = false)
+    s.createDataFrame(rows.toSeq).toDF("t", "est_pairs", "delta_pairs")
+      .select($"t", round($"est_pairs", 3).as("est_pairs"),
+        round($"delta_pairs", 3).as("delta_pairs"))
+      .orderBy($"t")
+  }
+
+  def reachProfile(s: SparkSession, dir: String, iters: Int = 6): DataFrame =
+    reachProfileOf(edgesUnsorted(s, dir), iters)
 }

@@ -68,6 +68,44 @@ class Wave13Spec extends SparkSpecBase {
     sess.unpersist()
   }
 
+  test("reach profile: exact in coupon mode, matches exact closure, monotone to the n^2 fixpoint") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5: N(0)=5, N(1)=13, N(2)=19, N(3)=23, N(4)=25 = n^2 —
+    // ball sizes <= 5 keep every HLL in coupon (list) mode, where the
+    // datasketches estimate is EXACT, so the profile is integer-exact
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "weight")
+    val prof = graft.operators.GraphOps.reachProfileOf(path, 5)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val expected = Seq(5.0, 13.0, 19.0, 23.0, 25.0, 25.0)
+    prof.zip(expected).foreach { case ((t, est, _), exp) =>
+      assert(math.abs(est - exp) < 1e-6, s"round $t: $est != $exp") }
+    assert(math.abs(prof.last._3) < 1e-6) // fixpoint: delta 0 past the diameter
+    // sf graph: HLL profile within 5% of the exact reachability closure
+    // per round (200 balls of ~6.5% i.i.d.-ish error average out in the sum)
+    val edges = graft.operators.GraphOps.edgesUnsorted(s, sfDir)
+    val arcs = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst"))).cache()
+    var reach = arcs.select($"src".as("root"), $"src".as("v")).distinct().cache()
+    val exact = (0 to 3).map { t =>
+      val n = reach.count().toDouble
+      if (t < 3) {
+        val nxt = reach.join(arcs.withColumnRenamed("src", "v"), "v")
+          .select($"root", $"dst".as("v")).unionAll(reach).distinct().cache()
+        reach.unpersist(); reach = nxt
+      }
+      n
+    }
+    val got = graft.operators.GraphOps.reachProfileOf(edges, 3)
+      .collect().map(_.getDouble(1))
+    exact.zip(got).zipWithIndex.foreach { case ((ex, es), t) =>
+      assert(math.abs(es - ex) / ex < 0.05, s"round $t: est $es vs exact $ex") }
+    // monotone non-decreasing
+    got.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-6) }
+    reach.unpersist(); arcs.unpersist()
+  }
+
   test("cube revenue: grouping sets are internally consistent") {
     val s = spark
     import s.implicits._
