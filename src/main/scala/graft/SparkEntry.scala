@@ -100,6 +100,7 @@ object SparkEntry {
     "v_semantic_cache" -> ((s, d) => VectorOps.semanticCache(s, d)),
     "v_knn_per_label" -> ((s, d) => VectorOps.knnPerLabel(s, d)),
     "v_lsh_ann" -> ((s, d) => VectorOps.lshAnn(s, d)),
+    "v_ann_recall" -> ((s, d) => VectorOps.annRecall(s, d)),
     "v_ivf_ann" -> ((s, d) => VectorOps.ivfAnn(s, d)),
     // k-means + PQ-codebook seeded ⇒ honestly rows-only like V4b/V10
     "v_ivfpq_ann" -> ((s, d) => VectorOps.ivfpqAnn(s, d)),
@@ -1063,6 +1064,45 @@ object SparkEntry {
         |  ROUND(list_sum(list_transform(range(1,len(n.v)+1), i -> n.v[i]*qv[i]))/(n.nrm*qnrm), 6) AS sim
         |FROM n JOIN cand ON n.vec_id = cand.vec_id, q
         |ORDER BY sim DESC, n.vec_id LIMIT 5""".stripMargin,
+    // V17 replay: the exact leg is V1's relation paneled over the first
+    // 8 vectors; the LSH leg replays V4's md5-derived hyperplanes and
+    // multi-probe candidates paneled; recall joins the two top-5 sets.
+    "v_ann_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) nrm FROM e),
+        |u AS (SELECT vec_id, list_transform(v, x -> x/nrm) uv FROM n),
+        |q AS (SELECT vec_id query_id, v qv, nrm qnrm FROM n WHERE vec_id < 8),
+        |c AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 8),
+        |sims AS (SELECT q.query_id, c.vec_id,
+        |  ROUND(list_sum(list_transform(range(1,len(c.v)+1), i -> c.v[i]*q.qv[i]))/(c.nrm*q.qnrm), 6) sim
+        | FROM c, q),
+        |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn FROM sims) t WHERE rn <= 5),
+        |pl AS (SELECT CAST(p AS INT) p, list_transform(range(0,64), i ->
+        |        CAST(list_sum(list_transform(range(1,16), cc ->
+        |          (strpos('0123456789abcdef', substring(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), CAST(cc AS INT), 1))-1)::BIGINT << CAST(4*(15-cc) AS INT)
+        |        )) % 2001 AS DOUBLE) / 1000.0 - 1.0) plane
+        |       FROM range(0,128) t(p)),
+        |sb AS (SELECT u.vec_id, pl.p // 8 k,
+        |        CASE WHEN list_sum(list_transform(range(1,65), i -> u.uv[CAST(i AS INT)]*pl.plane[CAST(i AS INT)])) >= 0
+        |             THEN (1 << CAST(pl.p % 8 AS INT)) ELSE 0 END sbit
+        |       FROM u CROSS JOIN pl),
+        |sig AS (SELECT vec_id, k, SUM(sbit) bv FROM sb GROUP BY vec_id, k),
+        |qs AS (SELECT vec_id query_id, k, bv qbv FROM sig WHERE vec_id < 8),
+        |cand AS (SELECT DISTINCT qs.query_id, s.vec_id FROM sig s JOIN qs ON s.k = qs.k
+        |         WHERE s.vec_id >= 8 AND bit_count(xor(s.bv, qs.qbv)) <= 1),
+        |lt AS (SELECT query_id, vec_id FROM (
+        |  SELECT sims.query_id, sims.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY sims.query_id ORDER BY sim DESC, sims.vec_id) rn
+        |  FROM sims JOIN cand ON sims.query_id = cand.query_id AND sims.vec_id = cand.vec_id) t
+        | WHERE rn <= 5),
+        |hit AS (SELECT ex.query_id, COUNT(*) n FROM ex
+        |        JOIN lt ON ex.query_id = lt.query_id AND ex.vec_id = lt.vec_id
+        |        GROUP BY ex.query_id)
+        |SELECT qq.query_id, CAST(COALESCE(hit.n, 0) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(COALESCE(hit.n, 0) AS DOUBLE) / 5, 4) AS recall
+        |FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hit USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     // V13 replay: sign bits are a pure function of the store, so the
     // whole "approximate" path replays exactly — pack 32 sign bits per
     // word (lo/hi, the D3 two-half precedent: a 64-bit list_sum rebuild

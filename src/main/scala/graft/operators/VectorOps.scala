@@ -683,4 +683,55 @@ object VectorOps {
       .orderBy($"sim".desc, $"vec_id")
       .limit(k)
   }
+
+  // V17 — ANN index-quality evaluation (`v_ann_recall`): recall@k of the
+  // banded-LSH path (V4) against the exact brute-force top-k (V1) over a
+  // PANEL of query vectors — the number an ANN deployment actually
+  // monitors (recall drifts as the corpus grows away from the planes /
+  // centroids it was tuned on; FAISS and every vector store publish
+  // exactly this metric). Queries = the first nQueries vectors, corpus =
+  // the rest (the V2 split convention). The exact leg is intentionally
+  // brute force — that is what makes it ground truth — and stays cheap
+  // at any corpus size because the panel is bounded: ONE scan computes
+  // all panel sims (queries broadcast), per-query top-k via window rank.
+  // The LSH leg replays V4's candidate generation paneled (signatures
+  // computed once for corpus + queries, multi-probe Hamming ≤ radius per
+  // band) and re-ranks candidates on the SAME cached sim frame, so the
+  // eval adds no second corpus scan. Everything is 6dp-rounded
+  // deterministic ⇒ hash-matches a full SQL replay, unlike the k-means
+  // ANN family.
+  def annRecall(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+      probeRadius: Int = 1, bands: Int = 16, bits: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = normed(s, dir)
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val sims = Caches.cached(s"ann-recall-sims:$dir:$nQueries") {
+      e.filter($"vec_id" >= nQueries)
+        .crossJoin(broadcast(queries))
+        .withColumn("sim", round(dot($"v", $"qv") / ($"nrm" * $"qnrm"), 6))
+        .select($"query_id", $"vec_id", $"sim")
+    }
+    val wq = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val exactTop = sims.withColumn("rn", row_number().over(wq))
+      .filter($"rn" <= k).select($"query_id", $"vec_id")
+    val sigs = bandSigs(e.select($"vec_id", $"u"), bands, bits)
+      .select($"vec_id", $"k", $"bv")
+    val qSigs = sigs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"k", $"bv".as("qbv"))
+    val cands = sigs.filter($"vec_id" >= nQueries)
+      .join(broadcast(qSigs), Seq("k"))
+      .filter(expr(s"bit_count(bv ^ qbv) <= $probeRadius"))
+      .select($"query_id", $"vec_id").distinct()
+    val lshTop = sims.join(cands, Seq("query_id", "vec_id"))
+      .withColumn("rn", row_number().over(wq))
+      .filter($"rn" <= k).select($"query_id", $"vec_id")
+    val hits = exactTop.join(lshTop, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select($"query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"n_hit", lit(0L)).as("n_hit"),
+        round(coalesce($"n_hit", lit(0L)).cast("double") / k, 4).as("recall"))
+      .orderBy($"query_id")
+  }
 }
