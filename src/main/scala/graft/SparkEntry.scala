@@ -200,7 +200,7 @@ object SparkEntry {
     "j_asof_attribution" -> ((s, d) => TemporalJoins.asofAttribution(s, d)),
     "j_asof_forward" -> ((s, d) => TemporalJoins.asofForward(s, d)),
     "j_range_promo" -> ((s, d) => TemporalJoins.promoRangeJoin(s, d)),
-    "j_interval_overlap" -> ((s, d) => TemporalJoins.sessionOverlap(s, d)),
+    "j_interval_overlap" -> ((s, d) => TemporalJoins.sessionOverlapCount(s, d)),
     "j_scd2_lookup" -> ((s, d) => TemporalJoins.scd2Lookup(s, d)),
     "v_matryoshka" -> ((s, d) => VectorOps.matryoshkaAnn(s, d)),
     // float-fitted (covariance eigensolve) ⇒ rows-only like the k-means

@@ -182,9 +182,7 @@ object TemporalJoins {
       cellSeconds: Long = 3600L): DataFrame = {
     import s.implicits._
     val cellUs = cellSeconds * 1000000L
-    val sess = EventOps.sessionize(Tables.events(s, dir))
-      .select($"user_id", $"sess_id",
-        unix_micros($"sess_start").as("lo"), unix_micros($"sess_end").as("hi"))
+    val sess = sessionIntervals(s, dir)
     val cells = sess.withColumn("cell",
       explode(sequence(expr(s"lo div ${cellUs}L"), expr(s"hi div ${cellUs}L"))))
     val counts = cells.as("a").join(cells.as("b"),
@@ -197,6 +195,101 @@ object TemporalJoins {
     sess.join(counts, Seq("user_id", "sess_id"), "left")
       .select($"user_id", $"sess_id",
         coalesce($"n_concurrent", lit(0L)).as("n_concurrent"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  /** Session intervals as epoch-micro longs, memoized: both J4 legs and
+    * their probes derive the same frame. */
+  private[graft] def sessionIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Caches.cached(s"session-intervals:$dir") {
+      EventOps.sessionize(Tables.events(s, dir))
+        .select($"user_id", $"sess_id",
+          unix_micros($"sess_start").as("lo"), unix_micros($"sess_end").as("hi"))
+    }
+  }
+
+  // J4 count-only fast path — overlap counting via distributed RANK
+  // (sweep-line arithmetic), no pair enumeration at all: the sessions
+  // NOT overlapping s are exactly those ending before it starts or
+  // starting after it ends (disjoint sets), so
+  //   n_concurrent(s) = N − #(hi < lo_s) − #(lo > hi_s) − 1(self)
+  // (same-user sessions never overlap — the >30 min gap rule — so
+  // "other users" costs only the −1). The grid join's candidate mass is
+  // Σ k_cell² — measured 1.27 B candidates for ~30 M true pairs at sf1
+  // density (hour cells, ~1326 sessions/cell) — while each rank is ONE
+  // cell-partitioned window over the union of endpoint and marker rows:
+  // strict/non-strict tie handling via the tag sort key, cross-cell
+  // offsets from a per-cell histogram that is bounded by the time span
+  // (720 cells here; a multi-year 100 TB span at hour cells is ~10⁴-10⁵
+  // rows — driver-prefix-summed and broadcast-joined). Two O(n log n)
+  // passes total, output identical to the grid leg (spec-pinned), so
+  // the shipped `j_interval_overlap` entry routes HERE and still
+  // hash-matches the inequality-join oracle; the grid leg remains the
+  // general-payload interval join (it enumerates WHICH pairs overlap).
+  private[graft] def sessionOverlapRank(s: SparkSession, dir: String,
+      cellSeconds: Long = 3600L): DataFrame = rankLegImpl(s, dir, cellSeconds)
+
+  /** Shipped J4 entry — the COUNT contract routes to the rank leg, the
+    * sanction measured both ways (ProbeOverlap, interleaved min-of-2):
+    * sf1 rank 7.8 s vs hour-grid 9.2 / duration-grid 3.7; sf10 rank
+    * 12.8 s vs duration-grid 25.2 (hour-grid ≈ 125 B candidates there —
+    * not worth repping). The grid's candidate mass is Σ k_cell², i.e.
+    * grows with session DENSITY squared at any fixed cell width, while
+    * the rank legs stay n log n — so rank is the 100 TB path and
+    * already wins at sf10 despite losing at sf1. The grid leg remains
+    * the general interval JOIN (pair payloads); GRAFT_OVERLAP=grid opts
+    * the entry back for A/B. Outputs are bit-identical (spec-pinned),
+    * so both legs share the inequality-join oracle. */
+  def sessionOverlapCount(s: SparkSession, dir: String): DataFrame =
+    if (sys.env.get("GRAFT_OVERLAP").contains("grid")) sessionOverlap(s, dir)
+    else sessionOverlapRank(s, dir)
+
+  private def rankLegImpl(s: SparkSession, dir: String,
+      cellSeconds: Long): DataFrame = {
+    import s.implicits._
+    val cellUs = cellSeconds * 1000000L
+    val sess = sessionIntervals(s, dir)
+    val nTotal = sess.count() // node-sized frame, one driver scalar
+
+    // rank pass: for each marker row, # point rows with value < marker
+    // (strict=true) or value <= marker (strict=false), via a window
+    // partitioned by time cell + a broadcast cross-cell prefix.
+    // Tag order does the tie-breaking: strict ⇒ markers sort BEFORE
+    // equal-valued points (equal values uncounted); non-strict ⇒ after.
+    def rankPass(points: DataFrame, markers: DataFrame, strict: Boolean): DataFrame = {
+      val pts = points.select($"value", lit(if (strict) 1 else 0).as("tag"),
+        lit(null).cast("long").as("user_id"), lit(null).cast("long").as("sess_id"))
+      val mks = markers.select($"value", lit(if (strict) 0 else 1).as("tag"),
+        $"user_id", $"sess_id")
+      val u = pts.unionByName(mks)
+        .withColumn("cell", expr(s"value div ${cellUs}L"))
+      val isPoint = when($"user_id".isNull, 1L).otherwise(0L)
+      val perCell = u.groupBy($"cell").agg(sum(isPoint).as("k"))
+        .orderBy($"cell").collect() // bounded: cells = span / cellSeconds
+      var acc = 0L
+      val prefix = perCell.map { r =>
+        val p = (r.getLong(0), acc); acc += r.getLong(1); p
+      }.toSeq
+      val prefixDf = broadcast(s.createDataFrame(prefix).toDF("cell", "before"))
+      val w = Window.partitionBy($"cell").orderBy($"value", $"tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("r", sum(isPoint).over(w))
+        .filter($"user_id".isNotNull)
+        .join(prefixDf, Seq("cell"))
+        .select($"user_id", $"sess_id", ($"r" + $"before").as("rank"))
+    }
+
+    val a = rankPass(sess.select($"hi".as("value")),
+      sess.select($"lo".as("value"), $"user_id", $"sess_id"), strict = true)
+      .withColumnRenamed("rank", "ended_before")
+    val le = rankPass(sess.select($"lo".as("value")),
+      sess.select($"hi".as("value"), $"user_id", $"sess_id"), strict = false)
+      .withColumnRenamed("rank", "started_at_or_before")
+    a.join(le, Seq("user_id", "sess_id"))
+      .select($"user_id", $"sess_id",
+        (lit(nTotal) - $"ended_before"
+          - (lit(nTotal) - $"started_at_or_before") - 1L).as("n_concurrent"))
       .orderBy($"user_id", $"sess_id")
   }
 }

@@ -68,6 +68,21 @@ class Wave13Spec extends SparkSpecBase {
     sess.unpersist()
   }
 
+  test("interval-overlap rank leg is bit-identical to the grid leg") {
+    val s = spark
+    val grid = TemporalJoins.sessionOverlap(s, sfDir)
+      .collect().map(_.toString).toSeq
+    val rank = TemporalJoins.sessionOverlapRank(s, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(rank == grid)
+    // tie handling: a session pair touching exactly at an endpoint is an
+    // overlap on both legs — pin with a tiny cell so endpoint rows land
+    // in different cells than their counterparts' bodies
+    val rankTiny = TemporalJoins.sessionOverlapRank(s, sfDir, cellSeconds = 2L)
+      .collect().map(_.toString).toSeq
+    assert(rankTiny == grid)
+  }
+
   test("reach profile: exact in coupon mode, matches exact closure, monotone to the n^2 fixpoint") {
     val s = spark
     import s.implicits._
