@@ -99,8 +99,9 @@ object Bench {
     // r11 addition: the MOSS pair matcher over the winnow fingerprints
     "t_winnow_pairs",
     // r13 additions: HyperANF distance profile, interval-overlap join,
-    // forward as-of
-    "g_reach_profile", "j_interval_overlap", "j_asof_forward")
+    // forward as-of, ANN recall eval
+    "g_reach_profile", "j_interval_overlap", "j_asof_forward",
+    "v_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
