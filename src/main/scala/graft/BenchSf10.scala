@@ -23,7 +23,9 @@ object BenchSf10 {
   private val set = Seq(
     "g_pagerank", "g_pagerank_weighted", "g_communities", "g_hits",
     "g_ppr", "g_betweenness", "g_closeness", "g_weighted_paths",
-    "g_random_walks", "g_node2vec")
+    "g_random_walks", "g_node2vec",
+    // r13: HyperANF distance profile (standing record 379.3 s, §5 r13)
+    "g_reach_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf10")

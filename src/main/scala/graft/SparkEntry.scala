@@ -101,6 +101,7 @@ object SparkEntry {
     "v_knn_per_label" -> ((s, d) => VectorOps.knnPerLabel(s, d)),
     "v_lsh_ann" -> ((s, d) => VectorOps.lshAnn(s, d)),
     "v_ann_recall" -> ((s, d) => VectorOps.annRecall(s, d)),
+    "v_embedding_drift" -> ((s, d) => Drift.embeddingDrift(s, d)),
     "v_ivf_ann" -> ((s, d) => VectorOps.ivfAnn(s, d)),
     // k-means + PQ-codebook seeded ⇒ honestly rows-only like V4b/V10
     "v_ivfpq_ann" -> ((s, d) => VectorOps.ivfpqAnn(s, d)),
@@ -1064,6 +1065,28 @@ object SparkEntry {
         |  ROUND(list_sum(list_transform(range(1,len(n.v)+1), i -> n.v[i]*qv[i]))/(n.nrm*qnrm), 6) AS sim
         |FROM n JOIN cand ON n.vec_id = cand.vec_id, q
         |ORDER BY sim DESC, n.vec_id LIMIT 5""".stripMargin,
+    // V18 replay: per-dim decimal sums via the 1-based range-index
+    // pattern (the established embeddings unnest), float→double→decimal
+    // cast chain matching the Spark side exactly.
+    "v_embedding_drift" ->
+      """WITH x AS (SELECT CAST(i - 1 AS BIGINT) dim,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END side,
+        |    CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,12)) xd
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) i) t),
+        |a AS (SELECT dim,
+        |    SUM(xd) FILTER (WHERE side = 'ref') s_ref,
+        |    COUNT(*) FILTER (WHERE side = 'ref') n_ref,
+        |    SUM(xd) FILTER (WHERE side = 'cur') s_cur,
+        |    COUNT(*) FILTER (WHERE side = 'cur') n_cur
+        |  FROM x GROUP BY dim),
+        |m AS (SELECT dim,
+        |    ROUND(CAST(s_ref AS DOUBLE) / n_ref, 6) mean_ref,
+        |    ROUND(CAST(s_cur AS DOUBLE) / n_cur, 6) mean_cur FROM a),
+        |sh AS (SELECT dim, mean_ref, mean_cur,
+        |    ROUND(mean_cur - mean_ref, 6) shift FROM m)
+        |SELECT dim, mean_ref, mean_cur, shift,
+        |  ROUND(sqrt(CAST(SUM(CAST(shift * shift AS DECIMAL(28,12))) OVER () AS DOUBLE)), 6) AS l2_shift
+        |FROM sh ORDER BY dim""".stripMargin,
     // V17 replay: the exact leg is V1's relation paneled over the first
     // 8 vectors; the LSH leg replays V4's md5-derived hyperplanes and
     // multi-probe candidates paneled; recall joins the two top-5 sets.

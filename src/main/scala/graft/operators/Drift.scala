@@ -49,4 +49,46 @@ object Drift {
       .select($"bin", $"n_base", $"n_cur", $"psi_term", $"psi_total")
       .orderBy($"bin")
   }
+
+  /** V18 — `v_embedding_drift`: per-dimension mean shift of the embedding
+    * STORE, reference slice (even vec_id) vs current slice (odd), plus
+    * the aggregate L2 shift of the mean vector — the vector sibling of
+    * P10. PSI watches a scalar column's histogram; this watches the space
+    * the ANN serves: when the embedding distribution moves (model
+    * refresh, corpus shift), LSH planes and IVF centroids trained on the
+    * old mass lose recall — V17 measures that symptom, this measures the
+    * cause, and together they are the store-health dashboard.
+    *
+    * Engine-replayable arithmetic: per-dim sums go through
+    * DECIMAL(28,12) so they are order-independent (a float sum would
+    * disagree across partitionings — the dsum discipline); the cast
+    * chain is float → double (exact) → decimal, the same double→decimal
+    * path every money aggregate already exercises; means divide the
+    * exact decimal (as double) by the exact count and round 6dp; the L2
+    * total is one decimal window-sum over the bounded dim frame. Scale:
+    * ONE corpus pass (posexplode → dim-keyed partial aggs) into a
+    * dim-sized aggregate; everything downstream runs on ≤ dim rows. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"dim".cast("bigint").as("dim"),
+        when($"vec_id" % 2 === 0, lit("ref")).otherwise(lit("cur")).as("side"),
+        $"x".cast("double").cast("decimal(28,12)").as("xd"))
+    val agg = x.groupBy($"dim").agg(
+      sum(when($"side" === "ref", $"xd")).as("s_ref"),
+      sum(when($"side" === "ref", 1L).otherwise(0L)).as("n_ref"),
+      sum(when($"side" === "cur", $"xd")).as("s_cur"),
+      sum(when($"side" === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val w = Window.partitionBy() // bounded: one row per dimension
+    agg
+      .withColumn("mean_ref", round($"s_ref".cast("double") / $"n_ref", 6))
+      .withColumn("mean_cur", round($"s_cur".cast("double") / $"n_cur", 6))
+      .withColumn("shift", round($"mean_cur" - $"mean_ref", 6))
+      .withColumn("l2_shift", round(sqrt(
+        sum(($"shift" * $"shift").cast("decimal(28,12)")).over(w)
+          .cast("double")), 6))
+      .select($"dim", $"mean_ref", $"mean_cur", $"shift", $"l2_shift")
+      .orderBy($"dim")
+  }
 }

@@ -121,6 +121,17 @@ class Wave13Spec extends SparkSpecBase {
     reach.unpersist(); arcs.unpersist()
   }
 
+  test("embedding drift: l2 total consistent with per-dim shifts, full dim coverage") {
+    val s = spark
+    val rows = graft.operators.Drift.embeddingDrift(s, sfDir).collect()
+    assert(rows.length == 64 && rows.map(_.getLong(0)).toSeq == (0L until 64L))
+    val l2 = math.sqrt(rows.map(r => r.getDouble(3) * r.getDouble(3)).sum)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) - l2) < 1e-5) // one total, repeated per row
+      assert(math.abs(r.getDouble(3) - (r.getDouble(2) - r.getDouble(1))) < 1e-6)
+    }
+  }
+
   test("cube revenue: grouping sets are internally consistent") {
     val s = spark
     import s.implicits._
