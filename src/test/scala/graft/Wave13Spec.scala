@@ -121,6 +121,18 @@ class Wave13Spec extends SparkSpecBase {
     reach.unpersist(); arcs.unpersist()
   }
 
+  test("r13 plan invariants: one Expand over a broadcast dim join; no joins in forward as-of; no nested loop in the rank leg") {
+    val s = spark
+    val cube = Relational.cubeRevenue(s, sfDir).queryExecution.executedPlan.toString
+    assert(cube.contains("Expand") && cube.contains("BroadcastHashJoin")
+      && !cube.contains("SortMergeJoin"))
+    val asof = TemporalJoins.asofForward(s, sfDir).queryExecution.executedPlan.toString
+    assert(!asof.contains("Join"), "forward as-of must not plan any join")
+    val rank = TemporalJoins.sessionOverlapRank(s, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!rank.contains("BroadcastNestedLoopJoin") && !rank.contains("CartesianProduct"))
+  }
+
   test("embedding drift: l2 total consistent with per-dim shifts, full dim coverage") {
     val s = spark
     val rows = graft.operators.Drift.embeddingDrift(s, sfDir).collect()
