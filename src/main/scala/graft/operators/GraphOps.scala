@@ -1913,7 +1913,7 @@ object GraphOps {
   // round, the same contract as every iterative loop here); per-round
   // total = one sum over node rows. lgConfigK=8 (256 registers,
   // ~6.5% per-node rel. err — errors average out in the sum; HyperANF
-  // itself ran coarser) keeps the shuffled sketch payload ~150 B/arc.
+  // itself ran coarser) keeps the shuffled sketch payload ~300 B/arc (HLL_8 updatable form: 2^lgK register bytes + header).
   // Register merge is per-register max — commutative/associative — so
   // the profile is deterministic under any partitioning; estimates are
   // floats ⇒ rows-only (spec: exact on a coupon-mode fixture, ≡ exact
