@@ -101,7 +101,9 @@ object Bench {
     // r13 additions: HyperANF distance profile, interval-overlap join,
     // forward as-of, ANN recall eval
     "g_reach_profile", "j_interval_overlap", "j_asof_forward",
-    "v_ann_recall", "v_embedding_drift")
+    "v_ann_recall", "v_embedding_drift",
+    // r14 additions: the span-level decontamination rewrite
+    "d_decontaminate_rewrite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

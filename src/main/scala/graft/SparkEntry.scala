@@ -72,6 +72,7 @@ object SparkEntry {
     "t_winnow" -> ((s, d) => TextOps.winnow(s, d)),
     "t_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
     "d_decontaminate_spans" -> ((s, d) => TextOps.decontaminateSpans(s, d)),
+    "d_decontaminate_rewrite" -> ((s, d) => TextOps.decontaminateRewrite(s, d)),
     // Dedup (SURVEY §2 D1–D5)
     "d_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -990,6 +991,43 @@ object SparkEntry {
         |  AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY train_doc, bench_doc""".stripMargin,
+    // D6e replays the winnow chain + df-cap, then EDITS: train positions
+    // whose fp a bench doc also selected expand to padded word covers
+    // [pos-3, pos+5] (w-1 each side of the k-word gram), and contaminated
+    // docs rebuild via the d_line_dedup string_agg pattern; clean docs
+    // pass the original text column through untouched.
+    "d_decontaminate_rewrite" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') wds FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(wds) - 1), i ->
+        |        CAST(('0x'||substr(md5(wds[i]||' '||wds[i+1]||' '||wds[i+2]),1,15)) AS BIGINT)) hs
+        |      FROM d WHERE len(wds) >= 6),
+        |u AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 2), j ->
+        |        {'pos': j + 4 - list_position(list_reverse(hs[j:j+3]), list_min(hs[j:j+3])),
+        |         'fp': list_min(hs[j:j+3])})) st
+        |      FROM h),
+        |w AS (SELECT DISTINCT doc_id, CAST(st.pos AS BIGINT) pos, st.fp fp FROM u),
+        |cap AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) df FROM w GROUP BY fp) WHERE df <= 10),
+        |bf AS (SELECT DISTINCT fp FROM w WHERE doc_id % 10 = 0 AND fp IN (SELECT fp FROM cap)),
+        |m AS (SELECT doc_id, pos FROM w WHERE doc_id % 10 <> 0 AND fp IN (SELECT fp FROM bf)),
+        |mc AS (SELECT doc_id, COUNT(*) nm FROM m GROUP BY doc_id),
+        |rmv AS (SELECT DISTINCT doc_id, unnest(range(greatest(pos - 3, 1), pos + 6)) i FROM m),
+        |ow AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+        |       WHERE doc_id IN (SELECT doc_id FROM m)),
+        |ww AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |         i -> {'i': i, 'wrd': ws[i]})) st FROM ow),
+        |wk AS (SELECT ww.doc_id, ww.st.i AS i, ww.st.wrd AS wrd, r.i AS ri
+        |       FROM ww LEFT JOIN rmv r ON ww.doc_id = r.doc_id AND ww.st.i = r.i),
+        |rb AS (SELECT doc_id,
+        |         SUM(CASE WHEN ri IS NOT NULL THEN 1 ELSE 0 END) nr,
+        |         COALESCE(string_agg(CASE WHEN ri IS NULL THEN wrd END, ' ' ORDER BY i), '') ct
+        |       FROM wk GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(string_split(t.text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(mc.nm, 0) AS BIGINT) AS n_matched,
+        |  CAST(COALESCE(rb.nr, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(rb.ct, t.text) AS clean_text
+        |FROM documents t LEFT JOIN mc USING (doc_id) LEFT JOIN rb USING (doc_id)
+        |WHERE t.doc_id % 10 <> 0 ORDER BY t.doc_id""".stripMargin,
     "t_pii_redact" ->
       """WITH aug AS (SELECT doc_id,
         |  text || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@shop.example.com for details.' ELSE '' END

@@ -637,4 +637,100 @@ object TextOps {
       .filter($"n_shared" >= minShared)
       .orderBy($"train_doc", $"bench_doc")
   }
+
+  // D6e — span-level benchmark decontamination REWRITE
+  // (`d_decontaminate_rewrite`): the corpus-EDITING step the D6 family
+  // builds toward (VERDICT r13 #1). D6/D6c flag WHICH train docs share
+  // material with the benchmark, D6d localizes WHERE; this operator
+  // excises it — every train word within the padded cover of a
+  // bench-shared selected fingerprint is dropped, everything else —
+  // including every wholly-clean document — stays byte-identical (clean
+  // docs are passed through via the original `text` column, never
+  // re-assembled, so even pathological whitespace survives). The
+  // pretraining pipeline runs the pair in sequence: audit (D6d) →
+  // scrub (this) instead of D6's drop-the-whole-doc.
+  //
+  // Padding: a selected fingerprint at gram-start `pos` covers words
+  // [pos, pos+k-1]; winnowing guarantees a shared run of ≥ w+k-1 words
+  // selects a shared fingerprint at some window-min position INSIDE it,
+  // which can sit up to w-1 grams from either end of the run — so the
+  // excision widens the cover by w-1 words each side:
+  // [pos-(w-1), pos+k+w-2]. For every window fully inside a shared run
+  // the hash sequence is identical in both docs, so the selected
+  // position is shared too; matched fingerprints therefore tile any
+  // long run at ≤ w-gram gaps and the padded covers overlap into full
+  // excision of the run (boundary margins < w+k-1 words are covered by
+  // the edge fingerprints' padding). Boilerplate discipline = D6d's:
+  // the df-cap over the UNION's postings drops fingerprints shared by
+  // > dfCap docs before any match (MOSS semantics — corpus-wide chrome
+  // is the line-dedup family's job, not decontamination's).
+  //
+  // Scale shape: the winnow chain is in-row; then ONE distinct+groupBy
+  // for the df-cap, two semi-joins to select matched train positions,
+  // and the word-level regroup touches ONLY contaminated docs (the
+  // semi-join before posexplode) — clean docs never explode, so the
+  // rewrite cost is linear in contaminated words, not corpus words.
+  // Everything is deterministic (md5 fingerprints, integer positions)
+  // ⇒ hash-matched against the full DuckDB replay.
+  def decontaminateRewrite(s: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4, dfCap: Int = 10): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    decontaminateRewriteOn(docs.filter($"doc_id" % 10 =!= 0),
+      docs.filter($"doc_id" % 10 === 0), k, w, dfCap)
+  }
+
+  /** D6e core over arbitrary (doc_id, text) train/bench frames. The
+    * df-cap is computed over the union (the D6d convention, so the
+    * audit and the rewrite agree on every fingerprint's verdict). */
+  private[graft] def decontaminateRewriteOn(train: DataFrame, bench: DataFrame,
+      k: Int, w: Int, dfCap: Int): DataFrame = {
+    import train.sparkSession.implicits._
+    // per-position selections over the union: selection is doc-local,
+    // the union only feeds the df-cap's corpus-wide boilerplate verdict
+    val sel = winnowOf(train.select($"doc_id", $"text")
+      .unionAll(bench.select($"doc_id", $"text")), k, w)
+    val benchIds = bench.select($"doc_id".as("bid"))
+    val capped = sel.select($"fp", $"doc_id").distinct()
+      .groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap).select($"fp")
+    val benchFps = sel.join(benchIds, $"doc_id" === $"bid", "left_semi")
+      .select($"fp").distinct()
+      .join(capped, Seq("fp"), "left_semi")
+    val matched = sel.join(benchIds, $"doc_id" === $"bid", "left_anti")
+      .join(benchFps, Seq("fp"), "left_semi")
+      .select($"doc_id", $"pos")
+    val mcnt = matched.groupBy($"doc_id").agg(count(lit(1)).as("nm"))
+    // padded word-index cover of each matched fingerprint, unioned
+    val removed = matched.select($"doc_id",
+        explode(sequence(greatest($"pos" - (w - 1), lit(1L)),
+          $"pos" + (k + w - 2))).as("i"))
+      .distinct()
+    // ONLY contaminated docs explode to words; original case (positions
+    // align with the lowercased winnow split — lower() preserves spaces)
+    val words = train.select($"doc_id", $"text")
+      .join(mcnt.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "p0", "wrd")
+      .select($"doc_id", ($"p0" + 1).cast("long").as("i"), $"wrd")
+    val rebuilt = words
+      .join(removed.withColumn("rm", lit(1)), Seq("doc_id", "i"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(when($"rm".isNotNull, 1L).otherwise(0L)).as("nr"),
+        // the d_line_dedup reassembly: position-sorted collect_list with
+        // removed words NULLed out (collect_list drops them for free);
+        // an all-contaminated doc rebuilds to ''
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN rm IS NULL THEN struct(i, wrd) END)), x -> x.wrd)"),
+          " ").as("ct"))
+    train.select($"doc_id", $"text")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(mcnt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_words"),
+        coalesce($"nm", lit(0L)).as("n_matched"),
+        coalesce($"nr", lit(0L)).as("n_removed"),
+        coalesce($"ct", $"text").as("clean_text"))
+      .orderBy($"doc_id")
+  }
 }
