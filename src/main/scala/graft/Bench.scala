@@ -102,8 +102,9 @@ object Bench {
     // forward as-of, ANN recall eval
     "g_reach_profile", "j_interval_overlap", "j_asof_forward",
     "v_ann_recall", "v_embedding_drift",
-    // r14 additions: the span-level decontamination rewrite
-    "d_decontaminate_rewrite")
+    // r14 additions: the span-level decontamination rewrite, HyperBall
+    // all-node harmonic centrality
+    "d_decontaminate_rewrite", "g_harmonic_all")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -156,6 +156,7 @@ object SparkEntry {
     "g_ppr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
     // HLL-sketch estimates (float) ⇒ rows-only like q_approx_distinct
     "g_reach_profile" -> ((s, d) => GraphOps.reachProfile(s, d)),
+    "g_harmonic_all" -> ((s, d) => GraphOps.harmonicAll(s, d)),
     "g_hits" -> ((s, d) => GraphOps.hits(s, d)),
     "g_random_walks" -> ((s, d) => GraphOps.randomWalks(s, d)),
     "g_node2vec" -> ((s, d) => GraphOps.node2vecWalks(s, d)),

@@ -1975,4 +1975,72 @@ object GraphOps {
 
   def reachProfile(s: SparkSession, dir: String, iters: Int = 6): DataFrame =
     reachProfileOf(edgesUnsorted(s, dir), iters)
+
+  // G22 — HyperBall all-node harmonic centrality (Boldi & Vigna 2013,
+  // "In-Core Computation of Geometric Centralities with HyperBall"):
+  // H(v) = Σ_{u≠v reachable} 1/dist(u,v) for EVERY node — the
+  // full-graph metric G20 only estimates from landmarks. The ball
+  // sketches G21 already grows contain the whole answer: the number of
+  // nodes at distance exactly t from v is |B_t(v)| − |B_{t−1}(v)|, so
+  // H(v) = Σ_t (|B_t(v)| − |B_{t−1}(v)|)/t accumulates DURING the
+  // HyperANF loop — same arcs, same union agg, same round count; the
+  // only additions are two node-sized columns (previous estimate +
+  // running sum) carried through the per-round state frame and one
+  // partitioning-aligned join of the new balls against it (both sides
+  // hash-partitioned by v, so no extra exchange — the loop still
+  // shuffles exactly one node-sized frame per round along the
+  // src-partitioned arc checkpoint).
+  // Per-node estimates are HLL floats (lgK=8 ⇒ ~6.5% per node; exact in
+  // coupon mode) ⇒ rows-only. The per-round delta is clamped at 0: the
+  // register state only grows, and the datasketches estimator is
+  // monotone in it up to estimator-regime transitions whose sub-ulp
+  // wobble the clamp absorbs — in coupon mode (the fixture regime) the
+  // deltas are integer-exact and the clamp never fires.
+  // Register-checksum early-exit = G21's: past the diameter every union
+  // is a no-op and every delta is 0, so converged rounds add nothing
+  // and the loop stops paying for them.
+  private[graft] def harmonicAllOf(edges: DataFrame, iters: Int,
+      lgConfigK: Int = 8): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = loopArcs(edges, withWeight = false)
+    var balls = partitionedCheckpoint(
+      arcs.select($"src".as("v")).distinct()
+        .groupBy($"v").agg(hll_sketch_agg($"v", lgConfigK).as("sk"))
+        .select($"v", $"sk",
+          hll_sketch_estimate($"sk").cast("double").as("est"),
+          lit(0.0).as("h")), "v")
+    def chk(b: DataFrame): Long =
+      b.agg(expr("bit_xor(xxhash64(v, sk))")).first().getLong(0)
+    var prevChk = chk(balls)
+    var t = 1
+    var converged = false
+    while (t <= iters && !converged) {
+      val nxt = partitionedCheckpoint(
+        arcs.join(balls.select($"v".as("src"), $"sk"), "src")
+          .select($"dst".as("v"), $"sk")
+          .unionAll(balls.select($"v", $"sk"))
+          .groupBy($"v").agg(hll_union_agg($"sk").as("sk"))
+          .join(balls.select($"v", $"est".as("pe"), $"h"), "v")
+          .select($"v", $"sk",
+            hll_sketch_estimate($"sk").cast("double").as("est"), $"pe", $"h")
+          .select($"v", $"sk", $"est",
+            ($"h" + greatest(($"est" - $"pe") / t, lit(0.0))).as("h")), "v")
+      balls.unpersist(blocking = false) // loop discipline: one live frame
+      balls = nxt
+      val c = chk(balls)
+      converged = c == prevChk
+      prevChk = c
+      t += 1
+    }
+    // the final checkpoint stays persisted — the returned frame reads it
+    // (the iterative-loop contract everywhere here; harnesses clearAll)
+    balls.select($"v",
+        round($"est" - 1.0, 3).as("reach"), // ball minus self
+        round($"h", 6).as("harmonic"))
+      .orderBy($"harmonic".desc, $"v")
+  }
+
+  def harmonicAll(s: SparkSession, dir: String, iters: Int = 6): DataFrame =
+    harmonicAllOf(edgesUnsorted(s, dir), iters)
 }

@@ -81,6 +81,61 @@ class Wave14Spec extends SparkSpecBase {
     assert(after == 0L)
   }
 
+  test("harmonic centrality: integer-exact in HLL coupon mode on the path fixture") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 (undirected): H(1)=1+1/2+1/3+1/4, H(2)=1+1+1/2+1/3,
+    // H(3)=1+1+1/2+1/2, symmetric for 4,5; ball sizes <=5 keep every HLL
+    // in coupon mode where estimates are exact, so harmonic is exact too
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "weight")
+    val got = graft.operators.GraphOps.harmonicAllOf(path, 6)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val h1 = 1.0 + 1.0 / 2 + 1.0 / 3 + 1.0 / 4
+    val h2 = 1.0 + 1.0 + 1.0 / 2 + 1.0 / 3
+    val h3 = 1.0 + 1.0 + 1.0 / 2 + 1.0 / 2
+    val exp = Map(1L -> h1, 2L -> h2, 3L -> h3, 4L -> h2, 5L -> h1)
+    exp.foreach { case (v, h) =>
+      assert(got(v)._1 == 4.0, s"reach($v) = ${got(v)._1}") // everyone reaches 4 others
+      assert(math.abs(got(v)._2 - h) < 1e-4, s"H($v) = ${got(v)._2} != $h")
+    }
+    // fixpoint: extra rounds past the diameter change nothing
+    val more = graft.operators.GraphOps.harmonicAllOf(path, 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    exp.keys.foreach(v => assert(more(v) == got(v)._2))
+  }
+
+  test("harmonic centrality: tracks the exact truncated closure on the sf graph") {
+    val s = spark
+    import s.implicits._
+    val edges = graft.operators.GraphOps.edgesUnsorted(s, sfDir)
+    val arcs = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst"))).cache()
+    // exact 3-hop harmonic per node: BFS closure carrying min distance
+    var reach = arcs.select($"src".as("root"), $"src".as("v"), lit(0).as("d")).distinct().cache()
+    (1 to 3).foreach { t =>
+      val nxt = reach.join(arcs.withColumnRenamed("src", "v"), "v")
+        .select($"root", $"dst".as("v"), lit(t).as("d"))
+        .unionAll(reach)
+        .groupBy($"root", $"v").agg(min($"d").as("d")).cache()
+      reach.unpersist(); reach = nxt
+    }
+    val exact = reach.filter($"d" > 0)
+      .groupBy($"root").agg(sum(lit(1.0) / $"d").as("hx"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = graft.operators.GraphOps.harmonicAllOf(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == exact.keySet)
+    // per-node HLL error at lgK=8 is ~6.5% per ball estimate and the
+    // harmonic sum is a difference of such estimates — allow 25% per
+    // node; the population TOTAL averages the error out to a few %
+    exact.foreach { case (v, hx) =>
+      assert(math.abs(got(v) - hx) / hx < 0.25, s"H($v): ${got(v)} vs $hx") }
+    val (sg, sx) = (got.values.sum, exact.values.sum)
+    assert(math.abs(sg - sx) / sx < 0.05, s"totals: $sg vs $sx")
+    reach.unpersist(); arcs.unpersist()
+  }
+
   test("decontaminate_rewrite: corpus invariants at sf0.001") {
     val s = spark
     import s.implicits._
