@@ -103,8 +103,8 @@ object Bench {
     "g_reach_profile", "j_interval_overlap", "j_asof_forward",
     "v_ann_recall", "v_embedding_drift",
     // r14 additions: the span-level decontamination rewrite, HyperBall
-    // all-node harmonic centrality
-    "d_decontaminate_rewrite", "g_harmonic_all")
+    // all-node harmonic centrality, the family-wide ANN recall eval
+    "d_decontaminate_rewrite", "g_harmonic_all", "v_ann_recall_family")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -227,7 +227,30 @@ object Bench {
               -1.0
             } finally spark.conf.set(key, prior)
           }
-        Seq("v_lsh_ann_index_build" -> buildSec, "v_lsh_ann_indexed" -> querySec)
+        // r14: the recall monitor against the same serving table — the
+        // eval a deployed store runs at candidate-cost (VERDICT r13 #8)
+        val recallSec =
+          if (buildSec < 0) -1.0
+          else {
+            val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            val prior = spark.conf.get(key)
+            spark.conf.set(key, "false")
+            try {
+              def once(): Double = {
+                val t = System.nanoTime()
+                graft.operators.VectorOps.annRecallIndexed(spark, sfDir, "bench_lsh_sigs")
+                  .write.format("noop").mode("overwrite").save()
+                Caches.clearAll(spark)
+                (System.nanoTime() - t) / 1e9
+              }
+              Seq.fill(3)(once()).min
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] v_ann_recall_indexed failed: ${e.getMessage}")
+              -1.0
+            } finally spark.conf.set(key, prior)
+          }
+        Seq("v_lsh_ann_index_build" -> buildSec, "v_lsh_ann_indexed" -> querySec,
+          "v_ann_recall_indexed" -> recallSec)
       }
     val sentinelPost = Sentinels.cpu(spark)
     val memPost = mem.run()

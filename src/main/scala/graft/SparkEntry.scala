@@ -102,6 +102,7 @@ object SparkEntry {
     "v_knn_per_label" -> ((s, d) => VectorOps.knnPerLabel(s, d)),
     "v_lsh_ann" -> ((s, d) => VectorOps.lshAnn(s, d)),
     "v_ann_recall" -> ((s, d) => VectorOps.annRecall(s, d)),
+    "v_ann_recall_family" -> ((s, d) => VectorOps.annRecallFamily(s, d)),
     "v_embedding_drift" -> ((s, d) => Drift.embeddingDrift(s, d)),
     "v_ivf_ann" -> ((s, d) => VectorOps.ivfAnn(s, d)),
     // k-means + PQ-codebook seeded ⇒ honestly rows-only like V4b/V10

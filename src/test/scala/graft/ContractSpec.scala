@@ -13,7 +13,7 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the fifteen documented non-SQL-expressible ops") {
+  test("the rows-only set is exactly the sixteen documented non-SQL-expressible ops") {
     // r4: triangle counting (3-way join) and landmark BFS (bounded
     // recursive CTE) turned out to be SQL-expressible after all; r6:
     // pagerank and connected components followed (window-aggregation in
@@ -42,7 +42,8 @@ class ContractSpec extends AnyFunSuite {
       "m_phash_dedup",           // byte-loop perceptual hash; planted-edit specs
       "v_ivfpq_ann",             // k-means + PQ-codebook seeded; degradation spec
       "g_reach_profile",         // HLL ball sketches (r13); coupon-exact + closure specs
-      "g_harmonic_all")          // HyperBall centrality (r14); same sketches, per-node floats
+      "g_harmonic_all",          // HyperBall centrality (r14); same sketches, per-node floats
+      "v_ann_recall_family")     // k-means-seeded IVF/PQ legs (r14); full-probe ≡ exact spec
     assert(rowsOnly == documented,
       s"missing oracle: ${rowsOnly -- documented}; stale doc: ${documented -- rowsOnly}")
   }
