@@ -25,7 +25,9 @@ object BenchSf10 {
     "g_ppr", "g_betweenness", "g_closeness", "g_weighted_paths",
     "g_random_walks", "g_node2vec",
     // r13: HyperANF distance profile (standing record 379.3 s, §5 r13)
-    "g_reach_profile")
+    "g_reach_profile",
+    // r14: HyperBall harmonic centrality (the same loop + per-node state)
+    "g_harmonic_all")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf10")

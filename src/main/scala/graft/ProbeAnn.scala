@@ -44,7 +44,21 @@ object ProbeAnn {
       t
     }
     val tInl = Seq(qi(0L), qi(2L), qi(3L)).min
-    println(f"""{"build":$tBuild%.3f,"indexed_query":$tIdx%.3f,"inline_query":$tInl%.3f,"sf":"$sfDir"}""")
+    // r14 (VERDICT r13 #8): the recall monitor against the same table.
+    // Caches cleared between reps so BOTH legs pay their full per-eval
+    // cost — the shared ground-truth sim scan plus their own candidate
+    // path (inline: the corpus-wide signature pass; indexed: the
+    // key-pruned table read). The delta is the signature pass the
+    // serving split amortizes into the offline build.
+    def rec(f: => org.apache.spark.sql.DataFrame): Double = {
+      Caches.clearAll(spark)
+      time { f.write.format("noop").mode("overwrite").save() }
+    }
+    rec(VectorOps.annRecallIndexed(spark, sfDir, "lsh_sigs")) // warm-up
+    val tRecIdx = Seq.fill(2)(
+      rec(VectorOps.annRecallIndexed(spark, sfDir, "lsh_sigs"))).min
+    val tRecInl = Seq.fill(2)(rec(VectorOps.annRecall(spark, sfDir))).min
+    println(f"""{"build":$tBuild%.3f,"indexed_query":$tIdx%.3f,"inline_query":$tInl%.3f,"recall_indexed":$tRecIdx%.3f,"recall_inline":$tRecInl%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
