@@ -29,6 +29,17 @@ object GraftFunctions {
   def vecAbsMax(v: Column): Column =
     GraftColumn.of(VecAbsMax(GraftColumn.exprOf(v)))
 
+  /** argmax_i (u · mat(i) − biases(i)) as one generated loop — the
+    * any-size-codebook cell assignment (see VecArgmaxDot: the unrolled
+    * array_max form blows janino's 64 KB method limit at PQ scale). */
+  def vecArgmaxDot(u: Column, mat: Array[Array[Double]],
+      biases: Array[Double]): Column =
+    GraftColumn.of(VecArgmaxDot(GraftColumn.exprOf(u), mat, biases))
+
+  /** All m PQ codes in one generated loop (see PqEncode). */
+  def pqEncode(u: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftColumn.of(PqEncode(GraftColumn.exprOf(u), books))
+
   /** node2vec biased transition over the sorted adjacency array (G18b's
     * in-row kernel — see Node2VecPick). */
   def node2vecPick(nbrs: Column, nprev: Column, prev: Column, h: Column,

@@ -23,12 +23,15 @@ import graft.functions.GraftFunctions.vecDot
   */
 object VecCluster {
 
-  /** Argmax-cosine cell id for a unit-vector column, as one codegen'd
-    * expression: array_max over (sim, cell) structs. */
+  /** Argmax-cosine cell id for a unit-vector column. r14: the generated
+    * LOOP kernel (VecArgmaxDot) instead of the unrolled array_max-over-
+    * structs form — identical semantics (ascending dot sums, ties to the
+    * larger cell, NaN greatest) but O(1) generated lines in the codebook
+    * size, so stages that compose it with PQ encoding stay inside
+    * whole-stage codegen instead of tripping janino's 64 KB limit. */
   def cellOf(u: Column, cents: Array[Array[Double]]): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(vecDot(u, typedLit(c.toSeq)).as("csim"), lit(i).as("cell"))
-    }: _*)).getField("cell")
+    graft.functions.GraftFunctions.vecArgmaxDot(u, cents,
+      new Array[Double](cents.length))
 
   /** Cosine to the assigned (= nearest) centroid, same argmax. */
   def cellSimOf(u: Column, cents: Array[Array[Double]]): Column =

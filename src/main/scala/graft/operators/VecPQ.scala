@@ -81,12 +81,13 @@ object VecPQ {
     books
   }
 
-  /** Codes column (array of m ints) for a unit-vector column. */
-  def encode(u: Column, books: Array[Array[Array[Double]]]): Column = {
-    val m = books.length
-    val dsub = books.head.head.length
-    array((0 until m).map(j => codeOf(subvec(u, j, dsub), books(j))): _*)
-  }
+  /** Codes column (array of m ints) for a unit-vector column. r14: one
+    * generated loop over all m subspaces (PqEncode) — the m unrolled
+    * codeOf argmaxes (m×ksub vecDots in one projection) blew janino's
+    * 64 KB method limit and silently dropped v_ivfpq_ann's whole coded
+    * stage to interpreted mode; same argmin-L2-as-argmax-score math. */
+  def encode(u: Column, books: Array[Array[Array[Double]]]): Column =
+    graft.functions.GraftFunctions.pqEncode(u, books)
 
   /** ADC lookup table for one query: table(j)(k) = q_sub_j · c_jk.
     * Driver-bounded (m × ksub doubles — the codebook argument). */

@@ -817,16 +817,23 @@ object VectorOps {
         Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell")))
       .filter($"rn" <= nProbe)
       .select($"query_id", $"cell")
-    val perQScores = array(qUnit.map { case (qid, qu) =>
-      struct(lit(qid).as("query_id"),
-        VecPQ.adcScore($"codes", VecPQ.adcTable(qu.toArray, books)).as("approx"))
-    }: _*)
+    // per-query ADC scores via ONE 3-D literal table indexed by panel
+    // position — inlining adcScore per query (8 × m element_at terms in
+    // one projection) grew the generated method past janino's 64 KB
+    // limit and knocked the whole coded pass out of codegen (measured:
+    // the sf1 probe logged 'Code grows beyond 64 KB' fallbacks); the
+    // triple-element_at form is m terms total and stays compiled
+    val allTables = qUnit.map { case (_, qu) =>
+      VecPQ.adcTable(qu.toArray, books).map(_.toSeq).toSeq }.toSeq
     val scored = corpus
       .select($"vec_id", VecCluster.cellOf($"u", cents).as("cell"),
         VecPQ.encode($"u", books).as("codes"))
-      .select($"vec_id", $"cell", explode(perQScores).as("sc"))
-      .select($"vec_id", $"cell", $"sc.query_id".as("query_id"),
-        $"sc.approx".as("approx"))
+      .select($"vec_id", $"cell", $"codes",
+        posexplode(typedLit(qUnit.map(_._1).toSeq)).as(Seq("qpos", "query_id")))
+      .select($"vec_id", $"cell", $"query_id",
+        (0 until m).map(j => element_at(element_at(element_at(
+            typedLit(allTables), $"qpos" + 1), j + 1), $"codes".getItem(j) + 1))
+          .reduce(_ + _).as("approx"))
     val wadc = Window.partitionBy($"query_id").orderBy($"approx".desc, $"vec_id")
     val ivfCands = scored.join(broadcast(probed), Seq("query_id", "cell"))
       .select($"query_id", $"vec_id")
