@@ -104,7 +104,10 @@ object Bench {
     "v_ann_recall", "v_embedding_drift",
     // r14 additions: the span-level decontamination rewrite, HyperBall
     // all-node harmonic centrality, the family-wide ANN recall eval
-    "d_decontaminate_rewrite", "g_harmonic_all", "v_ann_recall_family")
+    "d_decontaminate_rewrite", "g_harmonic_all", "v_ann_recall_family",
+    // r14b additions: community-quality readout, KN LM scorer, NB
+    // quality classifier
+    "g_modularity", "t_kn_logprob", "t_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -65,6 +65,8 @@ object SparkEntry {
     "t_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "t_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
     "t_bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
+    "t_kn_logprob" -> ((s, d) => TextOps.knLogprob(s, d)),
+    "t_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "t_more_like_this" -> ((s, d) => TextOps.moreLikeThis(s, d)),
     "t_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(s, d)),
     "t_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
@@ -158,6 +160,7 @@ object SparkEntry {
     // HLL-sketch estimates (float) ⇒ rows-only like q_approx_distinct
     "g_reach_profile" -> ((s, d) => GraphOps.reachProfile(s, d)),
     "g_harmonic_all" -> ((s, d) => GraphOps.harmonicAll(s, d)),
+    "g_modularity" -> ((s, d) => GraphOps.modularity(s, d)),
     "g_hits" -> ((s, d) => GraphOps.hits(s, d)),
     "g_random_walks" -> ((s, d) => GraphOps.randomWalks(s, d)),
     "g_node2vec" -> ((s, d) => GraphOps.node2vecWalks(s, d)),
@@ -610,6 +613,61 @@ object SparkEntry {
         |  CAST(SUM(term) AS DOUBLE)/CAST(SUM(tf) AS BIGINT) AS mean_logprob,
         |  CAST(SUM(tf) AS BIGINT) AS n_bigrams
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Kneser-Ney bigram: the same bigram-count frame feeds prefix totals
+    // + distinct-successor counts (one GROUP BY w1) and the continuation
+    // counts (GROUP BY w2); N1+(..) = SUM(n1w1). The P expression is
+    // written in the exact operation order of the Spark column —
+    // (cf−D)/c1 + D·n1w1/c1·(n1w2/n1all) — then the T11 float
+    // discipline: 6dp log term, tf-scaled re-round, DECIMAL sum.
+    "t_kn_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1,len(w)),
+        |         i -> {'w1': w[i], 'w2': w[i+1]})) u
+        |       FROM d WHERE len(w) >= 2),
+        |tf AS (SELECT doc_id, u.w1 w1, u.w2 w2, COUNT(*) tf FROM bg GROUP BY 1,2,3),
+        |cf AS (SELECT w1, w2, SUM(tf) cf FROM tf GROUP BY 1,2),
+        |pre AS (SELECT w1, SUM(cf) c1, COUNT(*) n1w1 FROM cf GROUP BY w1),
+        |suf AS (SELECT w2, COUNT(*) n1w2 FROM cf GROUP BY w2),
+        |tot AS (SELECT CAST(SUM(n1w1) AS DOUBLE) n1all FROM pre),
+        |t AS (SELECT tf.doc_id, tf.tf,
+        |        CAST(ROUND(tf.tf * ROUND(log10(
+        |          (CAST(cf.cf AS DOUBLE) - 0.75) / CAST(pre.c1 AS DOUBLE) +
+        |          0.75 * CAST(pre.n1w1 AS DOUBLE) / CAST(pre.c1 AS DOUBLE) *
+        |          (CAST(suf.n1w2 AS DOUBLE) / tot.n1all)), 6), 6)
+        |          AS DECIMAL(18,6)) term
+        |      FROM tf JOIN cf ON tf.w1 = cf.w1 AND tf.w2 = cf.w2
+        |        JOIN pre ON tf.w1 = pre.w1 JOIN suf ON tf.w2 = suf.w2
+        |        CROSS JOIN tot)
+        |SELECT doc_id,
+        |  CAST(SUM(term) AS DOUBLE)/CAST(SUM(tf) AS BIGINT) AS mean_logprob,
+        |  CAST(SUM(tf) AS BIGINT) AS n_bigrams
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Naive-Bayes quality classifier: class-conditional word counts in
+    // one aggregate, add-one smoothing, 6dp logodds terms through the
+    // DECIMAL sum, prior added in the final rounded double.
+    "t_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id, source IN ('src0','src1','src2') pos,
+        |         unnest(string_split(lower(text),' ')) wrd FROM documents),
+        |tf AS (SELECT doc_id, pos, wrd, COUNT(*) tf FROM toks GROUP BY 1,2,3),
+        |wf AS (SELECT wrd, SUM(CASE WHEN pos THEN tf ELSE 0 END) cpos,
+        |              SUM(CASE WHEN NOT pos THEN tf ELSE 0 END) cneg
+        |       FROM tf GROUP BY wrd),
+        |docs AS (SELECT SUM(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END) npos,
+        |                SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) nneg
+        |         FROM documents),
+        |st AS (SELECT SUM(cpos) tpos, SUM(cneg) tneg, COUNT(*) v FROM wf),
+        |pr AS (SELECT log10(CAST(npos AS DOUBLE)/CAST(nneg AS DOUBLE)) lp_prior FROM docs),
+        |lo AS (SELECT wrd,
+        |         ROUND(log10(CAST(cpos + 1 AS DOUBLE)/CAST(tpos + v AS DOUBLE)) -
+        |               log10(CAST(cneg + 1 AS DOUBLE)/CAST(tneg + v AS DOUBLE)), 6) logodds
+        |       FROM wf CROSS JOIN st),
+        |t AS (SELECT tf.doc_id, tf.tf,
+        |        CAST(ROUND(tf.tf * lo.logodds, 6) AS DECIMAL(18,6)) term
+        |      FROM tf JOIN lo ON tf.wrd = lo.wrd)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  ROUND(pr.lp_prior + CAST(SUM(term) AS DOUBLE), 6) AS score,
+        |  ROUND(pr.lp_prior + CAST(SUM(term) AS DOUBLE), 6) > 0 AS pred_quality
+        |FROM t CROSS JOIN pr GROUP BY doc_id, pr.lp_prior ORDER BY doc_id""".stripMargin,
     // More-like-this: same df-capped bigram sets as the Jaccard family,
     // fixed query doc 42, |∩| over the distinct capped shingles.
     "t_more_like_this" ->
@@ -1472,6 +1530,40 @@ object SparkEntry {
         |)
         |SELECT v AS part, lbl AS community FROM lab WHERE it = 5
         |ORDER BY part""".stripMargin,
+    // G23: the G11 recursive-CTE LPA replay hands the final labels to
+    // the Newman-Girvan aggregates; w_in/k_tot/n_nodes stay BIGINT and
+    // q_term is the one shared double expression rounded at 6dp.
+    "g_modularity" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT a.pk src, b.pk dst, COUNT(*) AS w FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+        |arcs AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+        |lab AS (
+        |  SELECT 0 AS it, src AS v, src AS lbl FROM (SELECT DISTINCT src FROM arcs)
+        |  UNION ALL
+        |  SELECT it, v, lbl FROM (
+        |    SELECT it, v, lbl, ROW_NUMBER() OVER (PARTITION BY it, v
+        |        ORDER BY vote DESC, lbl) AS rk
+        |    FROM (
+        |      SELECT DISTINCT l.it + 1 AS it, a.dst AS v, l.lbl AS lbl,
+        |        SUM(a.w) OVER (PARTITION BY a.dst, l.lbl) AS vote
+        |      FROM lab l JOIN arcs a ON a.src = l.v
+        |      WHERE l.it < 5)
+        |  ) WHERE rk = 1
+        |),
+        |fin AS (SELECT v, lbl FROM lab WHERE it = 5),
+        |deg AS (SELECT src v, SUM(w) k FROM arcs GROUP BY 1),
+        |m AS (SELECT CAST(SUM(w) AS DOUBLE) m FROM e),
+        |win AS (SELECT la.lbl c, SUM(e.w) w_in FROM e JOIN fin la ON e.src = la.v
+        |        JOIN fin lb ON e.dst = lb.v WHERE la.lbl = lb.lbl GROUP BY 1),
+        |kt AS (SELECT fin.lbl c, COUNT(*) n_nodes, SUM(deg.k) k_tot
+        |       FROM fin JOIN deg ON fin.v = deg.v GROUP BY 1)
+        |SELECT kt.c AS community, CAST(kt.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(COALESCE(win.w_in, 0) AS BIGINT) AS w_in,
+        |  CAST(kt.k_tot AS BIGINT) AS k_tot,
+        |  ROUND(CAST(COALESCE(win.w_in, 0) AS DOUBLE)/m.m -
+        |    (CAST(kt.k_tot AS DOUBLE)/(2*m.m))*(CAST(kt.k_tot AS DOUBLE)/(2*m.m)), 6) AS q_term
+        |FROM kt LEFT JOIN win ON kt.c = win.c CROSS JOIN m
+        |ORDER BY community""".stripMargin,
     "g_degree" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
         |e AS (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2)

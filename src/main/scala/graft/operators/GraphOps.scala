@@ -2043,4 +2043,61 @@ object GraphOps {
 
   def harmonicAll(s: SparkSession, dir: String, iters: Int = 6): DataFrame =
     harmonicAllOf(edgesUnsorted(s, dir), iters)
+
+  // G23 — modularity of a community labeling (Newman & Girvan 2004;
+  // the `modularity` readout GDS returns from labelPropagation/louvain):
+  // Q = Σ_c [ w_in(c)/m − (k_tot(c)/(2m))² ] over the weighted graph,
+  // where m = total edge weight, w_in(c) = intra-community edge weight,
+  // k_tot(c) = Σ weighted degree over c's nodes. G11 hands out labels
+  // with no statement of how cohesive they are — this is the quality
+  // gate a pipeline runs before acting on them (and the score Louvain
+  // would climb). Emitted per community so the dashboard can rank
+  // communities by cohesion; Q itself is SUM(q_term).
+  //
+  // Shape: the labeling is node-sized, the edge frame is the big one —
+  // two hash joins tag each edge's endpoints (edge frame shuffles by
+  // src then dst; at dimension-like label sizes AQE broadcasts the
+  // label side), then everything collapses to community-sized
+  // aggregates. No per-pair work, no windows: Q is three aggregations
+  // over frames the co-purchase family already builds.
+  //
+  // Float discipline (the T11/G13 rule): w_in, k_tot, n_nodes stay
+  // exact BIGINTs; q_term is computed in one double expression shared
+  // verbatim with the oracle — a/m − (k/(2m))·(k/(2m)) — and rounded
+  // once at 6dp, so the only FP ops are division/multiply/subtract in
+  // the same order on both engines.
+  private[graft] def modularityScoreOf(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.select($"src".as("v"), $"weight")
+      .unionAll(edges.select($"dst".as("v"), $"weight"))
+      .groupBy($"v").agg(sum($"weight").as("k"))
+    val m = edges.agg(sum($"weight").cast("double").as("m"))
+    val win = edges
+      .join(labels.select($"v".as("src"), $"lbl".as("la")), "src")
+      .join(labels.select($"v".as("dst"), $"lbl".as("lb")), "dst")
+      .filter($"la" === $"lb")
+      .groupBy($"la").agg(sum($"weight").as("w_in"))
+      .select($"la".as("community"), $"w_in")
+    labels.join(deg, "v")
+      .groupBy($"lbl")
+      .agg(count(lit(1)).as("n_nodes"), sum($"k").as("k_tot"))
+      .select($"lbl".as("community"), $"n_nodes", $"k_tot")
+      .join(win, Seq("community"), "left")
+      .na.fill(0L, Seq("w_in"))
+      .crossJoin(broadcast(m))
+      .select($"community", $"n_nodes", $"w_in", $"k_tot",
+        round(
+          $"w_in".cast("double") / $"m" -
+            ($"k_tot".cast("double") / (lit(2.0) * $"m")) *
+            ($"k_tot".cast("double") / (lit(2.0) * $"m")),
+          6).as("q_term"))
+      .orderBy($"community")
+  }
+
+  def modularity(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val e = edgesUnsorted(s, dir)
+    modularityScoreOf(e, communitiesOf(e, iters))
+  }
 }

@@ -733,4 +733,124 @@ object TextOps {
         coalesce($"ct", $"text").as("clean_text"))
       .orderBy($"doc_id")
   }
+
+  // T19 — interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+  // Chen & Goodman 1999's benchmark winner — the smoothing KenLM ships,
+  // i.e. the model the CCNet perplexity filter actually runs). T11b's
+  // raw MLE gives unseen-in-context bigrams −∞ and overfits rare
+  // prefixes; KN discounts every observed bigram by a fixed D and
+  // redistributes the held-out mass over the CONTINUATION unigram
+  // (how many distinct contexts a word follows — "francisco" is
+  // frequent but follows only "san", so its continuation mass is tiny):
+  //   P(w2|w1) = (c(w1,w2) − D)/c(w1·)
+  //            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+  // with D = 0.75 (the Chen-Goodman default; c ≥ 1 on observed bigrams
+  // keeps the discounted term positive, so no max(…,0) is needed).
+  // Scoring mirrors T11b: mean over the doc's bigram occurrences of
+  // 6dp-rounded log10 P, DECIMAL-summed, one un-rounded IEEE division.
+  //
+  // Shapes: the SAME one (doc, bigram) aggregation as T11b feeds the
+  // per-doc terms; the corpus stats are three map-side-combined
+  // aggregates of it (bigram counts; prefix totals + distinct-successor
+  // counts in ONE groupBy(w1) since both are rows of the bigram-count
+  // frame; distinct-predecessor counts by w2) plus one scalar
+  // (N1+(··) = #distinct bigrams ≡ Σ N1+(w1·), taken as a 1-row
+  // broadcast of the prefix frame — no extra corpus scan). Every join
+  // rides a high-cardinality key; nothing is driver-side.
+  def knLogprob(s: SparkSession, dir: String, d: Double = 0.75): DataFrame =
+    knLogprobOn(Tables.documents(s, dir), d)
+
+  private[graft] def knLogprobOn(docs: DataFrame, d: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bg = docs
+      .select($"doc_id", wordsCol.as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("e"))
+      .select($"doc_id", $"e.w1", $"e.w2")
+    val tf = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy($"w1", $"w2").agg(sum($"tf").as("cf"))
+    val pre = cf.groupBy($"w1")
+      .agg(sum($"cf").as("c1"), count(lit(1)).as("n1w1"))
+    val suf = cf.groupBy($"w2").agg(count(lit(1)).as("n1w2"))
+    val tot = pre.agg(sum($"n1w1").cast("double").as("n1all"))
+    tf.join(cf, Seq("w1", "w2")).join(pre, "w1").join(suf, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        ($"cf".cast("double") - lit(d)) / $"c1".cast("double") +
+          lit(d) * $"n1w1".cast("double") / $"c1".cast("double") *
+          ($"n1w2".cast("double") / $"n1all"))
+      .withColumn("term",
+        round($"tf" * round(log10($"p"), 6), 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(
+        (sum($"term").cast("double") / sum($"tf")).as("mean_logprob"),
+        sum($"tf").as("n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
+  // T20 — trained quality classifier (multinomial Naive Bayes over
+  // word counts with add-one smoothing — the distributed twin of the
+  // fastText-style "looks like a curated source" filter GPT-3/PaLM
+  // pipelines run over CommonCrawl: train on curated-vs-rest labels,
+  // keep what scores curated). The curated class is a source allowlist
+  // (parameter); everything else is the negative class.
+  //   logodds(w) = log10((c_pos(w)+1)/(T_pos+V)) − log10((c_neg(w)+1)/(T_neg+V))
+  //   score(doc) = prior + Σ_w tf(w)·logodds(w),  prior = log10(N_pos/N_neg)
+  // where c_cls(w) are class token counts, T_cls their totals, V the
+  // corpus vocabulary, N_cls class doc counts. pred_quality = score > 0.
+  //
+  // Shapes: training IS one aggregation — the (word) frame carries both
+  // class counts as conditional sums, so there is no per-class scan or
+  // join-of-classes; V, T_pos, T_neg, the priors are one 1-row broadcast
+  // off it. Scoring joins the per-doc tf frame to the word stats on the
+  // word key (high-cardinality, map-side-combined on both inputs) and
+  // collapses per doc. Nothing is driver-side; the "model" never
+  // materializes outside the word-stats frame, so a 100 TB corpus
+  // trains and scores in two shuffles.
+  // Float discipline: counts stay BIGINT; logodds rounds at 6dp,
+  // tf·logodds re-rounds and DECIMAL-sums; the prior (one double) joins
+  // the sum in a final 6dp round.
+  def qualityClassifier(s: SparkSession, dir: String,
+      posSources: Seq[String] = Seq("src0", "src1", "src2")): DataFrame =
+    qualityClassifierOn(Tables.documents(s, dir), posSources)
+
+  private[graft] def qualityClassifierOn(docsDf: DataFrame,
+      posSources: Seq[String]): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val toks = docsDf
+      .select($"doc_id", $"source".isin(posSources: _*).as("pos"),
+        explode(wordsCol).as("wrd"))
+    val tf = toks.groupBy($"doc_id", $"pos", $"wrd")
+      .agg(count(lit(1)).as("tf"))
+    val wf = tf.groupBy($"wrd").agg(
+      sum(when($"pos", $"tf").otherwise(0L)).as("cpos"),
+      sum(when(!$"pos", $"tf").otherwise(0L)).as("cneg"))
+    val docs = docsDf
+      .agg(sum(when($"source".isin(posSources: _*), 1L).otherwise(0L))
+          .as("npos"),
+        sum(when($"source".isin(posSources: _*), 0L).otherwise(1L))
+          .as("nneg"))
+    val stats = wf.agg(sum($"cpos").as("tpos"), sum($"cneg").as("tneg"),
+        count(lit(1)).as("v"))
+      .crossJoin(docs)
+      .select($"tpos", $"tneg", $"v",
+        log10($"npos".cast("double") / $"nneg".cast("double")).as("prior"))
+    val lo = wf.crossJoin(broadcast(stats))
+      .select($"wrd", $"prior",
+        round(
+          log10(($"cpos" + 1L).cast("double") / ($"tpos" + $"v").cast("double")) -
+            log10(($"cneg" + 1L).cast("double") / ($"tneg" + $"v").cast("double")),
+          6).as("logodds"))
+    tf.join(lo, "wrd")
+      .withColumn("term", round($"tf" * $"logodds", 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"),
+        round(first($"prior") + sum($"term").cast("double"), 6).as("score"))
+      .select($"doc_id", $"n_tokens", $"score", ($"score" > 0).as("pred_quality"))
+      .orderBy($"doc_id")
+  }
 }
