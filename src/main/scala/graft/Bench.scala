@@ -107,7 +107,8 @@ object Bench {
     "d_decontaminate_rewrite", "g_harmonic_all", "v_ann_recall_family",
     // r14b additions: community-quality readout, KN LM scorer, NB
     // quality classifier
-    "g_modularity", "t_kn_logprob", "t_quality_classifier")
+    "g_modularity", "t_kn_logprob", "t_quality_classifier",
+    "p_curriculum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

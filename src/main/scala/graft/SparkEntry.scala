@@ -182,6 +182,7 @@ object SparkEntry {
     // input); spec: reference fold + zero-merge identity + monotonicity
     "t_bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "p_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
+    "p_curriculum" -> ((s, d) => Sampling.curriculum(s, d)),
     "p_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
     // best-fit-decreasing needs the whole open-bins vector as fold state
     // — no scalar recursive-CTE replay ⇒ rows-only; the ScalaCheck spec
@@ -2154,6 +2155,28 @@ object SparkEntry {
         |        CAST(('0x'||substr(md5('shuffle:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
         |      FROM documents) t
         |ORDER BY shard, pos""".stripMargin,
+    // P12: the T13 tier CTE assigns the phase, then the P7 shard/pos
+    // window replays inside each (phase, shard) group.
+    "p_curriculum" ->
+      """WITH q AS (
+        | SELECT doc_id,
+        |  ROUND(CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+        |     / len(string_split(lower(text),' '))
+        |   - CAST(length(regexp_replace(text,'[^.,;:!?]','','g')) AS DOUBLE) / length(text)
+        |   + LEAST(1.0, CAST(len(string_split(lower(text),' ')) AS DOUBLE)/100.0), 4) AS quality
+        | FROM documents),
+        |c AS (SELECT ROUND(quantile_cont(quality, 0.25), 4) c1,
+        |             ROUND(quantile_cont(quality, 0.5), 4) c2,
+        |             ROUND(quantile_cont(quality, 0.75), 4) c3 FROM q),
+        |t AS (SELECT doc_id,
+        |        CAST(CASE WHEN quality > c3 THEN 4 WHEN quality > c2 THEN 3
+        |                  WHEN quality > c1 THEN 2 ELSE 1 END AS BIGINT) AS phase,
+        |        CAST(('0x'||substr(md5('curriculum:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |      FROM q CROSS JOIN c)
+        |SELECT phase, CAST(h % 8 AS INT) AS shard,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY phase, h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+        | doc_id
+        |FROM t ORDER BY phase, shard, pos""".stripMargin,
     // P8: z-order replay — per-dim ROW_NUMBER → equal-depth 8-bit bucket
     // (exact integer floor division), Morton interleave as plain bit
     // arithmetic, shard = equal-depth cut of the z rank. All-integer.

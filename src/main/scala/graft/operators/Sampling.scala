@@ -182,4 +182,32 @@ object Sampling {
       .select($"lang", $"rk", $"doc_id")
       .orderBy($"lang", $"rk")
   }
+
+  /** P12 — quality-curriculum training order (`p_curriculum`): phase
+    * docs by T13's quality tier (ascending — the "anneal on quality"
+    * schedule: noisy web text early, curated-grade text in the final
+    * phase, the FineWeb-Edu/Llama-style annealing recipe made explicit)
+    * and shuffle deterministically WITHIN each phase. The output
+    * contract is P7's made curriculum-aware: (phase, shard, pos) is a
+    * total training order a reader walks phase by phase, interleaving
+    * shards within a phase.
+    *
+    * Scale shape: the tier assignment is T13 (one agg + a 3-value
+    * broadcast); ordering inherits P7's no-global-rank discipline — the
+    * window is (phase, shard)-partitioned, so every rank group is
+    * ~corpus/(4·nShards) and there is deliberately no single-reducer
+    * global ROW_NUMBER; at 100 TB nShards scales with the corpus
+    * exactly as in P7. Same md5 draw ⇒ bit-reproducible + oracle-
+    * replayable. */
+  def curriculum(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"phase", $"shard").orderBy($"h", $"doc_id")
+    TextOps.qualityTiers(s, dir)
+      .select($"doc_id", $"tier".as("phase"))
+      .withColumn("h", h64(concat(lit("curriculum:"), $"doc_id")))
+      .withColumn("shard", ($"h" % nShards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select($"phase", $"shard", $"pos", $"doc_id")
+      .orderBy($"phase", $"shard", $"pos")
+  }
 }

@@ -771,7 +771,14 @@ object TextOps {
         "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("e"))
       .select($"doc_id", $"e.w1", $"e.w2")
     val tf = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf"))
-    val cf = tf.groupBy($"w1", $"w2").agg(sum($"tf").as("cf"))
+    // the bigram-TYPE frame is Zipf-small next to the corpus and feeds
+    // FOUR consumers (the per-doc join, prefix stats, continuation
+    // stats, N1+(··)) — persist it so the model is built from one
+    // corpus-scale aggregation, not re-derived per consumer
+    val cf = graft.Caches.cached(
+        s"kn-bigrams:${docs.queryExecution.analyzed.semanticHash()}") {
+      tf.groupBy($"w1", $"w2").agg(sum($"tf").as("cf"))
+    }
     val pre = cf.groupBy($"w1")
       .agg(sum($"cf").as("c1"), count(lit(1)).as("n1w1"))
     val suf = cf.groupBy($"w2").agg(count(lit(1)).as("n1w2"))
@@ -826,9 +833,14 @@ object TextOps {
         explode(wordsCol).as("wrd"))
     val tf = toks.groupBy($"doc_id", $"pos", $"wrd")
       .agg(count(lit(1)).as("tf"))
-    val wf = tf.groupBy($"wrd").agg(
-      sum(when($"pos", $"tf").otherwise(0L)).as("cpos"),
-      sum(when(!$"pos", $"tf").otherwise(0L)).as("cneg"))
+    // the vocab-sized model frame feeds both the totals and the logodds
+    // scoring join — persist so training is ONE corpus aggregation
+    val wf = graft.Caches.cached(s"nb-model:${posSources.mkString(",")}:" +
+        s"${docsDf.queryExecution.analyzed.semanticHash()}") {
+      tf.groupBy($"wrd").agg(
+        sum(when($"pos", $"tf").otherwise(0L)).as("cpos"),
+        sum(when(!$"pos", $"tf").otherwise(0L)).as("cneg"))
+    }
     val docs = docsDf
       .agg(sum(when($"source".isin(posSources: _*), 1L).otherwise(0L))
           .as("npos"),

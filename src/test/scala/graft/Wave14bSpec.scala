@@ -208,6 +208,29 @@ class Wave14bSpec extends SparkSpecBase {
     }
   }
 
+  // --- p_curriculum -------------------------------------------------------
+
+  test("curriculum: phases partition the corpus by tier, positions are dense") {
+    val s = spark
+    import s.implicits._
+    val cur = operators.Sampling.curriculum(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val tiers = TextOps.qualityTiers(s, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // total order: every doc exactly once, phase == its quality tier
+    assert(cur.map(_._4).distinct.length == tiers.size)
+    assert(cur.length == tiers.size)
+    cur.foreach { case (ph, _, _, id) => assert(ph == tiers(id), s"doc $id") }
+    // dense per-(phase, shard) positions starting at 0
+    cur.groupBy(c => (c._1, c._2)).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+    }
+    // deterministic: a second run is bit-identical
+    val again = operators.Sampling.curriculum(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(cur.toSeq == again.toSeq)
+  }
+
   test("quality_classifier: corpus scores equal the plain-Scala NB replay") {
     val s = spark
     import s.implicits._
