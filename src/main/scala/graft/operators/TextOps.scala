@@ -824,8 +824,11 @@ object TextOps {
       posSources: Seq[String] = Seq("src0", "src1", "src2")): DataFrame =
     qualityClassifierOn(Tables.documents(s, dir), posSources)
 
-  private[graft] def qualityClassifierOn(docsDf: DataFrame,
-      posSources: Seq[String]): DataFrame = {
+  /** T20's training frames, shared with the streaming serving leg:
+    * (word stats (wrd, cpos, cneg) — persisted, one corpus aggregation —
+    * and the 1-row class doc counts (npos, nneg)). */
+  private[graft] def nbStats(docsDf: DataFrame,
+      posSources: Seq[String]): (DataFrame, DataFrame) = {
     val s = docsDf.sparkSession
     import s.implicits._
     val toks = docsDf
@@ -846,6 +849,19 @@ object TextOps {
           .as("npos"),
         sum(when($"source".isin(posSources: _*), 0L).otherwise(1L))
           .as("nneg"))
+    (wf, docs)
+  }
+
+  private[graft] def qualityClassifierOn(docsDf: DataFrame,
+      posSources: Seq[String]): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val toks = docsDf
+      .select($"doc_id", $"source".isin(posSources: _*).as("pos"),
+        explode(wordsCol).as("wrd"))
+    val tf = toks.groupBy($"doc_id", $"pos", $"wrd")
+      .agg(count(lit(1)).as("tf"))
+    val (wf, docs) = nbStats(docsDf, posSources)
     val stats = wf.agg(sum($"cpos").as("tpos"), sum($"cneg").as("tneg"),
         count(lit(1)).as("v"))
       .crossJoin(docs)
