@@ -183,6 +183,7 @@ object SparkEntry {
     "t_bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "p_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
     "p_curriculum" -> ((s, d) => Sampling.curriculum(s, d)),
+    "p_mix_budget" -> ((s, d) => Sampling.mixBudget(s, d)),
     "p_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
     // best-fit-decreasing needs the whole open-bins vector as fold state
     // — no scalar recursive-CTE replay ⇒ rows-only; the ScalaCheck spec
@@ -2155,6 +2156,23 @@ object SparkEntry {
         |        CAST(('0x'||substr(md5('shuffle:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
         |      FROM documents) t
         |ORDER BY shard, pos""".stripMargin,
+    // P13: P9's temperature discipline (6dp DECIMAL weights, identical
+    // IEEE share products) over per-source token counts.
+    "p_mix_budget" ->
+      """WITH t AS (SELECT source, CAST(SUM(len(string_split(text,' '))) AS BIGINT) n_tokens
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |        CAST(ROUND(pow(CAST(n_tokens AS DOUBLE), 0.5), 6) AS DECIMAL(18,6)) sw
+        |      FROM t),
+        |s AS (SELECT SUM(sw) tw FROM w),
+        |q AS (SELECT w.source, w.n_tokens,
+        |        ROUND(CAST(w.sw AS DOUBLE)/CAST(s.tw AS DOUBLE), 6) AS share,
+        |        CAST(FLOOR(1000000 * (CAST(w.sw AS DOUBLE)/CAST(s.tw AS DOUBLE))) AS BIGINT) AS quota
+        |      FROM w CROSS JOIN s)
+        |SELECT source, n_tokens, share, quota,
+        |  ROUND(CAST(quota AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) AS rate,
+        |  CAST(CEIL(CAST(quota AS DOUBLE)/CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs
+        |FROM q ORDER BY source""".stripMargin,
     // P12: the T13 tier CTE assigns the phase, then the P7 shard/pos
     // window replays inside each (phase, shard) group.
     "p_curriculum" ->

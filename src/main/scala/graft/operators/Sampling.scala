@@ -183,6 +183,50 @@ object Sampling {
       .orderBy($"lang", $"rk")
   }
 
+  /** P13 — token-budget mix planner (`p_mix_budget`): the arithmetic a
+    * training run does before it reads a byte — given a total token
+    * budget B and P9's temperature rule for target shares (p_i ∝
+    * n_i^α), emit the per-source plan: token count, target share, token
+    * quota, sampling rate, and epochs (rate rounded UP — how many
+    * passes over a small source the quota implies; rate > 1 IS the
+    * oversampling/repetition decision the data-budgeting literature
+    * warns about, surfaced as a number instead of discovered mid-run).
+    * P3/P9/T5c select documents; this emits the PLAN they execute — the
+    * mixing block of a data card.
+    *
+    * Scale: one corpus aggregation (token counts per source, map-side
+    * combined) collapsing to a #sources-row frame; everything after is
+    * broadcast arithmetic. Float discipline = P9's: s_i = round(n_i^α,
+    * 6) as DECIMAL so the share denominator is exact, quotas floor an
+    * identically-written IEEE product on both engines. */
+  def mixBudget(s: SparkSession, dir: String, alpha: Double = 0.5,
+      budget: Long = 1000000L): DataFrame =
+    mixBudgetOf(Tables.documents(s, dir), alpha, budget)
+
+  private[graft] def mixBudgetOf(docs: DataFrame, alpha: Double,
+      budget: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.groupBy($"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+    val weights = toks.withColumn("sw",
+      round(pow($"n_tokens".cast("double"), alpha), 6).cast("decimal(18,6)"))
+    val tot = weights.agg(sum($"sw").as("tw"))
+    weights.crossJoin(broadcast(tot))
+      .withColumn("share",
+        round($"sw".cast("double") / $"tw".cast("double"), 6))
+      .withColumn("quota",
+        floor(lit(budget) * ($"sw".cast("double") / $"tw".cast("double")))
+          .cast("long"))
+      .withColumn("rate",
+        round($"quota".cast("double") / $"n_tokens".cast("double"), 6))
+      .withColumn("epochs",
+        ceil($"quota".cast("double") / $"n_tokens".cast("double"))
+          .cast("long"))
+      .select($"source", $"n_tokens", $"share", $"quota", $"rate", $"epochs")
+      .orderBy($"source")
+  }
+
   /** P12 — quality-curriculum training order (`p_curriculum`): phase
     * docs by T13's quality tier (ascending — the "anneal on quality"
     * schedule: noisy web text early, curated-grade text in the final

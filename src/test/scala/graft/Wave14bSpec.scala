@@ -208,6 +208,63 @@ class Wave14bSpec extends SparkSpecBase {
     }
   }
 
+  test("kn_logprob: the smoothed conditional is a proper distribution — " +
+    "P sums to exactly 1 over the vocab for every observed prefix") {
+    // algebra the spec pins: Σ_observed (c−D)/c1 = (c1 − D·N1+(w1·))/c1
+    // and Σ_vocab Pcont = 1, so the interpolation returns the discount
+    // exactly. A wrong denominator, a mis-joined continuation count, or
+    // an un-redistributed discount all break this.
+    val docs = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the cat",
+      3L -> "a dog and a cat and a mat the end")
+    val bgs = docs.flatMap { case (_, t) =>
+      val w = t.split(" ", -1); w.init.zip(w.tail)
+    }
+    val cf = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = cf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1w1 = cf.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1w2 = cf.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val n1all = cf.size.toDouble
+    val vocab = (bgs.map(_._1) ++ bgs.map(_._2)).distinct
+    c1.keys.foreach { w1 =>
+      val sum = vocab.map { w2 =>
+        val c = cf.getOrElse((w1, w2), 0L)
+        val disc = if (c > 0) (c - 0.75) / c1(w1) else 0.0
+        disc + 0.75 * n1w1(w1) / c1(w1) *
+          (n1w2.getOrElse(w2, 0L).toDouble / n1all)
+      }.sum
+      assert(math.abs(sum - 1.0) < 1e-12, s"prefix '$w1': ΣP=$sum")
+    }
+  }
+
+  // --- p_mix_budget --------------------------------------------------------
+
+  test("mix_budget: hand-computed plan on a two-source fixture; invariants") {
+    val s = spark
+    import s.implicits._
+    // src a: 4 docs x 4 words = 16 tokens; src b: 1 doc x 4 words = 4
+    val docs = (1 to 4).map(i => (i.toLong, "a", "w x y z")) :+
+      ((5L, "b", "w x y z"))
+    val out = operators.Sampling.mixBudgetOf(
+      docs.toDF("doc_id", "source", "text"), 0.5, 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    // sw(a)=4, sw(b)=2, S=6: share a=0.666667, b=0.333333
+    // quota a = floor(100*4/6)=66, b = floor(100*2/6)=33
+    assert(out("a") == ((16L, round6(4.0 / 6.0), 66L, round6(66.0 / 16.0), 5L)))
+    assert(out("b") == ((4L, round6(2.0 / 6.0), 33L, round6(33.0 / 4.0), 9L)))
+    // corpus invariants at sf0.001
+    val corpus = operators.Sampling.mixBudget(s, sfDir).collect()
+    val shares = corpus.map(_.getDouble(2)).sum
+    assert(math.abs(shares - 1.0) < 1e-3)
+    assert(corpus.map(_.getLong(3)).sum <= 1000000L) // Σ quota ≤ B
+    corpus.foreach { r =>
+      assert(r.getLong(5) == math.ceil(r.getLong(3).toDouble / r.getLong(1)).toLong)
+    }
+  }
+
   // --- p_curriculum -------------------------------------------------------
 
   test("curriculum: phases partition the corpus by tier, positions are dense") {
