@@ -52,22 +52,43 @@ object BenchSf10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Settle OUTSIDE every timed region (r14): runOnce's clearAll is
+    // non-blocking by design, so after a sketch-heavy query (HyperANF
+    // balls are ~10s of GB of localCheckpoint blocks) eviction and GC
+    // churn CONTINUE into whatever runs next. Measured symptom: every
+    // r13/r14 BenchSf10 window whose warm-up was g_reach_profile read
+    // an inflated cpu/mem PRE sentinel (2.8–7.3 / 0.09–0.40 vs the r12
+    // quiet 0.196/0.037, whose warm-up was the lighter g_pagerank) —
+    // the "co-tenant" the sentinels kept flagging was partly our own
+    // async cleanup. A blocking unpersist + an explicit GC between
+    // timed regions makes reps independent and lets the sentinels
+    // measure the HOST, which is their job.
+    def settle(): Unit = {
+      Caches.clearAll()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(1000)
+    }
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      val dt = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[benchsf10] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
       }
-      finally Caches.clearAll(spark)
-      (System.nanoTime() - t0) / 1e9
+      settle() // untimed: the next measurement starts on a quiet JVM
+      dt
     }
 
     val names = if (only.nonEmpty) set.filter(only.contains) else set
     val memMiB = sys.env.get("GRAFT_MEM_SENTINEL_MIB").map(_.toInt).getOrElse(1024)
     val mem = new Sentinels.Mem(memMiB, math.min(8, cpus.toInt))
-    runOnce(names.head) // warm-up: JIT, codegen, FS metadata
+    runOnce(names.head) // warm-up: JIT, codegen, FS metadata (settles after)
     Sentinels.cpu(spark) // first execution pays its own codegen compile
     val sentinelPre = Sentinels.cpu(spark)
     mem.run() // JIT, untimed
