@@ -2169,10 +2169,10 @@ object SparkEntry {
         |        ROUND(CAST(w.sw AS DOUBLE)/CAST(s.tw AS DOUBLE), 6) AS share,
         |        CAST(FLOOR(1000000 * (CAST(w.sw AS DOUBLE)/CAST(s.tw AS DOUBLE))) AS BIGINT) AS quota
         |      FROM w CROSS JOIN s)
-        |SELECT source, n_tokens, share, quota,
-        |  ROUND(CAST(quota AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) AS rate,
-        |  CAST(CEIL(CAST(quota AS DOUBLE)/CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs
-        |FROM q ORDER BY source""".stripMargin,
+        |SELECT source, n_tokens, share, quota, rate,
+        |  CAST(CEIL(rate) AS BIGINT) AS epochs
+        |FROM (SELECT *, ROUND(CAST(quota AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) AS rate
+        |      FROM q) ORDER BY source""".stripMargin,
     // P12: the T13 tier CTE assigns the phase, then the P7 shard/pos
     // window replays inside each (phase, shard) group.
     "p_curriculum" ->

@@ -220,9 +220,11 @@ object Sampling {
           .cast("long"))
       .withColumn("rate",
         round($"quota".cast("double") / $"n_tokens".cast("double"), 6))
-      .withColumn("epochs",
-        ceil($"quota".cast("double") / $"n_tokens".cast("double"))
-          .cast("long"))
+      // epochs = ceil of the ROUNDED rate column — the published
+      // contract (r15, ADVICE r14 #2: ceil of the unrounded ratio
+      // disagrees with ceil(rate) for ratios within 5e-7 above an
+      // integer; both engines now ceil the same 6dp value)
+      .withColumn("epochs", ceil($"rate").cast("long"))
       .select($"source", $"n_tokens", $"share", $"quota", $"rate", $"epochs")
       .orderBy($"source")
   }

@@ -809,14 +809,17 @@ object TextOps {
   // where c_cls(w) are class token counts, T_cls their totals, V the
   // corpus vocabulary, N_cls class doc counts. pred_quality = score > 0.
   //
-  // Shapes: training IS one aggregation — the (word) frame carries both
-  // class counts as conditional sums, so there is no per-class scan or
-  // join-of-classes; V, T_pos, T_neg, the priors are one 1-row broadcast
-  // off it. Scoring joins the per-doc tf frame to the word stats on the
-  // word key (high-cardinality, map-side-combined on both inputs) and
-  // collapses per doc. Nothing is driver-side; the "model" never
-  // materializes outside the word-stats frame, so a 100 TB corpus
-  // trains and scores in two shuffles.
+  // Shapes: the corpus is exploded and aggregated ONCE — the persisted
+  // per-doc tf frame (nbStats) feeds both the training aggregate and the
+  // scoring join (r15, ADVICE r14 #1). Training collapses it to a
+  // vocab-sized (word) frame carrying both class counts as conditional
+  // sums — no per-class scan or join-of-classes; V, T_pos, T_neg, the
+  // priors are one 1-row broadcast off it. Scoring joins the SAME tf
+  // frame to the word stats on the word key (high-cardinality,
+  // map-side-combined) and collapses per doc. Nothing is driver-side;
+  // the "model" never materializes outside the word-stats frame, so a
+  // 100 TB corpus pays one explode and three keyed shuffles total
+  // (tf build, vocab aggregate, scoring join) however large it is.
   // Float discipline: counts stay BIGINT; logodds rounds at 6dp,
   // tf·logodds re-rounds and DECIMAL-sums; the prior (one double) joins
   // the sum in a final 6dp round.
@@ -824,22 +827,30 @@ object TextOps {
       posSources: Seq[String] = Seq("src0", "src1", "src2")): DataFrame =
     qualityClassifierOn(Tables.documents(s, dir), posSources)
 
-  /** T20's training frames, shared with the streaming serving leg:
-    * (word stats (wrd, cpos, cneg) — persisted, one corpus aggregation —
-    * and the 1-row class doc counts (npos, nneg)). */
+  /** T20's training frames, shared with the scoring join AND the
+    * streaming serving leg: the per-doc term-frequency frame (doc_id,
+    * pos, wrd, tf) — persisted, the ONE corpus-scale explode+aggregation
+    * in the whole train-and-score path (r15, ADVICE r14 #1: the old
+    * split re-derived an identical tf inside qualityClassifierOn, paying
+    * the corpus explode twice) — the vocab-sized word stats (wrd, cpos,
+    * cneg) aggregated FROM it, and the 1-row class doc counts
+    * (npos, nneg). */
   private[graft] def nbStats(docsDf: DataFrame,
-      posSources: Seq[String]): (DataFrame, DataFrame) = {
+      posSources: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
     val s = docsDf.sparkSession
     import s.implicits._
-    val toks = docsDf
-      .select($"doc_id", $"source".isin(posSources: _*).as("pos"),
-        explode(wordsCol).as("wrd"))
-    val tf = toks.groupBy($"doc_id", $"pos", $"wrd")
-      .agg(count(lit(1)).as("tf"))
+    val key = s"${posSources.mkString(",")}:" +
+      s"${docsDf.queryExecution.analyzed.semanticHash()}"
+    val tf = graft.Caches.cached(s"nb-tf:$key") {
+      docsDf
+        .select($"doc_id", $"source".isin(posSources: _*).as("pos"),
+          explode(wordsCol).as("wrd"))
+        .groupBy($"doc_id", $"pos", $"wrd")
+        .agg(count(lit(1)).as("tf"))
+    }
     // the vocab-sized model frame feeds both the totals and the logodds
-    // scoring join — persist so training is ONE corpus aggregation
-    val wf = graft.Caches.cached(s"nb-model:${posSources.mkString(",")}:" +
-        s"${docsDf.queryExecution.analyzed.semanticHash()}") {
+    // scoring join — persist so training reads the shared tf once
+    val wf = graft.Caches.cached(s"nb-model:$key") {
       tf.groupBy($"wrd").agg(
         sum(when($"pos", $"tf").otherwise(0L)).as("cpos"),
         sum(when(!$"pos", $"tf").otherwise(0L)).as("cneg"))
@@ -849,19 +860,14 @@ object TextOps {
           .as("npos"),
         sum(when($"source".isin(posSources: _*), 0L).otherwise(1L))
           .as("nneg"))
-    (wf, docs)
+    (tf, wf, docs)
   }
 
   private[graft] def qualityClassifierOn(docsDf: DataFrame,
       posSources: Seq[String]): DataFrame = {
     val s = docsDf.sparkSession
     import s.implicits._
-    val toks = docsDf
-      .select($"doc_id", $"source".isin(posSources: _*).as("pos"),
-        explode(wordsCol).as("wrd"))
-    val tf = toks.groupBy($"doc_id", $"pos", $"wrd")
-      .agg(count(lit(1)).as("tf"))
-    val (wf, docs) = nbStats(docsDf, posSources)
+    val (tf, wf, docs) = nbStats(docsDf, posSources)
     val stats = wf.agg(sum($"cpos").as("tpos"), sum($"cneg").as("tneg"),
         count(lit(1)).as("v"))
       .crossJoin(docs)

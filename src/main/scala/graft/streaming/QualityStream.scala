@@ -49,7 +49,16 @@ object QualityStream {
       vocabCap: Int = 50000): NbModel = {
     val s = docs.sparkSession
     import s.implicits._
-    val (wf, dc) = TextOps.nbStats(docs, posSources)
+    val (_, wf, dc) = TextOps.nbStats(docs, posSources)
+    // fail loudly at TRAINING time on degenerate classes (r15, ADVICE
+    // r14 #3): a posSources allowlist matching zero (or all) documents
+    // makes the prior log10(0/n) or log10(n/0) = ±Infinity, which would
+    // silently poison every streamed score downstream
+    val d0 = dc.first()
+    val (npos, nneg) = (d0.getLong(0), d0.getLong(1))
+    require(npos > 0 && nneg > 0,
+      s"degenerate training classes: npos=$npos nneg=$nneg — " +
+        "posSources must match at least one and not all documents")
     val st = wf.agg(sum($"cpos").as("tpos"), sum($"cneg").as("tneg"),
         count(lit(1)).as("v"))
       .crossJoin(dc)
@@ -70,18 +79,25 @@ object QualityStream {
   }
 
   /** The scalar scoring fold — tokenization and float discipline
-    * bit-identical to T20's distributed aggregation. */
+    * bit-identical to T20's distributed aggregation. n_tokens counts
+    * MODEL-MATCHED token mass — SUM(tf) over words the logodds table
+    * knows — mirroring T20's vocab-joined SUM(tf) exactly (r15, ADVICE
+    * r14 #4: raw split length only coincides with that on the training
+    * corpus itself; on genuinely new documents OOV words must not count,
+    * or the parity claim silently narrows to `score` alone). */
   private[graft] def scoreDoc(d: Doc, m: NbModel): Scored = {
     val ws = d.text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     var acc = java.math.BigDecimal.ZERO
+    var nTok = 0L
     ws.groupBy(identity).foreach { case (w, occ) =>
       m.logodds.get(w).foreach { lo =>
+        nTok += occ.length
         acc = acc.add(java.math.BigDecimal.valueOf(round6(occ.length * lo))
           .setScale(6, java.math.RoundingMode.HALF_UP))
       }
     }
     val score = round6(m.prior + acc.doubleValue)
-    Scored(d.doc_id, ws.length.toLong, score, score > 0)
+    Scored(d.doc_id, nTok, score, score > 0)
   }
 
   /** Batch twin: same verdicts from one stateless pass. */
