@@ -108,7 +108,10 @@ object Bench {
     // r14b additions: community-quality readout, KN LM scorer, NB
     // quality classifier
     "g_modularity", "t_kn_logprob", "t_quality_classifier",
-    "p_curriculum", "p_mix_budget")
+    "p_curriculum", "p_mix_budget",
+    // r15 additions: one-level deterministic Louvain (the modularity
+    // climber)
+    "g_louvain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump ONE contract query's result as parquet — the single-query twin
+  * of Verify for iterating on a new oracle without paying the full
+  * 168-entry drive.
+  *
+  *   sbt "runMain graft.DumpOne <query> <sfDir> <outDir>"
+  */
+object DumpOne {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: DumpOne <query> <sfDir> <outDir>"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(2).getOrElse("/tmp/dumpone")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    println(s"[dumpone] $name $sfDir -> $outDir/$name.parquet")
+    spark.stop()
+  }
+}

@@ -161,6 +161,7 @@ object SparkEntry {
     "g_reach_profile" -> ((s, d) => GraphOps.reachProfile(s, d)),
     "g_harmonic_all" -> ((s, d) => GraphOps.harmonicAll(s, d)),
     "g_modularity" -> ((s, d) => GraphOps.modularity(s, d)),
+    "g_louvain" -> ((s, d) => GraphOps.louvain(s, d)),
     "g_hits" -> ((s, d) => GraphOps.hits(s, d)),
     "g_random_walks" -> ((s, d) => GraphOps.randomWalks(s, d)),
     "g_node2vec" -> ((s, d) => GraphOps.node2vecWalks(s, d)),
@@ -266,10 +267,61 @@ object SparkEntry {
       | FROM bands a JOIN bands b ON a.band=b.band AND a.sig=b.sig AND a.doc_id<b.doc_id
       | GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
+  /** G24 oracle: the synchronous ΔQ-greedy Louvain sweeps unrolled as a
+    * CTE chain lab0 → lab1 → … (the G19 unrolled-pass precedent: one
+    * sweep reads the label frame three ways — current label, community
+    * stats, vote join — which a recursive CTE's single self-reference
+    * can't express). Every arithmetic step mirrors GraphOps.louvainOf
+    * verbatim: BIGINT k_v / Σ_tot / k_{v,c}; ONE shared double gain
+    * expression rounded at 6dp and normalized (+ 0.0) so no −0.0 exists
+    * to order differently; argmax by (gain DESC, stay-first, community
+    * ASC); and the direction-alternation predicate (odd sweeps adopt
+    * only smaller labels, even sweeps only larger — the swap-cycle
+    * breaker documented at GraphOps.louvainOf).
+    *
+    * Every CTE is MATERIALIZED: DuckDB INLINES non-recursive CTEs, and
+    * each sweep references lab{i−1} six ways — inlined, lab5 expands to
+    * ~6⁵ scans of lineitem (measured: the un-hinted form exhausts file
+    * descriptors before it finishes); materialized, the chain runs each
+    * sweep once, 0.2 s at sf0.001. */
+  private def louvainOracle(sweeps: Int): String = {
+    val sweepCtes = (1 to sweeps).map { i =>
+      val p = i - 1
+      val dir = if (i % 2 == 1) "cd.c <= l.lbl" else "cd.c >= l.lbl"
+      s"""kt$i AS MATERIALIZED (SELECT l.lbl c, SUM(d.kv) ktot
+         |  FROM lab$p l JOIN deg d ON l.v = d.v GROUP BY 1),
+         |kvc$i AS MATERIALIZED (SELECT a.dst v, l.lbl c, SUM(a.w) kvc
+         |  FROM arcs a JOIN lab$p l ON a.src = l.v GROUP BY 1, 2),
+         |cand$i AS MATERIALIZED (SELECT v, c, MAX(kvc) kvc FROM (
+         |    SELECT v, c, kvc FROM kvc$i
+         |    UNION ALL SELECT v, lbl c, 0 kvc FROM lab$p) GROUP BY 1, 2),
+         |sc$i AS MATERIALIZED (SELECT cd.v, cd.c,
+         |    ROUND(CAST(cd.kvc AS DOUBLE)/m.m -
+         |      (CAST(kt.ktot - CASE WHEN cd.c = l.lbl THEN d.kv ELSE 0 END AS DOUBLE)/(2*m.m))
+         |      * (CAST(d.kv AS DOUBLE)/m.m), 6) + 0.0 AS gain,
+         |    CASE WHEN cd.c = l.lbl THEN 0 ELSE 1 END nc
+         |  FROM cand$i cd JOIN lab$p l ON cd.v = l.v JOIN deg d ON cd.v = d.v
+         |    JOIN kt$i kt ON cd.c = kt.c CROSS JOIN m
+         |  WHERE $dir),
+         |lab$i AS MATERIALIZED (SELECT v, c lbl FROM (
+         |    SELECT v, c, ROW_NUMBER() OVER (PARTITION BY v ORDER BY gain DESC, nc, c) rk
+         |    FROM sc$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.pk src, b.pk dst, COUNT(*) AS w FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+       |arcs AS MATERIALIZED (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+       |deg AS MATERIALIZED (SELECT src v, SUM(w) kv FROM arcs GROUP BY 1),
+       |m AS MATERIALIZED (SELECT CAST(SUM(w) AS DOUBLE) m FROM e),
+       |lab0 AS MATERIALIZED (SELECT v, v lbl FROM deg),
+       |$sweepCtes
+       |SELECT v AS part, lbl AS community FROM lab$sweeps ORDER BY part""".stripMargin
+  }
+
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
     * compares after sorting columns by name). Money sums go through
     * DECIMAL(18,6) on both engines so results are bit-identical. */
   def oracleSql: Map[String, String] = Map(
+    "g_louvain" -> louvainOracle(5),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -2100,4 +2100,89 @@ object GraphOps {
     val e = edgesUnsorted(s, dir)
     modularityScoreOf(e, communitiesOf(e, iters))
   }
+
+  // G24 — one-level deterministic Louvain (Blondel et al. 2008, "Fast
+  // unfolding of communities in large networks"; gds.louvain is the
+  // flagship GDS community call): CLIMB the modularity score G23 made
+  // measurable. Each sweep every node evaluates, synchronously from the
+  // CURRENT labeling, the gain of placing itself (after removal from its
+  // own community) into each neighboring community c:
+  //   gain(v→c) = k_{v,c}/m − Σ_tot(c\v)·k_v/(2m²)
+  // and adopts the argmax — the standard local-move rule, run
+  // synchronously with a fixed sweep count so the labeling is a pure
+  // function of the edge list (the G11 determinism discipline) and
+  // replays as an unrolled CTE chain (the G19 precedent: per-sweep state
+  // needs the label frame three ways, which a single recursive
+  // self-reference can't express).
+  //
+  // Determinism & oscillation control: argmax tie-breaks (gain desc,
+  // stay-first, smallest community label); gains are 6dp-rounded doubles
+  // computed in ONE expression shared verbatim with the oracle and
+  // normalized (+0.0) so no −0.0 can order differently across engines.
+  // Synchronous local moves admit swap 2-cycles — two nodes adopting
+  // each other's community in the same sweep, forever (the design notes
+  // traced both the singleton-singleton form AND a community-level form
+  // on the bridged-triangle fixture; the Lu-Halappanavar-Kalyanaraman
+  // 2015 "minimum labeling" guard kills only the first). The fix here
+  // is DIRECTION ALTERNATION: even sweeps may only adopt communities
+  // with SMALLER labels, odd sweeps only LARGER (stay is always
+  // allowed). A swap needs two opposite-direction moves in ONE sweep,
+  // so no 2-cycle of any class can form; every merge is still reachable
+  // (down-moves one sweep, up-moves the next), and the restriction is a
+  // pure per-candidate predicate — deterministic, oracle-replayable,
+  // free. Measured on the bridged-triangle fixture: the guarded
+  // single-direction variant oscillated {5,6} forever; alternation
+  // reaches the ideal two-triangle partition at sweep 4 and holds it.
+  //
+  // Scale shape per sweep (= LPA's contract): k_{v,c} is the vote join —
+  // node-sized labels shuffled to the src-partitioned arc checkpoint,
+  // aggregated by (dst, community); the Σ_tot frame is community-sized;
+  // the candidate argmax is one keyed aggregation; m is a 1-row
+  // broadcast. Nothing driver-side, no per-pair work beyond the arc
+  // list itself.
+  private[graft] def louvainOf(edges: DataFrame, sweeps: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = loopArcs(edges, withWeight = true)
+    val deg = partitionedCheckpoint(
+      arcs.groupBy($"src".as("v")).agg(sum($"weight").as("kv")), "v")
+    val mDf = edges.agg(sum($"weight").cast("double").as("m"))
+    var labels = deg.select($"v", $"v".as("lbl")).localCheckpoint(eager = true)
+    for (i <- 0 until sweeps) {
+      val kt = labels.join(deg, "v").groupBy($"lbl")
+        .agg(sum($"kv").as("ktot"))
+      val kvc = arcs.join(labels, $"src" === $"v")
+        .groupBy($"dst", $"lbl").agg(sum($"weight").as("kvc"))
+        .select($"dst".as("v"), $"lbl".as("c"), $"kvc")
+      val cand = kvc
+        .unionByName(labels.select($"v", $"lbl".as("c"), lit(0L).as("kvc")))
+        .groupBy($"v", $"c").agg(max($"kvc").as("kvc"))
+      val sc = cand
+        .join(labels.select($"v", $"lbl".as("cur")), "v")
+        .join(deg, "v")
+        .join(kt.select($"lbl".as("c"), $"ktot"), "c")
+        .crossJoin(broadcast(mDf))
+        .filter(if (i % 2 == 0) $"c" <= $"cur" else $"c" >= $"cur")
+        .select($"v", $"c",
+          (round(
+            $"kvc".cast("double") / $"m" -
+              (($"ktot" - when($"c" === $"cur", $"kv").otherwise(0L))
+                .cast("double") / (lit(2.0) * $"m")) *
+              ($"kv".cast("double") / $"m"), 6) + lit(0.0)).as("gain"),
+          when($"c" === $"cur", 0).otherwise(1).as("nc"))
+      labels = sc.groupBy($"v")
+        .agg(min(struct((-$"gain").as("ng"), $"nc".as("nc"), $"c".as("c")))
+          .as("b"))
+        .select($"v", $"b.c".as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
+  def louvain(s: SparkSession, dir: String, sweeps: Int = 5): DataFrame = {
+    import s.implicits._
+    louvainOf(edgesUnsorted(s, dir), sweeps)
+      .select($"v".as("part"), $"lbl".as("community"))
+      .orderBy($"part")
+  }
 }

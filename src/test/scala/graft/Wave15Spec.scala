@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** r15 wave: one-level deterministic Louvain (g_louvain) — the
+  * modularity CLIMBER over the score G23 made measurable. Fixtures pin
+  * hand-computed sweeps; a plain-Scala replay of the synchronous
+  * ΔQ-greedy update (same 6dp float discipline, same argmax order, same
+  * direction-alternation swap breaker) pins the distributed loop on a
+  * seeded graph; the corpus leg asserts the point of the operator:
+  * Q(louvain) ≥ Q(lpa) at equal sweep budget. */
+class Wave15Spec extends SparkSpecBase {
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Plain-Scala replay of one-level synchronous Louvain — the same
+    * update louvainOf runs distributed, on Scala collections. */
+  private def louvainReplay(edges: Seq[(Long, Long, Long)],
+      sweeps: Int): Map[Long, Long] = {
+    val arcs = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val deg = arcs.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._3).sum }
+    val m = edges.map(_._3).sum.toDouble
+    var lbl: Map[Long, Long] = deg.keys.map(v => v -> v).toMap
+    for (i <- 0 until sweeps) {
+      val down = i % 2 == 0
+      val ktot = lbl.toSeq.groupBy(_._2).map { case (c, xs) =>
+        c -> xs.map(x => deg(x._1)).sum }
+      val kvc = arcs.groupBy(a => (a._2, lbl(a._1)))
+        .map { case (k, xs) => k -> xs.map(_._3).sum }
+      lbl = lbl.map { case (v, cur) =>
+        val neigh = kvc.collect { case ((`v`, c), k) => c -> k }.toMap
+        val cands = neigh + (cur -> neigh.getOrElse(cur, 0L))
+        val best = cands.toSeq.flatMap { case (c, k) =>
+          if (if (down) c > cur else c < cur) None
+          else {
+            val ktEx = ktot(c) - (if (c == cur) deg(v) else 0L)
+            val gain = round6(k.toDouble / m -
+              (ktEx.toDouble / (2.0 * m)) * (deg(v).toDouble / m)) + 0.0
+            Some((c, gain, if (c == cur) 0 else 1))
+          }
+        }.minBy { case (c, g, nc) => (-g, nc, c) }
+        v -> best._1
+      }
+    }
+    lbl
+  }
+
+  private def bridgedTriangles = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+  }
+
+  test("louvain: bridged triangles converge to the two triangles (hand-computed sweeps)") {
+    val s = spark
+    import s.implicits._
+    // sweep 1 (down-moves only, hand-derived in the operator notes):
+    // {2,3}→1; each right-triangle node chases the next-smaller label
+    val l1 = GraphOps.louvainOf(bridgedTriangles, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 5L))
+    // by sweep 4 the up/down alternation has assembled {4,5,6} under
+    // label 5 — the ideal partition — and further sweeps hold it
+    Seq(4, 5, 6).foreach { k =>
+      val lk = GraphOps.louvainOf(bridgedTriangles, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lk == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L),
+        s"sweep $k: $lk")
+    }
+    // Q of the ideal partition: 2·(3/7 − (7/14)²) = 0.357143
+    val q = GraphOps.modularityScoreOf(bridgedTriangles,
+        GraphOps.louvainOf(bridgedTriangles, 4))
+      .agg(sum($"q_term")).first().getDouble(0)
+    assert(math.abs(q - 2 * round6(3.0 / 7.0 - 0.25)) < 1e-9)
+  }
+
+  test("louvain: complete graph collapses to one community in one sweep") {
+    val s = spark
+    import s.implicits._
+    val k3 = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "weight")
+    Seq(1, 2).foreach { k =>
+      val lk = GraphOps.louvainOf(k3, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lk == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"sweep $k: $lk")
+    }
+    // one community ⇒ Q = 0 exactly (the G23 identity)
+    val q = GraphOps.modularityScoreOf(k3, GraphOps.louvainOf(k3, 2))
+      .agg(sum($"q_term")).first().getDouble(0)
+    assert(q == 0.0)
+  }
+
+  test("louvain: a lone edge merges instead of oscillating (the swap-cycle breaker)") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "weight")
+    // unrestricted synchronous updates would swap 1↔2 forever; the
+    // down-sweep lets only 2→1 through, and the up-sweep keeps 1 put
+    // (moving up would re-singleton it for zero gain)
+    Seq(1, 2).foreach { k =>
+      val lk = GraphOps.louvainOf(e, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lk == Map(1L -> 1L, 2L -> 1L), s"sweep $k: $lk")
+    }
+  }
+
+  test("louvain: distributed sweeps ≡ the plain-Scala replay on a seeded graph") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random graph: 24 nodes, edge (a,b) iff
+    // (a*7+b*13)%5==0 — mixed degrees, several natural clusters
+    val edges = (for {
+      a <- 1L to 24L; b <- (a + 1) to 24L
+      if (a * 7 + b * 13) % 5 == 0
+    } yield (a, b, 1L + (a + b) % 3)).toSeq
+    val df = edges.toDF("src", "dst", "weight")
+    (1 to 4).foreach { k =>
+      val got = GraphOps.louvainOf(df, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = louvainReplay(edges, k)
+      assert(got == want, s"sweep $k diverged")
+    }
+  }
+
+  test("louvain: Q(louvain) ≥ Q(lpa) on the corpus at equal sweep budget") {
+    val s = spark
+    import s.implicits._
+    val e = GraphOps.edgesUnsorted(s, sfDir)
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraphOps.modularityScoreOf(e, labels)
+        .agg(sum($"q_term")).first().getDouble(0)
+    val qLouvain = q(GraphOps.louvainOf(e, 5))
+    val qLpa = q(GraphOps.communitiesOf(e, 5))
+    assert(qLouvain >= qLpa,
+      s"louvain Q=$qLouvain < lpa Q=$qLpa")
+    // and it finds REAL structure where min-label LPA collapses to one
+    // community (Q=0) on this dense co-purchase graph
+    assert(qLouvain > 0.0, s"louvain Q=$qLouvain not positive")
+  }
+}
