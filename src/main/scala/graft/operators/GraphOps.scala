@@ -1974,7 +1974,7 @@ object GraphOps {
   }
 
   def reachProfile(s: SparkSession, dir: String, iters: Int = 6): DataFrame =
-    reachProfileOf(edgesUnsorted(s, dir), iters)
+    reachHarmonic(s, dir, iters)._1
 
   // G22 — HyperBall all-node harmonic centrality (Boldi & Vigna 2013,
   // "In-Core Computation of Geometric Centralities with HyperBall"):
@@ -2042,7 +2042,102 @@ object GraphOps {
   }
 
   def harmonicAll(s: SparkSession, dir: String, iters: Int = 6): DataFrame =
-    harmonicAllOf(edgesUnsorted(s, dir), iters)
+    reachHarmonic(s, dir, iters)._2
+
+  /** G21+G22 FUSED (r15, VERDICT r14 #3): reachProfileOf and
+    * harmonicAllOf run the IDENTICAL sketch-growth loop — a dashboard
+    * wanting the distance CDF AND the centrality paid ~2× 320-380 s at
+    * sf10 for one loop's information. This core runs the loop ONCE and
+    * emits both frames: the per-round global pair-count scalar is one
+    * extra 1-row aggregate on the state frame harmonicAllOf already
+    * carries (riding the same pass as the convergence checksum), and the
+    * harmonic accumulator is G22's unchanged. The standalone cores stay
+    * as the spec-pinned references; FusedReachSpec asserts both sides of
+    * this pass row-for-row against them (exact in the coupon regime the
+    * fixtures and sf0.001 corpus run in).
+    *
+    * Scale shape = the standalone loops': one node-sized state frame
+    * shuffled per round along the src-partitioned arc checkpoint, one
+    * partitioning-aligned join, O(m) register merges; the profile
+    * scalars are 1-row aggregates. Convergence = the shared register
+    * checksum. */
+  private[graft] def reachHarmonicOf(edges: DataFrame, iters: Int,
+      lgConfigK: Int = 8): (Seq[(Int, Double, Double)], DataFrame) = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val arcs = loopArcs(edges, withWeight = false)
+    var balls = partitionedCheckpoint(
+      arcs.select($"src".as("v")).distinct()
+        .groupBy($"v").agg(hll_sketch_agg($"v", lgConfigK).as("sk"))
+        .select($"v", $"sk",
+          hll_sketch_estimate($"sk").cast("double").as("est"),
+          lit(0.0).as("h")), "v")
+    // G21's per-round scalars, unchanged: pair-count estimate + exact
+    // register-state checksum in ONE pass over the state frame
+    def scalars(b: DataFrame): (Double, Long) = {
+      val r = b.agg(sum(hll_sketch_estimate($"sk")).cast("double"),
+        expr("bit_xor(xxhash64(v, sk))")).first()
+      (r.getDouble(0), r.getLong(1))
+    }
+    val (est0, chk0) = scalars(balls)
+    val rows = scala.collection.mutable.ArrayBuffer((0, est0, est0))
+    var prev = est0
+    var prevChk = chk0
+    var t = 1
+    var converged = false
+    while (t <= iters && !converged) {
+      val nxt = partitionedCheckpoint(
+        arcs.join(balls.select($"v".as("src"), $"sk"), "src")
+          .select($"dst".as("v"), $"sk")
+          .unionAll(balls.select($"v", $"sk"))
+          .groupBy($"v").agg(hll_union_agg($"sk").as("sk"))
+          .join(balls.select($"v", $"est".as("pe"), $"h"), "v")
+          .select($"v", $"sk",
+            hll_sketch_estimate($"sk").cast("double").as("est"), $"pe", $"h")
+          .select($"v", $"sk", $"est",
+            ($"h" + greatest(($"est" - $"pe") / t, lit(0.0))).as("h")), "v")
+      balls.unpersist(blocking = false) // loop discipline: one live frame
+      balls = nxt
+      val (est, chk) = scalars(balls)
+      rows += ((t, est, est - prev))
+      converged = chk == prevChk
+      prev = est
+      prevChk = chk
+      t += 1
+    }
+    while (t <= iters) { rows += ((t, prev, 0.0)); t += 1 }
+    // the final checkpoint stays persisted — the harmonic frame reads it
+    val harmonic = balls.select($"v",
+        round($"est" - 1.0, 3).as("reach"),
+        round($"h", 6).as("harmonic"))
+      .orderBy($"harmonic".desc, $"v")
+    (rows.toSeq, harmonic)
+  }
+
+  /** Session-memoized entry point for the fused pass: the profile rows
+    * are driver-local (deterministic, safe to retain across cache
+    * clears); the harmonic frame rides the Caches registry so the loop
+    * reruns if a harness cleared its checkpoint. A session reading BOTH
+    * entries pays ONE loop. */
+  private val reachProfileMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Double, Double)]]
+
+  private[graft] def reachHarmonic(s: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val key = s"reach-harmonic:$dir:$iters"
+    val harmonic = Caches.cached(key) {
+      val (rows, h) = reachHarmonicOf(edgesUnsorted(s, dir), iters)
+      reachProfileMemo(key) = rows
+      h
+    }
+    val profile = s.createDataFrame(reachProfileMemo(key))
+      .toDF("t", "est_pairs", "delta_pairs")
+      .select($"t", round($"est_pairs", 3).as("est_pairs"),
+        round($"delta_pairs", 3).as("delta_pairs"))
+      .orderBy($"t")
+    (profile, harmonic)
+  }
 
   // G23 — modularity of a community labeling (Newman & Girvan 2004;
   // the `modularity` readout GDS returns from labelPropagation/louvain):

@@ -760,35 +760,61 @@ object TextOps {
   def knLogprob(s: SparkSession, dir: String, d: Double = 0.75): DataFrame =
     knLogprobOn(Tables.documents(s, dir), d)
 
-  private[graft] def knLogprobOn(docs: DataFrame, d: Double): DataFrame = {
+  /** T19's per-doc bigram term-frequency frame (doc_id, w1, w2, tf). */
+  private[graft] def knDocTf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val bg = docs
+    docs
       .select($"doc_id", wordsCol.as("w"))
       .filter(size($"w") >= 2)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(w) - 1), " +
         "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("e"))
       .select($"doc_id", $"e.w1", $"e.w2")
-    val tf = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf"))
-    // the bigram-TYPE frame is Zipf-small next to the corpus and feeds
-    // FOUR consumers (the per-doc join, prefix stats, continuation
-    // stats, N1+(··)) — persist it so the model is built from one
-    // corpus-scale aggregation, not re-derived per consumer
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf"))
+  }
+
+  /** T19's corpus statistics — (cf, pre, suf, tot): bigram counts,
+    * prefix totals + distinct-successor counts, distinct-predecessor
+    * counts, and the 1-row N1+(··). Shared with the streaming serving
+    * leg (PerplexityStream) so the shipped model is built from the SAME
+    * frames the distributed scorer reads. The bigram-TYPE frame is
+    * Zipf-small next to the corpus and feeds FOUR consumers (the
+    * per-doc join, prefix stats, continuation stats, N1+(··)) — persist
+    * it so the model is built from one corpus-scale aggregation, not
+    * re-derived per consumer. */
+  private[graft] def knStats(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
     val cf = graft.Caches.cached(
         s"kn-bigrams:${docs.queryExecution.analyzed.semanticHash()}") {
-      tf.groupBy($"w1", $"w2").agg(sum($"tf").as("cf"))
+      knDocTf(docs).groupBy($"w1", $"w2").agg(sum($"tf").as("cf"))
     }
     val pre = cf.groupBy($"w1")
       .agg(sum($"cf").as("c1"), count(lit(1)).as("n1w1"))
     val suf = cf.groupBy($"w2").agg(count(lit(1)).as("n1w2"))
     val tot = pre.agg(sum($"n1w1").cast("double").as("n1all"))
+    (cf, pre, suf, tot)
+  }
+
+  /** The ONE interpolated-KN probability expression, over a row joined
+    * from cf⋈pre⋈suf⋈tot — shared verbatim by the distributed scorer,
+    * the oracle (re-spelled in SQL), and the serving model build, so
+    * every consumer sees bit-identical doubles. */
+  private[graft] def knP(d: Double): Column =
+    (col("cf").cast("double") - lit(d)) / col("c1").cast("double") +
+      lit(d) * col("n1w1").cast("double") / col("c1").cast("double") *
+      (col("n1w2").cast("double") / col("n1all"))
+
+  private[graft] def knLogprobOn(docs: DataFrame, d: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tf = knDocTf(docs)
+    val (cf, pre, suf, tot) = knStats(docs)
     tf.join(cf, Seq("w1", "w2")).join(pre, "w1").join(suf, "w2")
       .crossJoin(broadcast(tot))
-      .withColumn("p",
-        ($"cf".cast("double") - lit(d)) / $"c1".cast("double") +
-          lit(d) * $"n1w1".cast("double") / $"c1".cast("double") *
-          ($"n1w2".cast("double") / $"n1all"))
+      .withColumn("p", knP(d))
       .withColumn("term",
         round($"tf" * round(log10($"p"), 6), 6).cast("decimal(18,6)"))
       .groupBy($"doc_id")
