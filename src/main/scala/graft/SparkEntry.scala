@@ -185,6 +185,9 @@ object SparkEntry {
     "p_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
     "p_curriculum" -> ((s, d) => Sampling.curriculum(s, d)),
     "p_mix_budget" -> ((s, d) => Sampling.mixBudget(s, d)),
+    // token arrays have no scalar SQL replay ⇒ rows-only; the spec pins
+    // reassembly identity + shard determinism + the packing invariants
+    "p_tokenize_shards" -> ((s, d) => pipeline.CorpusPipeline.tokenizeShards(s, d)),
     "p_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
     // best-fit-decreasing needs the whole open-bins vector as fold state
     // — no scalar recursive-CTE replay ⇒ rows-only; the ScalaCheck spec

@@ -158,4 +158,36 @@ object Bpe {
       .agg(sum($"tf").as("n_words"), sum($"tf" * $"n_sub").as("n_tokens"))
       .orderBy($"doc_id")
   }
+
+  /** Full per-document token SEQUENCES under the trained merge table —
+    * the materialization step T15b's counts summarize (r15, the
+    * p_tokenize_shards composition needs the actual tokens). Same
+    * structural discipline as bpeEncodeOf: the merge fold runs once per
+    * DISTINCT word; documents reassemble by one keyed join + a
+    * position-sorted in-row flatten (collect_list of (pos, subwords)
+    * then array_sort + transform — all codegen'd built-ins, no
+    * cross-row state). Returns (doc_id, n_tokens, tokens). */
+  private[graft] def tokenizeDocs(docs: DataFrame, nMerges: Int,
+      cacheKey: String = "bpe-tok"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val mergeRows = bpeMergesOf(docs.select($"text"), nMerges).collect()
+    val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+    val bm = s.sparkContext.broadcast(merges)
+    val words = graft.Caches.cached(cacheKey) {
+      docs
+        .select($"doc_id", posexplode(split(lower($"text"), " ")))
+        .toDF("doc_id", "p", "w")
+        .filter(length($"w") > 0)
+    }
+    val vocabTokens = words.select($"w").distinct().as[String]
+      .map(w => (w, encodeWord(w, bm.value).toArray))
+      .toDF("w", "subs")
+    words.join(vocabTokens, "w")
+      .groupBy($"doc_id")
+      .agg(flatten(expr(
+        "transform(array_sort(collect_list(struct(p, subs))), x -> x.subs)"))
+        .as("tokens"))
+      .select($"doc_id", size($"tokens").cast("long").as("n_tokens"), $"tokens")
+  }
 }

@@ -179,4 +179,99 @@ object CorpusPipeline {
         (round($"metric", 6) >= $"threshold").as("pass"))
       .orderBy($"rule")
   }
+
+  /** One document in curriculum order, carrying its token sequence. */
+  private[graft] case class OrderedDoc(phase: Long, shard: Int, pos: Long,
+      doc_id: Long, tokens: Seq[String])
+
+  /** One packed training sequence: whole documents concatenated up to
+    * the token budget, in curriculum order. doc_lens carries the
+    * per-document token counts so a reader can slice the flat token
+    * array back into its documents without a join. */
+  case class PackedSeq(phase: Long, shard: Int, seq_id: Long, n_docs: Int,
+      n_tokens: Long, doc_ids: Seq[Long], doc_lens: Seq[Int],
+      tokens: Seq[String])
+
+  /** P14 — `p_tokenize_shards`: the end-to-end training-artifact
+    * composition (VERDICT r14 #5). The pieces all exist; this is the
+    * one frame a training job actually reads:
+    *   T15 merges → tokenizeDocs (BPE token sequences)
+    *   → P12 curriculum (phase = quality tier, deterministic md5
+    *     shuffle within (phase, shard))
+    *   → P2's greedy whole-doc packing, walking curriculum order
+    *   → token-packed, curriculum-ordered, shard-keyed sequences
+    * (writeTokenShards lands them hive-partitioned by (phase, shard)
+    * via sinks.TableWriter for partition-pruned reads).
+    *
+    * Scale shape: tokenization is the T15b vocab-fold (corpus touched
+    * once, merge fold per DISTINCT word); the order join rides the
+    * doc_id key; packing is the secondary-sort pattern — repartition by
+    * (phase, shard), sortWithinPartitions by pos, ONE STREAMING fold per
+    * partition that holds only the open sequence (never a group) — so
+    * memory per task is the token budget, not the shard. seq_id restarts
+    * per (phase, shard): the output is a pure function of the corpus,
+    * independent of partition assignment. Rows-only entry (the token
+    * arrays have no scalar SQL replay); the spec pins reader-side
+    * reassembly identity, deterministic shard assignment, and the P2
+    * packing invariants. */
+  def tokenizeShards(s: SparkSession, dir: String, nMerges: Int = 10,
+      nShards: Int = 4, budget: Long = 400L): DataFrame = {
+    import s.implicits._
+    val toks = graft.operators.Bpe.tokenizeDocs(
+      Tables.documents(s, dir).select($"doc_id", $"text"), nMerges,
+      cacheKey = s"bpe-tok:$dir")
+    val ordered = Sampling.curriculum(s, dir, nShards)
+      .join(toks.select($"doc_id", $"tokens"), "doc_id")
+      .select($"phase", $"shard", $"pos", $"doc_id", $"tokens")
+      .repartition($"phase", $"shard")
+      .sortWithinPartitions($"phase", $"shard", $"pos")
+      .as[OrderedDoc]
+    ordered.mapPartitions(packSequences(_, budget))
+      .toDF()
+      .orderBy($"phase", $"shard", $"seq_id")
+  }
+
+  /** Streaming pack fold: emits a sequence when the NEXT doc would
+    * overflow the budget or the (phase, shard) key changes; an
+    * over-budget document rides alone (P2's convention). Holds only the
+    * open sequence. */
+  private[graft] def packSequences(it: Iterator[OrderedDoc],
+      budget: Long): Iterator[PackedSeq] = new Iterator[PackedSeq] {
+    private var pending: Option[OrderedDoc] =
+      if (it.hasNext) Some(it.next()) else None
+    private var curKey: (Long, Int) = (Long.MinValue, Int.MinValue)
+    private var seqId = 0L
+    def hasNext: Boolean = pending.isDefined
+    def next(): PackedSeq = {
+      val head = pending.get
+      val key = (head.phase, head.shard)
+      seqId = if (curKey == key) seqId + 1 else 1L
+      curKey = key
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var fill = 0L
+      var open = true
+      while (open && pending.exists(d => (d.phase, d.shard) == key)) {
+        val d = pending.get
+        if (fill > 0 && fill + d.tokens.length > budget) open = false
+        else {
+          ids += d.doc_id; lens += d.tokens.length; toks ++= d.tokens
+          fill += d.tokens.length
+          pending = if (it.hasNext) Some(it.next()) else None
+        }
+      }
+      PackedSeq(head.phase, head.shard, seqId, ids.length, fill,
+        ids.toSeq, lens.toSeq, toks.toSeq)
+    }
+  }
+
+  /** Land the packed sequences hive-partitioned by (phase, shard) —
+    * a reader pulling one curriculum phase (or one shard of it) prunes
+    * every other directory at the scan. */
+  def writeTokenShards(s: SparkSession, dir: String, path: String,
+      nMerges: Int = 10, nShards: Int = 4, budget: Long = 400L): Unit =
+    graft.sinks.TableWriter.writePartitioned(
+      tokenizeShards(s, dir, nMerges, nShards, budget), path,
+      partitionCols = Seq("phase", "shard"), sortCols = Seq("seq_id"))
 }

@@ -174,6 +174,99 @@ class Wave15Spec extends SparkSpecBase {
     assert(p1.nonEmpty && h1.nonEmpty)
   }
 
+  // --- p_tokenize_shards ---------------------------------------------------
+
+  test("tokenize_shards: reader-side reassembly reproduces every doc's BPE tokens") {
+    val s = spark
+    import s.implicits._
+    val packed = graft.pipeline.CorpusPipeline.tokenizeShards(s, sfDir).collect()
+    // slice each sequence's flat token array at doc_lens boundaries
+    val rebuilt = packed.flatMap { r =>
+      val ids = r.getSeq[Long](5)
+      val lens = r.getSeq[Int](6)
+      val toks = r.getSeq[String](7)
+      assert(lens.sum == toks.length)
+      val offs = lens.scanLeft(0)(_ + _)
+      ids.indices.map(i => ids(i) -> toks.slice(offs(i), offs(i + 1)))
+    }.toMap
+    val direct = graft.operators.Bpe.tokenizeDocs(
+        Tables.documents(s, sfDir).select($"doc_id", $"text"), 10,
+        cacheKey = s"bpe-tok-spec:$sfDir").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(rebuilt.keySet == direct.keySet)
+    rebuilt.foreach { case (id, ts) =>
+      assert(ts == direct(id), s"doc $id tokens diverged")
+    }
+  }
+
+  test("tokenize_shards: shard/phase assignment matches the curriculum; packing respects budget and order") {
+    val s = spark
+    import s.implicits._
+    val budget = 400L
+    val packed = graft.pipeline.CorpusPipeline.tokenizeShards(s, sfDir).collect()
+    val cur = graft.operators.Sampling.curriculum(s, sfDir, nShards = 4).collect()
+      .map(r => r.getLong(3) -> ((r.getLong(0), r.getInt(1), r.getLong(2)))).toMap
+    packed.foreach { r =>
+      val (phase, shard) = (r.getLong(0), r.getInt(1))
+      val ids = r.getSeq[Long](5)
+      val lens = r.getSeq[Int](6)
+      // every doc sits in ITS curriculum (phase, shard)
+      ids.foreach { id =>
+        val (p, sh, _) = cur(id)
+        assert(p == phase && sh == shard, s"doc $id in wrong shard")
+      }
+      // docs inside a sequence are consecutive in curriculum pos order
+      val poss = ids.map(id => cur(id)._3)
+      assert(poss == poss.sorted, s"sequence out of curriculum order")
+      // budget respected unless a single over-budget doc rides alone
+      assert(r.getLong(4) == lens.map(_.toLong).sum)
+      assert(lens.map(_.toLong).sum <= budget || ids.length == 1,
+        s"overfull multi-doc sequence")
+    }
+    // seq_ids are dense per (phase, shard), starting at 1
+    packed.groupBy(r => (r.getLong(0), r.getInt(1))).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // every curriculum doc with tokens landed exactly once
+    assert(packed.flatMap(_.getSeq[Long](5)).length ==
+      packed.flatMap(_.getSeq[Long](5)).distinct.length)
+  }
+
+  test("tokenize_shards: streaming pack fold matches a whole-group reference fold") {
+    import graft.pipeline.CorpusPipeline.{OrderedDoc, packSequences}
+    // two (phase, shard) groups interleaved by pos, with an over-budget doc
+    def d(ph: Long, sh: Int, pos: Long, id: Long, n: Int) =
+      OrderedDoc(ph, sh, pos, id, Seq.fill(n)("t"))
+    val docs = Seq(
+      d(1, 0, 0, 10, 3), d(1, 0, 1, 11, 3), d(1, 0, 2, 12, 5),
+      d(1, 0, 3, 13, 9), // over budget (8): rides alone
+      d(2, 1, 0, 20, 4), d(2, 1, 1, 21, 4), d(2, 1, 2, 22, 1))
+    val out = packSequences(docs.iterator, budget = 8L).toSeq
+    assert(out.map(p => (p.phase, p.shard, p.seq_id, p.doc_ids, p.n_tokens)) == Seq(
+      (1L, 0, 1L, Seq(10L, 11L), 6L),
+      (1L, 0, 2L, Seq(12L), 5L),
+      (1L, 0, 3L, Seq(13L), 9L),
+      (2L, 1, 1L, Seq(20L, 21L), 8L),
+      (2L, 1, 2L, Seq(22L), 1L)))
+    // empty input → empty output
+    assert(packSequences(Iterator.empty, 8L).isEmpty)
+  }
+
+  test("tokenize_shards: partitioned write lands prunable (phase, shard) dirs that read back whole") {
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-tokshards").toString
+    graft.pipeline.CorpusPipeline.writeTokenShards(s, sfDir, path)
+    val back = s.read.parquet(path)
+    val direct = graft.pipeline.CorpusPipeline.tokenizeShards(s, sfDir)
+    assert(back.count() == direct.count())
+    // partition pruning: a single-phase read touches only that dir
+    val one = back.filter($"phase" === 1)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(one.count() ==
+      direct.filter($"phase" === 1).count())
+  }
+
   test("louvain: Q(louvain) ≥ Q(lpa) on the corpus at equal sweep budget") {
     val s = spark
     import s.implicits._
