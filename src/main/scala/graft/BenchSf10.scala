@@ -26,8 +26,13 @@ object BenchSf10 {
     "g_random_walks", "g_node2vec",
     // r13: HyperANF distance profile (standing record 379.3 s, §5 r13)
     "g_reach_profile",
-    // r14: HyperBall harmonic centrality (the same loop + per-node state)
-    "g_harmonic_all")
+    // r14: HyperBall harmonic centrality (the same loop + per-node state;
+    // r15 fused the two into one pass — each entry HERE still times the
+    // full fused loop cold because settle() clears the memo; ProbeFused
+    // measures the shared-session win)
+    "g_harmonic_all",
+    // r15: one-level deterministic Louvain (5 synchronous ΔQ sweeps)
+    "g_louvain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf10")

@@ -28,7 +28,13 @@ object ProbeAnn {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val tBuild = time(VectorOps.lshIndexBuild(spark, sfDir, "lsh_sigs"))
+    // r15 (VERDICT r14 #6): nBuckets is env-tunable so the sf10 probe can
+    // build the REALISTIC thousands-of-buckets layout where bucket
+    // pruning actually bites (the 64-bucket test layout reduces pruning
+    // to skipping the signature pass — VectorOps.scala's honest note)
+    val nBuckets = sys.env.get("GRAFT_ANN_BUCKETS").map(_.toInt).getOrElse(64)
+    val tBuild = time(VectorOps.lshIndexBuild(spark, sfDir, "lsh_sigs",
+      nBuckets = nBuckets))
     Caches.clearAll()
     def q(id: Long) = time {
       VectorOps.lshAnnIndexed(spark, sfDir, "lsh_sigs", queryId = id)
@@ -58,7 +64,13 @@ object ProbeAnn {
     val tRecIdx = Seq.fill(2)(
       rec(VectorOps.annRecallIndexed(spark, sfDir, "lsh_sigs"))).min
     val tRecInl = Seq.fill(2)(rec(VectorOps.annRecall(spark, sfDir))).min
-    println(f"""{"build":$tBuild%.3f,"indexed_query":$tIdx%.3f,"inline_query":$tInl%.3f,"recall_indexed":$tRecIdx%.3f,"recall_inline":$tRecInl%.3f,"sf":"$sfDir"}""")
+    // record what the bucketed scan actually pruned: the executed plan's
+    // SelectedBucketsCount is the proof the key list reached the FileScan
+    val planStr = VectorOps.annRecallIndexed(spark, sfDir, "lsh_sigs")
+      .queryExecution.executedPlan.toString
+    val selected = "SelectedBucketsCount: [^)\\n]*".r
+      .findFirstIn(planStr).getOrElse("SelectedBucketsCount: absent")
+    println(f"""{"build":$tBuild%.3f,"indexed_query":$tIdx%.3f,"inline_query":$tInl%.3f,"recall_indexed":$tRecIdx%.3f,"recall_inline":$tRecInl%.3f,"n_buckets":$nBuckets,"bucket_pruning":"$selected","sf":"$sfDir"}""")
     spark.stop()
   }
 }
