@@ -110,9 +110,9 @@ object Bench {
     "g_modularity", "t_kn_logprob", "t_quality_classifier",
     "p_curriculum", "p_mix_budget",
     // r15 additions: one-level deterministic Louvain (the modularity
-    // climber), the tokenize→curriculum→pack training-artifact
-    // composition
-    "g_louvain", "p_tokenize_shards")
+    // climber), its coarsened two-level form, the
+    // tokenize→curriculum→pack training-artifact composition
+    "g_louvain", "g_louvain_multi", "p_tokenize_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -162,6 +162,7 @@ object SparkEntry {
     "g_harmonic_all" -> ((s, d) => GraphOps.harmonicAll(s, d)),
     "g_modularity" -> ((s, d) => GraphOps.modularity(s, d)),
     "g_louvain" -> ((s, d) => GraphOps.louvain(s, d)),
+    "g_louvain_multi" -> ((s, d) => GraphOps.louvainMulti(s, d)),
     "g_hits" -> ((s, d) => GraphOps.hits(s, d)),
     "g_random_walks" -> ((s, d) => GraphOps.randomWalks(s, d)),
     "g_node2vec" -> ((s, d) => GraphOps.node2vecWalks(s, d)),
@@ -287,44 +288,75 @@ object SparkEntry {
     * ~6⁵ scans of lineitem (measured: the un-hinted form exhausts file
     * descriptors before it finishes); materialized, the chain runs each
     * sweep once, 0.2 s at sf0.001. */
-  private def louvainOracle(sweeps: Int): String = {
-    val sweepCtes = (1 to sweeps).map { i =>
+  /** One Louvain level's sweeps as a MATERIALIZED CTE block chain:
+    * label frames $lp0 → $lp{sweeps} over arc frame `arcs` and degree
+    * frame `deg`; `tag` keeps the kt/kvc/cand/sc names unique across
+    * levels. The arithmetic mirrors GraphOps.louvainOf verbatim (the
+    * G24 doc above). */
+  private def louvainSweepCtes(sweeps: Int, lp: String, arcs: String,
+      deg: String, tag: String): String =
+    (1 to sweeps).map { i =>
       val p = i - 1
       val dir = if (i % 2 == 1) "cd.c <= l.lbl" else "cd.c >= l.lbl"
-      s"""kt$i AS MATERIALIZED (SELECT l.lbl c, SUM(d.kv) ktot
-         |  FROM lab$p l JOIN deg d ON l.v = d.v GROUP BY 1),
-         |kvc$i AS MATERIALIZED (SELECT a.dst v, l.lbl c, SUM(a.w) kvc
-         |  FROM arcs a JOIN lab$p l ON a.src = l.v GROUP BY 1, 2),
-         |cand$i AS MATERIALIZED (SELECT v, c, MAX(kvc) kvc FROM (
-         |    SELECT v, c, kvc FROM kvc$i
-         |    UNION ALL SELECT v, lbl c, 0 kvc FROM lab$p) GROUP BY 1, 2),
-         |sc$i AS MATERIALIZED (SELECT cd.v, cd.c,
+      s"""kt$tag$i AS MATERIALIZED (SELECT l.lbl c, SUM(d.kv) ktot
+         |  FROM $lp$p l JOIN $deg d ON l.v = d.v GROUP BY 1),
+         |kvc$tag$i AS MATERIALIZED (SELECT a.dst v, l.lbl c, SUM(a.w) kvc
+         |  FROM $arcs a JOIN $lp$p l ON a.src = l.v GROUP BY 1, 2),
+         |cand$tag$i AS MATERIALIZED (SELECT v, c, MAX(kvc) kvc FROM (
+         |    SELECT v, c, kvc FROM kvc$tag$i
+         |    UNION ALL SELECT v, lbl c, 0 kvc FROM $lp$p) GROUP BY 1, 2),
+         |sc$tag$i AS MATERIALIZED (SELECT cd.v, cd.c,
          |    ROUND(CAST(cd.kvc AS DOUBLE)/m.m -
          |      (CAST(kt.ktot - CASE WHEN cd.c = l.lbl THEN d.kv ELSE 0 END AS DOUBLE)/(2*m.m))
          |      * (CAST(d.kv AS DOUBLE)/m.m), 6) + 0.0 AS gain,
          |    CASE WHEN cd.c = l.lbl THEN 0 ELSE 1 END nc
-         |  FROM cand$i cd JOIN lab$p l ON cd.v = l.v JOIN deg d ON cd.v = d.v
-         |    JOIN kt$i kt ON cd.c = kt.c CROSS JOIN m
+         |  FROM cand$tag$i cd JOIN $lp$p l ON cd.v = l.v JOIN $deg d ON cd.v = d.v
+         |    JOIN kt$tag$i kt ON cd.c = kt.c CROSS JOIN m
          |  WHERE $dir),
-         |lab$i AS MATERIALIZED (SELECT v, c lbl FROM (
+         |$lp$i AS MATERIALIZED (SELECT v, c lbl FROM (
          |    SELECT v, c, ROW_NUMBER() OVER (PARTITION BY v ORDER BY gain DESC, nc, c) rk
-         |    FROM sc$i) WHERE rk = 1)""".stripMargin
+         |    FROM sc$tag$i) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
-       |e AS MATERIALIZED (SELECT a.pk src, b.pk dst, COUNT(*) AS w FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
-       |arcs AS MATERIALIZED (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
-       |deg AS MATERIALIZED (SELECT src v, SUM(w) kv FROM arcs GROUP BY 1),
-       |m AS MATERIALIZED (SELECT CAST(SUM(w) AS DOUBLE) m FROM e),
-       |lab0 AS MATERIALIZED (SELECT v, v lbl FROM deg),
-       |$sweepCtes
+
+  /** Shared base for the Louvain oracles: co-purchase edges, mirrored
+    * arcs, degrees, m, identity labels. */
+  private val louvainBase: String =
+    """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+      |e AS MATERIALIZED (SELECT a.pk src, b.pk dst, COUNT(*) AS w FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+      |arcs AS MATERIALIZED (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+      |deg AS MATERIALIZED (SELECT src v, SUM(w) kv FROM arcs GROUP BY 1),
+      |m AS MATERIALIZED (SELECT CAST(SUM(w) AS DOUBLE) m FROM e),
+      |lab0 AS MATERIALIZED (SELECT v, v lbl FROM deg)""".stripMargin
+
+  private def louvainOracle(sweeps: Int): String =
+    s"""$louvainBase,
+       |${louvainSweepCtes(sweeps, "lab", "arcs", "deg", "")}
        |SELECT v AS part, lbl AS community FROM lab$sweeps ORDER BY part""".stripMargin
-  }
+
+  /** G24b oracle: the level-1 chain, then the textbook contraction
+    * (inter-community edges summed, self-loops dropped from the edge
+    * frame but kept in the supernode DEGREE via deg2 = summed original
+    * degrees, m unchanged), then the same sweep chain on the coarsened
+    * frames, and the composed mapping. */
+  private def louvainMultiOracle(sweeps: Int): String =
+    s"""$louvainBase,
+       |${louvainSweepCtes(sweeps, "lab", "arcs", "deg", "")},
+       |e2 AS MATERIALIZED (SELECT LEAST(a.lbl, b.lbl) src, GREATEST(a.lbl, b.lbl) dst, SUM(e.w) w
+       |  FROM e JOIN lab$sweeps a ON e.src = a.v JOIN lab$sweeps b ON e.dst = b.v
+       |  WHERE a.lbl <> b.lbl GROUP BY 1, 2),
+       |arcs2 AS MATERIALIZED (SELECT src, dst, w FROM e2 UNION ALL SELECT dst, src, w FROM e2),
+       |deg2 AS MATERIALIZED (SELECT l.lbl v, SUM(d.kv) kv FROM lab$sweeps l JOIN deg d ON l.v = d.v GROUP BY 1),
+       |l20 AS MATERIALIZED (SELECT v, v lbl FROM deg2),
+       |${louvainSweepCtes(sweeps, "l2", "arcs2", "deg2", "b")}
+       |SELECT l1.v AS part, lx.lbl AS community
+       |FROM lab$sweeps l1 JOIN l2$sweeps lx ON l1.lbl = lx.v ORDER BY part""".stripMargin
 
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
     * compares after sorting columns by name). Money sums go through
     * DECIMAL(18,6) on both engines so results are bit-identical. */
   def oracleSql: Map[String, String] = Map(
     "g_louvain" -> louvainOracle(5),
+    "g_louvain_multi" -> louvainMultiOracle(5),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -2235,13 +2235,26 @@ object GraphOps {
   // the candidate argmax is one keyed aggregation; m is a 1-row
   // broadcast. Nothing driver-side, no per-pair work beyond the arc
   // list itself.
-  private[graft] def louvainOf(edges: DataFrame, sweeps: Int): DataFrame = {
+  /** degOverride/mOverride exist for the COARSENED levels of
+    * louvainLevelsOf: a supernode's degree must include its
+    * self-loop mass (2·w_in of the community it contracts — passed as
+    * the community's summed ORIGINAL degrees) and m stays the original
+    * total edge weight across levels (the Newman-Girvan normalizer is
+    * level-invariant). Self-arcs themselves are EXCLUDED from the
+    * coarsened edge frame: a self-loop adds the same +s(v)/m to every
+    * candidate's gain, so it cancels in the argmax and only the degree
+    * correction is load-bearing. */
+  private[graft] def louvainOf(edges: DataFrame, sweeps: Int,
+      degOverride: Option[DataFrame] = None,
+      mOverride: Option[DataFrame] = None): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val arcs = loopArcs(edges, withWeight = true)
     val deg = partitionedCheckpoint(
-      arcs.groupBy($"src".as("v")).agg(sum($"weight").as("kv")), "v")
-    val mDf = edges.agg(sum($"weight").cast("double").as("m"))
+      degOverride.map(_.select($"v", $"kv")).getOrElse(
+        arcs.groupBy($"src".as("v")).agg(sum($"weight").as("kv"))), "v")
+    val mDf = mOverride.getOrElse(
+      edges.agg(sum($"weight").cast("double").as("m")))
     var labels = deg.select($"v", $"v".as("lbl")).localCheckpoint(eager = true)
     for (i <- 0 until sweeps) {
       val kt = labels.join(deg, "v").groupBy($"lbl")
@@ -2277,6 +2290,73 @@ object GraphOps {
   def louvain(s: SparkSession, dir: String, sweeps: Int = 5): DataFrame = {
     import s.implicits._
     louvainOf(edgesUnsorted(s, dir), sweeps)
+      .select($"v".as("part"), $"lbl".as("community"))
+      .orderBy($"part")
+  }
+
+  // G24b — MULTI-LEVEL Louvain (the full Blondel et al. 2008 shape, and
+  // what gds.louvain actually runs): after the local-move sweeps
+  // converge a level, CONTRACT each community to a supernode and sweep
+  // again on the coarsened graph — the move class a flat sweep can't
+  // express (whole communities relocating at once), which is where
+  // Louvain's real modularity gains over one-level local search come
+  // from. Deterministic: every level runs the same fixed-sweep
+  // synchronous update, coarsening is a pure aggregation, so the final
+  // labeling is still a pure function of the edge list and replays as
+  // SQL (the level-2 chain appended to the level-1 chain).
+  //
+  // Coarsening rules (the textbook ones, restated for the oracle):
+  //  - supernode = level-k community; inter-community edge weights sum;
+  //    self-loops are DROPPED from the edge frame (they shift every
+  //    candidate's gain equally — constant in the argmax) but their
+  //    mass stays in the supernode DEGREE (deg2 = the community's
+  //    summed original degrees), which is what the Σ_tot penalty needs;
+  //  - m is the ORIGINAL total edge weight at every level.
+  //
+  // Scale shape per level: the contraction is two node-sized hash joins
+  // on the edge frame + one keyed aggregation (the G23 tagging shape),
+  // and each coarser level is strictly smaller — level 2+ cost is
+  // bounded by the level-1 sweep cost. Final mapping composes the
+  // per-level labelings with community-keyed joins (node-sized).
+  private[graft] def louvainLevelsOf(edges: DataFrame, sweeps: Int,
+      levels: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val mDf = edges.agg(sum($"weight").cast("double").as("m"))
+    var assign = louvainOf(edges, sweeps).localCheckpoint(eager = true)
+    var curEdges = edges
+    var curDeg = edges.select($"src".as("v"), $"weight")
+      .unionAll(edges.select($"dst".as("v"), $"weight"))
+      .groupBy($"v").agg(sum($"weight").as("kv"))
+    var curLbl = assign
+    for (_ <- 2 to levels) {
+      val e2 = curEdges
+        .join(curLbl.select($"v".as("src"), $"lbl".as("ls")), "src")
+        .join(curLbl.select($"v".as("dst"), $"lbl".as("ld")), "dst")
+        .filter($"ls" =!= $"ld")
+        .select(least($"ls", $"ld").as("src"),
+          greatest($"ls", $"ld").as("dst"), $"weight")
+        .groupBy($"src", $"dst").agg(sum($"weight").as("weight"))
+        .localCheckpoint(eager = true)
+      val deg2 = curLbl.join(curDeg, "v").groupBy($"lbl")
+        .agg(sum($"kv").as("kv")).select($"lbl".as("v"), $"kv")
+      val l2 = louvainOf(e2, sweeps, Some(deg2), Some(mDf))
+        .localCheckpoint(eager = true)
+      assign = assign
+        .join(l2.select($"v".as("c0"), $"lbl".as("c2")), $"lbl" === $"c0")
+        .select($"v", $"c2".as("lbl"))
+        .localCheckpoint(eager = true)
+      curEdges = e2
+      curDeg = deg2
+      curLbl = l2
+    }
+    assign
+  }
+
+  def louvainMulti(s: SparkSession, dir: String, sweeps: Int = 5,
+      levels: Int = 2): DataFrame = {
+    import s.implicits._
+    louvainLevelsOf(edgesUnsorted(s, dir), sweeps, levels)
       .select($"v".as("part"), $"lbl".as("community"))
       .orderBy($"part")
   }

@@ -13,7 +13,7 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
-  test("the rows-only set is exactly the sixteen documented non-SQL-expressible ops") {
+  test("the rows-only set is exactly the seventeen documented non-SQL-expressible ops") {
     // r4: triangle counting (3-way join) and landmark BFS (bounded
     // recursive CTE) turned out to be SQL-expressible after all; r6:
     // pagerank and connected components followed (window-aggregation in
@@ -43,7 +43,8 @@ class ContractSpec extends AnyFunSuite {
       "v_ivfpq_ann",             // k-means + PQ-codebook seeded; degradation spec
       "g_reach_profile",         // HLL ball sketches (r13); coupon-exact + closure specs
       "g_harmonic_all",          // HyperBall centrality (r14); same sketches, per-node floats
-      "v_ann_recall_family")     // k-means-seeded IVF/PQ legs (r14); full-probe ≡ exact spec
+      "v_ann_recall_family",     // k-means-seeded IVF/PQ legs (r14); full-probe ≡ exact spec
+      "p_tokenize_shards")       // token-ARRAY rows (r15); reassembly-identity + packing specs
     assert(rowsOnly == documented,
       s"missing oracle: ${rowsOnly -- documented}; stale doc: ${documented -- rowsOnly}")
   }

@@ -23,6 +23,39 @@ class Wave15Spec extends SparkSpecBase {
     val arcs = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
     val deg = arcs.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._3).sum }
     val m = edges.map(_._3).sum.toDouble
+    louvainCore(edges, deg, m, sweeps)
+  }
+
+  /** Multi-level replay: coarsen (inter-community sums, self-loops
+    * dropped from edges but kept in the supernode degree, m unchanged)
+    * and re-sweep — mirrors GraphOps.louvainLevelsOf. */
+  private def louvainLevelsReplay(edges: Seq[(Long, Long, Long)],
+      sweeps: Int, levels: Int): Map[Long, Long] = {
+    val m = edges.map(_._3).sum.toDouble
+    var assign = louvainReplay(edges, sweeps)
+    var curEdges = edges
+    var curDeg = edges.flatMap { case (a, b, w) => Seq((a, w), (b, w)) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+    var curLbl = assign
+    for (_ <- 2 to levels) {
+      val e2 = curEdges.flatMap { case (a, b, w) =>
+        val (la, lb) = (curLbl(a), curLbl(b))
+        if (la == lb) None
+        else Some((math.min(la, lb), math.max(la, lb), w))
+      }.groupBy(t => (t._1, t._2))
+        .map { case ((x, y), xs) => (x, y, xs.map(_._3).sum) }.toSeq
+      val deg2 = curLbl.toSeq.groupBy(_._2)
+        .map { case (c, xs) => c -> xs.map(x => curDeg(x._1)).sum }
+      val l2 = louvainCore(e2, deg2, m, sweeps)
+      assign = assign.map { case (v, c) => v -> l2(c) }
+      curEdges = e2; curDeg = deg2; curLbl = l2
+    }
+    assign
+  }
+
+  private def louvainCore(edges: Seq[(Long, Long, Long)],
+      deg: Map[Long, Long], m: Double, sweeps: Int): Map[Long, Long] = {
+    val arcs = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
     var lbl: Map[Long, Long] = deg.keys.map(v => v -> v).toMap
     for (i <- 0 until sweeps) {
       val down = i % 2 == 0
@@ -125,6 +158,53 @@ class Wave15Spec extends SparkSpecBase {
       val want = louvainReplay(edges, k)
       assert(got == want, s"sweep $k diverged")
     }
+  }
+
+  test("louvain_multi: level 2 keeps a converged partition (bridged triangles) and merges nothing on K3") {
+    val s = spark
+    import s.implicits._
+    // level 1 found the ideal two-triangle partition; contracting it
+    // gives a 2-node graph where merging LOWERS Q — level 2 must stay
+    val multi = GraphOps.louvainLevelsOf(bridgedTriangles, 5, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = GraphOps.louvainOf(bridgedTriangles, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == one)
+    // K3 collapses at level 1 → the coarsened edge frame is EMPTY; the
+    // isolated-supernode path must still produce a total labeling
+    val k3 = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "weight")
+    val mk = GraphOps.louvainLevelsOf(k3, 5, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mk == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("louvain_multi: distributed ≡ the plain-Scala multi-level replay on a seeded graph") {
+    val s = spark
+    import s.implicits._
+    val edges = (for {
+      a <- 1L to 24L; b <- (a + 1) to 24L
+      if (a * 7 + b * 13) % 5 == 0
+    } yield (a, b, 1L + (a + b) % 3)).toSeq
+    val df = edges.toDF("src", "dst", "weight")
+    Seq(1, 2, 3).foreach { k =>
+      val got = GraphOps.louvainLevelsOf(df, k, 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = louvainLevelsReplay(edges, k, 2)
+      assert(got == want, s"sweeps=$k diverged")
+    }
+  }
+
+  test("louvain_multi: coarsened moves never lose modularity vs one-level on the corpus") {
+    val s = spark
+    import s.implicits._
+    val e = GraphOps.edgesUnsorted(s, sfDir)
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraphOps.modularityScoreOf(e, labels)
+        .agg(sum($"q_term")).first().getDouble(0)
+    val qMulti = q(GraphOps.louvainLevelsOf(e, 5, 2))
+    val qOne = q(GraphOps.louvainOf(e, 5))
+    assert(qMulti >= qOne, s"multi Q=$qMulti < one-level Q=$qOne")
   }
 
   // --- fused G21+G22 -----------------------------------------------------
