@@ -36,7 +36,11 @@ object ProbeLouvain {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f""","louvain_s$k":{"q":$qk%.6f,"communities":$nk,"sec":$dt%.1f}""")
     }
-    println("}")
+    // the coarsening level's Q gain over the flat sweeps (G24b)
+    val t0 = System.nanoTime()
+    val (qm, nm) = q(GraphOps.louvainLevelsOf(e, 5, 2))
+    val dtm = (System.nanoTime() - t0) / 1e9
+    println(f""","louvain_multi_s5_l2":{"q":$qm%.6f,"communities":$nm,"sec":$dtm%.1f}}""")
     spark.stop()
   }
 }
