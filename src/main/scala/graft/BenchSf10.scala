@@ -91,6 +91,11 @@ object BenchSf10 {
     }
 
     val names = if (only.nonEmpty) set.filter(only.contains) else set
+    // parse EVERY env knob before the multi-hour timed loop (the r13
+    // unknown-name lesson applied to env vars): a malformed
+    // GRAFT_QUIET_FACTOR parsed only at verdict time would throw AFTER
+    // hours of measurement, losing the whole window's output
+    val qf = sys.env.get("GRAFT_QUIET_FACTOR").map(_.toDouble).getOrElse(5.0)
     val memMiB = sys.env.get("GRAFT_MEM_SENTINEL_MIB").map(_.toInt).getOrElse(1024)
     val mem = new Sentinels.Mem(memMiB, math.min(8, cpus.toInt))
     runOnce(names.head) // warm-up: JIT, codegen, FS metadata (settles after)
@@ -108,6 +113,12 @@ object BenchSf10 {
     val results = names.map { n =>
       val cpuPre = Sentinels.cpu(spark)
       val memPre = mem.run()
+      // the mem sentinel just streamed 1 GiB — give GC its moment so
+      // rep 1 doesn't start on sentinel-induced churn (the r14 settle
+      // lesson applied to the new per-entry stamps; min-of-reps would
+      // mask it, GRAFT_SF10_REPS=1 would not)
+      System.gc()
+      Thread.sleep(1000)
       val ts = Seq.fill(reps)(runOnce(n))
       val cpuPost = Sentinels.cpu(spark)
       val memPost = mem.run()
@@ -122,8 +133,8 @@ object BenchSf10 {
     // ranged 0.061-0.52 s — ALL far below the r13/r14 burst class of
     // 2.8-7.3 s); at 5× the one genuinely disturbed entry (g_pagerank:
     // pre-stamp 8.5× ref, first rep 2.1× its second) stays flagged and
-    // the ordinary-jitter false positives clear
-    val qf = sys.env.get("GRAFT_QUIET_FACTOR").map(_.toDouble).getOrElse(5.0)
+    // the ordinary-jitter false positives clear (qf parsed up front,
+    // before the timed loop)
     val cpuRef = results.flatMap(e => Seq(e.cpuPre, e.cpuPost)).min
     val memRef = results.flatMap(e => Seq(e.memPre, e.memPost))
       .filter(_ > 0.0) match { case s if s.isEmpty => 0.0 case s => s.min }

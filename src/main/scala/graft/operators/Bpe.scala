@@ -137,14 +137,18 @@ object Bpe {
     * spec pins a reference fold, the zero-merge identity, and merge
     * monotonicity. */
   private[graft] def bpeEncodeOf(docs: DataFrame, nMerges: Int,
-      cacheKey: String = "bpe-tf"): DataFrame = {
+      cacheKey: String = ""): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // default cache key binds to the input frame's identity — see
+    // tokenizeDocs (a fixed default would cross-serve corpora)
+    val key = if (cacheKey.nonEmpty) cacheKey
+      else s"bpe-tf:${docs.queryExecution.analyzed.semanticHash()}"
     val mergeRows = bpeMergesOf(docs.select($"text"), nMerges).collect()
     val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
     val bm = s.sparkContext.broadcast(merges)
     // both consumers (vocab distinct, per-doc join) share one tf build
-    val tf = graft.Caches.cached(cacheKey) {
+    val tf = graft.Caches.cached(key) {
       docs
         .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
         .filter(length($"w") > 0)
@@ -168,13 +172,18 @@ object Bpe {
     * then array_sort + transform — all codegen'd built-ins, no
     * cross-row state). Returns (doc_id, n_tokens, tokens). */
   private[graft] def tokenizeDocs(docs: DataFrame, nMerges: Int,
-      cacheKey: String = "bpe-tok"): DataFrame = {
+      cacheKey: String = ""): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // default cache key binds to the INPUT FRAME's identity (the
+    // knStats/nbStats discipline) — a fixed default key would silently
+    // serve corpus A's cached words frame to corpus B in one session
+    val key = if (cacheKey.nonEmpty) cacheKey
+      else s"bpe-tok:${docs.queryExecution.analyzed.semanticHash()}"
     val mergeRows = bpeMergesOf(docs.select($"text"), nMerges).collect()
     val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
     val bm = s.sparkContext.broadcast(merges)
-    val words = graft.Caches.cached(cacheKey) {
+    val words = graft.Caches.cached(key) {
       docs
         .select($"doc_id", posexplode(split(lower($"text"), " ")))
         .toDF("doc_id", "p", "w")

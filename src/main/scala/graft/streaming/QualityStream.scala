@@ -55,7 +55,11 @@ object QualityStream {
     // makes the prior log10(0/n) or log10(n/0) = ±Infinity, which would
     // silently poison every streamed score downstream
     val d0 = dc.first()
-    val (npos, nneg) = (d0.getLong(0), d0.getLong(1))
+    // an EMPTY corpus aggregates to one all-NULL row — read null-safely
+    // so the require below fires with its message instead of an opaque
+    // NPE from Row.getLong (the PerplexityStream.trainModel pattern)
+    val npos = if (d0.isNullAt(0)) 0L else d0.getLong(0)
+    val nneg = if (d0.isNullAt(1)) 0L else d0.getLong(1)
     require(npos > 0 && nneg > 0,
       s"degenerate training classes: npos=$npos nneg=$nneg — " +
         "posSources must match at least one and not all documents")

@@ -61,4 +61,21 @@ class QualityStreamSpec extends SparkSpecBase {
     val oov = streamed.find(_.doc_id == 12L).get
     assert(oov.score == 0.0 && !oov.pred_quality)
   }
+
+  test("degenerate training classes fail loudly: one-sided allowlist AND empty corpus") {
+    val s = spark
+    import s.implicits._
+    val oneSided = Seq((1L, "good", "a b"), (2L, "good", "c d"))
+      .toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException] {
+      QualityStream.trainModel(oneSided, Seq("good"))
+    }
+    // an EMPTY corpus aggregates to an all-NULL counts row — the guard
+    // must still fire its message, not NPE on Row.getLong
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException] {
+      QualityStream.trainModel(empty, Seq("good"))
+    }
+  }
 }

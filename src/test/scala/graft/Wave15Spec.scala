@@ -340,9 +340,13 @@ class Wave15Spec extends SparkSpecBase {
     val back = s.read.parquet(path)
     val direct = graft.pipeline.CorpusPipeline.tokenizeShards(s, sfDir)
     assert(back.count() == direct.count())
-    // partition pruning: a single-phase read touches only that dir
+    // partition pruning: the phase predicate must land in the scan's
+    // PartitionFilters (a regression to an unpartitioned layout or an
+    // unpruned filter would leave that list without it)
     val one = back.filter($"phase" === 1)
     val scan = one.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*phase".r.findFirstIn(scan).isDefined,
+      s"phase filter not pushed to partition pruning:\n$scan")
     assert(one.count() ==
       direct.filter($"phase" === 1).count())
   }
