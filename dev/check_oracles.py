@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run oracle_sql.json in
-DuckDB over the sf tables and compare against the Spark parquet dumps."""
-import sys, json, glob, math
+DuckDB over the sf tables and compare against the Spark parquet dumps.
+
+r16 (VERDICT r15 #2): ALSO exercises every rows-only dump (a query dir in
+out_dir with no oracle SQL) through the driver's own path — load into
+pandas, sort_values over every column, row-count — so a schema the
+driver's comparator cannot digest (e.g. ARRAY columns -> factorize
+'unhashable type: numpy.ndarray', the p_tokenize_shards r15 crash) fails
+HERE before the round ships, instead of as a red driver row."""
+import sys, os, json, glob, math
 import duckdb, pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -48,5 +55,28 @@ for name, sql in sorted(oracle.items()):
         print(f"PASS {name} ({len(exp)} rows)")
     else:
         fails.append(name)
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} PASS" + (f"; FAILS: {fails}" if fails else ""))
+# --- rows-only entries: drive them like the driver does -------------------
+rows_only = sorted(
+    d for d in os.listdir(out_dir)
+    if os.path.isdir(os.path.join(out_dir, d)) and d not in oracle)
+for name in rows_only:
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: rows-only, no spark output"); fails.append(name); continue
+    try:
+        got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        got = got.reindex(sorted(got.columns), axis=1)
+        got = got.sort_values(by=list(got.columns))  # the driver's crash site
+        n = len(got)
+    except Exception as e:
+        print(f"FAIL {name}: rows-only, driver-path error: {e}")
+        fails.append(name); continue
+    if n == 0:
+        print(f"FAIL {name}: rows-only, 0 rows"); fails.append(name)
+    else:
+        print(f"PASS {name} (rows-only, {n} rows)")
+
+total = len(oracle) + len(rows_only)
+print(f"\n{total-len(fails)}/{total} PASS ({len(oracle)} oracled + {len(rows_only)} rows-only)"
+      + (f"; FAILS: {fails}" if fails else ""))
 sys.exit(1 if fails else 0)

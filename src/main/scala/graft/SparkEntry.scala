@@ -187,8 +187,12 @@ object SparkEntry {
     "p_curriculum" -> ((s, d) => Sampling.curriculum(s, d)),
     "p_mix_budget" -> ((s, d) => Sampling.mixBudget(s, d)),
     // token arrays have no scalar SQL replay ⇒ rows-only; the spec pins
-    // reassembly identity + shard determinism + the packing invariants
-    "p_tokenize_shards" -> ((s, d) => pipeline.CorpusPipeline.tokenizeShards(s, d)),
+    // reassembly identity + shard determinism + the packing invariants.
+    // r16: the CONTRACT entry is the all-scalar digest projection — the
+    // driver's pandas comparator crashes on array columns (ADVICE r15
+    // #1), so arrays stay behind tokenizeShards/writeTokenShards and the
+    // entry ships xxhash64 digests of them instead.
+    "p_tokenize_shards" -> ((s, d) => pipeline.CorpusPipeline.tokenizeShardsDigest(s, d)),
     "p_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
     // best-fit-decreasing needs the whole open-bins vector as fold state
     // — no scalar recursive-CTE replay ⇒ rows-only; the ScalaCheck spec

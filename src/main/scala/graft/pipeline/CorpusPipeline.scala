@@ -213,9 +213,16 @@ object CorpusPipeline {
     * independent of partition assignment. Rows-only entry (the token
     * arrays have no scalar SQL replay); the spec pins reader-side
     * reassembly identity, deterministic shard assignment, and the P2
-    * packing invariants. */
+    * packing invariants.
+    *
+    * nShards defaults to 8 — the SAME modulus as Sampling.curriculum's
+    * published p_curriculum entry, so a document carries ONE (phase,
+    * shard) key across both contract frames and the shard keys are
+    * join-compatible (ADVICE r15 #3: shard = h % nShards changes with
+    * the modulus, so a divergent default silently broke the "rides P12
+    * curriculum" composition claim). */
   def tokenizeShards(s: SparkSession, dir: String, nMerges: Int = 10,
-      nShards: Int = 4, budget: Long = 400L): DataFrame = {
+      nShards: Int = 8, budget: Long = 400L): DataFrame = {
     import s.implicits._
     val toks = graft.operators.Bpe.tokenizeDocs(
       Tables.documents(s, dir).select($"doc_id", $"text"), nMerges,
@@ -266,11 +273,40 @@ object CorpusPipeline {
     }
   }
 
+  /** Driver-comparable projection of [[tokenizeShards]] — the contract
+    * entry behind `p_tokenize_shards` (VERDICT r15 #1 / ADVICE r15 #1).
+    * The verify driver's rows-only comparator sorts the frame in pandas,
+    * and ARRAY columns crash `factorize` (`unhashable type:
+    * numpy.ndarray` — the one red CORRECTNESS_r15 row), so the contract
+    * frame must be all-scalar. Each array column is replaced by a
+    * deterministic 64-bit digest of its canonical string form — any
+    * change to a token, a doc id, or a length boundary changes the
+    * digest — while the raw-array frame stays the real product behind
+    * [[writeTokenShards]] and reader-side consumers. The digest is one
+    * narrow projection (no extra shuffle, no second pass). */
+  def tokenizeShardsDigest(s: SparkSession, dir: String, nMerges: Int = 10,
+      nShards: Int = 8, budget: Long = 400L): DataFrame =
+    digestOf(tokenizeShards(s, dir, nMerges, nShards, budget))
+
+  /** The scalar projection itself: phase/shard/seq_id/n_docs/n_tokens
+    * ride through; tokens/doc_ids/doc_lens become xxhash64 digests of
+    * their ','-joined string forms. Kept separate so the spec can pin
+    * entry-projection ≡ digest-of-array-frame. */
+  private[graft] def digestOf(packed: DataFrame): DataFrame =
+    packed.select(
+      col("phase"), col("shard"), col("seq_id"), col("n_docs"),
+      col("n_tokens"),
+      xxhash64(concat_ws(",", col("tokens"))).as("tokens_h"),
+      xxhash64(concat_ws(",", col("doc_ids").cast("array<string>")))
+        .as("doc_ids_h"),
+      xxhash64(concat_ws(",", col("doc_lens").cast("array<string>")))
+        .as("doc_lens_h"))
+
   /** Land the packed sequences hive-partitioned by (phase, shard) —
     * a reader pulling one curriculum phase (or one shard of it) prunes
     * every other directory at the scan. */
   def writeTokenShards(s: SparkSession, dir: String, path: String,
-      nMerges: Int = 10, nShards: Int = 4, budget: Long = 400L): Unit =
+      nMerges: Int = 10, nShards: Int = 8, budget: Long = 400L): Unit =
     graft.sinks.TableWriter.writePartitioned(
       tokenizeShards(s, dir, nMerges, nShards, budget), path,
       partitionCols = Seq("phase", "shard"), sortCols = Seq("seq_id"))

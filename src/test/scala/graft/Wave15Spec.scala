@@ -284,7 +284,8 @@ class Wave15Spec extends SparkSpecBase {
     import s.implicits._
     val budget = 400L
     val packed = graft.pipeline.CorpusPipeline.tokenizeShards(s, sfDir).collect()
-    val cur = graft.operators.Sampling.curriculum(s, sfDir, nShards = 4).collect()
+    // default nShards (8) — aligned with p_curriculum's modulus (ADVICE r15 #3)
+    val cur = graft.operators.Sampling.curriculum(s, sfDir).collect()
       .map(r => r.getLong(3) -> ((r.getLong(0), r.getInt(1), r.getLong(2)))).toMap
     packed.foreach { r =>
       val (phase, shard) = (r.getLong(0), r.getInt(1))
@@ -330,6 +331,33 @@ class Wave15Spec extends SparkSpecBase {
       (2L, 1, 2L, Seq(22L), 1L)))
     // empty input → empty output
     assert(packSequences(Iterator.empty, 8L).isEmpty)
+  }
+
+  test("tokenize_shards: contract digest projection is all-scalar and ≡ digest-of-array-frame") {
+    val s = spark
+    import s.implicits._
+    val arrays = graft.pipeline.CorpusPipeline.tokenizeShards(s, sfDir)
+    val entry = graft.pipeline.CorpusPipeline.tokenizeShardsDigest(s, sfDir)
+    // all-scalar schema: no ArrayType survives into the contract frame
+    // (the driver's pandas comparator crashes on arrays — ADVICE r15 #1)
+    assert(entry.schema.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"array column leaked into the contract frame: ${entry.schema}")
+    // entry ≡ digestOf(array frame), row for row
+    val viaDigest = graft.pipeline.CorpusPipeline.digestOf(arrays)
+      .collect().map(_.toSeq).toSet
+    assert(entry.collect().map(_.toSeq).toSet == viaDigest)
+    // digest faithfulness: distinct token arrays ⇒ distinct digests here
+    // (xxhash64 collisions are possible in principle, not on this corpus),
+    // and a one-token edit moves the digest
+    val nArr = arrays.select($"tokens").distinct().count()
+    val nDig = arrays.select(xxhash64(concat_ws(",", $"tokens"))).distinct().count()
+    assert(nArr == nDig, s"digest collided: $nArr arrays -> $nDig digests")
+    val edited = arrays.limit(1).select(
+      xxhash64(concat_ws(",", $"tokens")).as("h0"),
+      xxhash64(concat_ws(",", concat($"tokens", array(lit("x"))))).as("h1"))
+      .first()
+    assert(edited.getLong(0) != edited.getLong(1))
   }
 
   test("tokenize_shards: partitioned write lands prunable (phase, shard) dirs that read back whole") {
