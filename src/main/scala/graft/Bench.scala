@@ -112,7 +112,9 @@ object Bench {
     // r15 additions: one-level deterministic Louvain (the modularity
     // climber), its coarsened two-level form, the
     // tokenize→curriculum→pack training-artifact composition
-    "g_louvain", "g_louvain_multi", "p_tokenize_shards")
+    "g_louvain", "g_louvain_multi", "p_tokenize_shards",
+    // r16: FastRP graph embeddings (the G→V bridge)
+    "g_fastrp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

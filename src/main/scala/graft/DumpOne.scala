@@ -24,6 +24,12 @@ object DumpOne {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries(name)(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // the query's oracle SQL too (r16), so one DuckDB call closes the loop
+    SparkEntry.oracleSql.get(name).foreach { sql =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/${name}_oracle.sql"),
+        sql.getBytes("UTF-8"))
+    }
     println(s"[dumpone] $name $sfDir -> $outDir/$name.parquet")
     spark.stop()
   }

@@ -66,6 +66,8 @@ object SparkEntry {
     "t_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
     "t_bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
     "t_kn_logprob" -> ((s, d) => TextOps.knLogprob(s, d)),
+    // r16: the trigram extension (one more backoff level, same stats shape)
+    "t_kn3_logprob" -> ((s, d) => TextOps.kn3Logprob(s, d)),
     "t_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "t_more_like_this" -> ((s, d) => TextOps.moreLikeThis(s, d)),
     "t_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(s, d)),
@@ -163,6 +165,12 @@ object SparkEntry {
     "g_modularity" -> ((s, d) => GraphOps.modularity(s, d)),
     "g_louvain" -> ((s, d) => GraphOps.louvain(s, d)),
     "g_louvain_multi" -> ((s, d) => GraphOps.louvainMulti(s, d)),
+    // r16: FastRP embeddings, unpivoted to (part, dim, val) scalars —
+    // the all-BIGINT chain replays exactly (fastRpOracle below)
+    "g_fastrp" -> ((s, d) => GraphOps.fastRp(s, d)),
+    // r16: per-sweep Louvain convergence monitor (moved counts + Q) —
+    // always the full budget; the early exit lives in louvainOf itself
+    "g_louvain_trace" -> ((s, d) => GraphOps.louvainTrace(s, d)),
     "g_hits" -> ((s, d) => GraphOps.hits(s, d)),
     "g_random_walks" -> ((s, d) => GraphOps.randomWalks(s, d)),
     "g_node2vec" -> ((s, d) => GraphOps.node2vecWalks(s, d)),
@@ -355,12 +363,82 @@ object SparkEntry {
        |SELECT l1.v AS part, lx.lbl AS community
        |FROM lab$sweeps l1 JOIN l2$sweeps lx ON l1.lbl = lx.v ORDER BY part""".stripMargin
 
+  /** G24c oracle (r16): the same sweep chain, with per-sweep statistics
+    * read off each label frame — moved = exact changed-label count vs
+    * the previous frame; q from the EXACT integer pieces (Σ intra
+    * weight, Σ k_tot²) in the ONE shared double expression
+    * sw/m − sk2/(4m²), 6dp + 0.0 (summing per-community q_terms would
+    * reassociate double addition across engines — the integer pieces
+    * cannot). */
+  private def louvainTraceOracle(sweeps: Int): String = {
+    val rows = (1 to sweeps).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS sweep,
+         |  (SELECT COUNT(*) FROM lab$i a JOIN lab${i - 1} b ON a.v = b.v AND a.lbl <> b.lbl) AS moved,
+         |  ROUND(CAST((SELECT COALESCE(SUM(e.w), 0) FROM e JOIN lab$i x ON e.src = x.v JOIN lab$i y ON e.dst = y.v WHERE x.lbl = y.lbl) AS DOUBLE)/m.m
+         |    - CAST((SELECT COALESCE(SUM(kt*kt), 0) FROM (SELECT SUM(d.kv) kt FROM lab$i l JOIN deg d ON l.v = d.v GROUP BY l.lbl)) AS DOUBLE)/(4.0*m.m*m.m), 6) + 0.0 AS q
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$louvainBase,
+       |${louvainSweepCtes(sweeps, "lab", "arcs", "deg", "")}
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY sweep""".stripMargin
+  }
+
+  /** G25 oracle (r16): the FastRP integer chain replayed as MATERIALIZED
+    * CTEs — hash-signed {+SCALE, −SCALE, 0} init (density 1/3), `rounds`
+    * floor-divided neighbor-sum rounds over the mirrored arcs, unit-weight
+    * round sum, unpivoted to (part, dim, val). Every state value is a
+    * BIGINT; the only double is the per-round quotient Σx/deg, whose
+    * operands are integers < 2⁵³ — the SAME IEEE value in both engines,
+    * so floor() agrees bit-for-bit and no 6dp rounding is needed
+    * anywhere. MATERIALIZED throughout (the G24 lesson: DuckDB inlines
+    * non-recursive CTEs; each round reads its predecessor `dim`+1 ways). */
+  private def fastRpOracle(dim: Int, rounds: Int,
+      scale: Long = 1000000L): String = {
+    val initCols = (0 until dim).map(k =>
+      s"CASE CAST(('0x'||substr(md5('frp:'||CAST(src AS VARCHAR)||':$k'),1,15)) AS BIGINT) % 6 " +
+      s"WHEN 0 THEN CAST($scale AS BIGINT) WHEN 1 THEN CAST(-$scale AS BIGINT) ELSE CAST(0 AS BIGINT) END AS x$k")
+      .mkString(",\n  ")
+    val roundCtes = (1 to rounds).map { r =>
+      val cols = (0 until dim).map(k =>
+        s"CAST(floor(CAST(SUM(x.x$k) AS DOUBLE)/CAST(d.deg AS DOUBLE)) AS BIGINT) AS x$k")
+        .mkString(",\n  ")
+      s"""fx$r AS MATERIALIZED (SELECT a.dst AS v,
+         |  $cols
+         |  FROM arcs a JOIN fx${r - 1} x ON x.v = a.src JOIN deg d ON d.src = a.dst
+         |  GROUP BY a.dst, d.deg)""".stripMargin
+    }.mkString(",\n")
+    val embCols = (0 until dim).map(k =>
+      (1 to rounds).map(r => s"fx$r.x$k").mkString(" + ") + s" AS x$k")
+      .mkString(",\n  ")
+    val joins = (2 to rounds).map(r => s"JOIN fx$r ON fx1.v = fx$r.v").mkString(" ")
+    val unpivot = (0 until dim).map(k =>
+      s"SELECT v AS part, CAST($k AS BIGINT) AS dim, x$k AS val FROM emb")
+      .mkString("\n  UNION ALL ")
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.pk src, b.pk dst FROM lp a JOIN lp b ON a.ok=b.ok AND a.pk<b.pk GROUP BY 1,2),
+       |arcs AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM arcs GROUP BY src),
+       |fx0 AS MATERIALIZED (SELECT src AS v,
+       |  $initCols
+       |  FROM deg),
+       |$roundCtes,
+       |emb AS MATERIALIZED (SELECT fx1.v AS v,
+       |  $embCols
+       |  FROM fx1 $joins)
+       |$unpivot
+       |ORDER BY part, dim""".stripMargin
+  }
+
   /** DuckDB-dialect equivalents of `queries`, same column names (driver
     * compares after sorting columns by name). Money sums go through
     * DECIMAL(18,6) on both engines so results are bit-identical. */
   def oracleSql: Map[String, String] = Map(
     "g_louvain" -> louvainOracle(5),
     "g_louvain_multi" -> louvainMultiOracle(5),
+    "g_louvain_trace" -> louvainTraceOracle(5),
+    "g_fastrp" -> fastRpOracle(8, 3),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
@@ -734,6 +812,45 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(SUM(term) AS DOUBLE)/CAST(SUM(tf) AS BIGINT) AS mean_logprob,
         |  CAST(SUM(tf) AS BIGINT) AS n_bigrams
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // T19c (r16): the trigram KN chain — the T19 oracle extended one
+    // level: trigram types via the same GROUP BY ladder (cf3 → ctx →
+    // continuation cc → mid), the bigram continuation floor re-derived
+    // from bigram TYPES (bcf: COUNT(*) = T19's Σ n1w1 ≡ n1all), and the
+    // single recursive P expression mirroring TextOps.kn3P verbatim.
+    "t_kn3_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') w FROM documents),
+        |tg AS (SELECT doc_id, unnest(list_transform(range(1,len(w)-1),
+        |         i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) u
+        |       FROM d WHERE len(w) >= 3),
+        |tf AS (SELECT doc_id, u.w1 w1, u.w2 w2, u.w3 w3, COUNT(*) tf FROM tg GROUP BY 1,2,3,4),
+        |cf3 AS (SELECT w1, w2, w3, SUM(tf) c3 FROM tf GROUP BY 1,2,3),
+        |ctx AS (SELECT w1, w2, SUM(c3) c12, COUNT(*) n12 FROM cf3 GROUP BY 1,2),
+        |cc AS (SELECT w2, w3, COUNT(*) cc23 FROM cf3 GROUP BY 1,2),
+        |mid AS (SELECT w2, SUM(cc23) ccmid, COUNT(*) nsucc2 FROM cc GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1,len(w)),
+        |         i -> {'w1': w[i], 'w2': w[i+1]})) u
+        |       FROM d WHERE len(w) >= 2),
+        |bcf AS (SELECT u.w1 w1, u.w2 w2 FROM bg GROUP BY 1,2),
+        |suf AS (SELECT w2 w3, COUNT(*) n1w3 FROM bcf GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) n1all FROM bcf),
+        |t AS (SELECT tf.doc_id, tf.tf,
+        |        CAST(ROUND(tf.tf * ROUND(log10(
+        |          (CAST(cf3.c3 AS DOUBLE) - 0.75) / CAST(ctx.c12 AS DOUBLE) +
+        |          0.75 * CAST(ctx.n12 AS DOUBLE) / CAST(ctx.c12 AS DOUBLE) * (
+        |            (CAST(cc.cc23 AS DOUBLE) - 0.75) / CAST(mid.ccmid AS DOUBLE) +
+        |            0.75 * CAST(mid.nsucc2 AS DOUBLE) / CAST(mid.ccmid AS DOUBLE) *
+        |            (CAST(suf.n1w3 AS DOUBLE) / tot.n1all))), 6), 6)
+        |          AS DECIMAL(18,6)) term
+        |      FROM tf JOIN cf3 ON tf.w1 = cf3.w1 AND tf.w2 = cf3.w2 AND tf.w3 = cf3.w3
+        |        JOIN ctx ON tf.w1 = ctx.w1 AND tf.w2 = ctx.w2
+        |        JOIN cc ON tf.w2 = cc.w2 AND tf.w3 = cc.w3
+        |        JOIN mid ON tf.w2 = mid.w2
+        |        JOIN suf ON tf.w3 = suf.w3
+        |        CROSS JOIN tot)
+        |SELECT doc_id,
+        |  CAST(SUM(term) AS DOUBLE)/CAST(SUM(tf) AS BIGINT) AS mean_logprob,
+        |  CAST(SUM(tf) AS BIGINT) AS n_trigrams
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Naive-Bayes quality classifier: class-conditional word counts in
     // one aggregate, add-one smoothing, 6dp logodds terms through the

@@ -824,6 +824,103 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // T19c — interpolated TRIGRAM Kneser-Ney (r16, VERDICT r15 #5): one
+  // more backoff level on T19's machinery — the step from "minimal"
+  // toward CCNet's 5-gram KenLM gate. Recursive interpolated KN
+  // (Chen & Goodman 1999, eq. 18), three levels:
+  //   P(w3|w1w2) = (c(w1w2w3) − D)/c(w1w2·)
+  //              + D·N1+(w1w2·)/c(w1w2·) · P_kn(w3|w2)
+  //   P_kn(w3|w2) = (N1+(·w2w3) − D)/N1+(·w2·)
+  //              + D·N1+(w2·*)/N1+(·w2·) · P_cont(w3)
+  //   P_cont(w3) = N1+(·w3)/N1+(··)            (T19's unigram floor)
+  // where the MIDDLE level runs on continuation counts (the KN insight
+  // applied recursively: how many distinct left-contexts a bigram
+  // continues), N1+(w2·*) = distinct trigram successors of w2, and the
+  // bottom level reuses T19's bigram continuation stats verbatim
+  // (knStats.suf/tot — the same cached frame, so the two scorers share
+  // one bigram aggregation per session). Every count is an exact BIGINT
+  // from a GROUP BY chain over the Zipf-small trigram-type frame; all
+  // discounted numerators stay positive on observed trigrams (c ≥ 1,
+  // N1+ ≥ 1), so the single shared expression needs no max(…, 0).
+  //
+  // Shapes: ONE corpus-scale trigram explode+aggregation (persisted —
+  // the knStats discipline) feeds the per-doc join and all three stats
+  // levels as successive map-side-combined GROUP BYs of strictly
+  // smaller frames. Scoring is the T19 fold: 6dp log10 per type,
+  // tf-weighted DECIMAL sum, one IEEE division by the trigram count.
+  def kn3Logprob(s: SparkSession, dir: String, d: Double = 0.75): DataFrame =
+    kn3LogprobOn(Tables.documents(s, dir), d)
+
+  /** T19c's per-doc trigram term-frequency frame (doc_id, w1, w2, w3, tf). */
+  private[graft] def kn3DocTf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", wordsCol.as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2, " +
+        "element_at(w, i + 2) AS w3))")).as("e"))
+      .select($"doc_id", $"e.w1", $"e.w2", $"e.w3")
+      .groupBy($"doc_id", $"w1", $"w2", $"w3").agg(count(lit(1)).as("tf"))
+  }
+
+  /** T19c's corpus statistics — (cf3, ctx, cc, mid): trigram counts;
+    * context totals c(w1w2·) + distinct-successor counts N1+(w1w2·);
+    * continuation bigram counts N1+(·w2w3); middle-level totals
+    * N1+(·w2·) + distinct successors N1+(w2·*). The unigram floor comes
+    * from [[knStats]] (shared cache). Shared with the streaming serving
+    * leg (PerplexityStream.trainTrigram) — the shipped model evaluates
+    * the same expressions. */
+  private[graft] def kn3Stats(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cf3 = graft.Caches.cached(
+        s"kn3-trigrams:${docs.queryExecution.analyzed.semanticHash()}") {
+      kn3DocTf(docs).groupBy($"w1", $"w2", $"w3").agg(sum($"tf").as("c3"))
+    }
+    val ctx = cf3.groupBy($"w1", $"w2")
+      .agg(sum($"c3").as("c12"), count(lit(1)).as("n12"))
+    val cc = cf3.groupBy($"w2", $"w3").agg(count(lit(1)).as("cc23"))
+    val mid = cc.groupBy($"w2")
+      .agg(sum($"cc23").as("ccmid"), count(lit(1)).as("nsucc2"))
+    (cf3, ctx, cc, mid)
+  }
+
+  /** The ONE interpolated trigram-KN probability expression, over a row
+    * joined from cf3⋈ctx⋈cc⋈mid⋈suf(w3)⋈tot — shared verbatim by the
+    * distributed scorer, the oracle, and the serving model build. */
+  private[graft] def kn3P(d: Double): Column =
+    (col("c3").cast("double") - lit(d)) / col("c12").cast("double") +
+      lit(d) * col("n12").cast("double") / col("c12").cast("double") * (
+        (col("cc23").cast("double") - lit(d)) / col("ccmid").cast("double") +
+          lit(d) * col("nsucc2").cast("double") / col("ccmid").cast("double") *
+          (col("n1w3").cast("double") / col("n1all")))
+
+  private[graft] def kn3LogprobOn(docs: DataFrame, d: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tf3 = kn3DocTf(docs)
+    val (cf3, ctx, cc, mid) = kn3Stats(docs)
+    val (_, _, suf, tot) = knStats(docs)
+    tf3.join(cf3, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(cc, Seq("w2", "w3"))
+      .join(mid, Seq("w2"))
+      .join(suf.select($"w2".as("w3"), $"n1w2".as("n1w3")), "w3")
+      .crossJoin(broadcast(tot))
+      .withColumn("p", kn3P(d))
+      .withColumn("term",
+        round($"tf" * round(log10($"p"), 6), 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(
+        (sum($"term").cast("double") / sum($"tf")).as("mean_logprob"),
+        sum($"tf").as("n_trigrams"))
+      .orderBy($"doc_id")
+  }
+
   // T20 — trained quality classifier (multinomial Naive Bayes over
   // word counts with add-one smoothing — the distributed twin of the
   // fastText-style "looks like a curated source" filter GPT-3/PaLM

@@ -220,10 +220,14 @@ object VectorOps {
     * near-dups, flat for random pairs, tunable via (b, r) per workload.
     * Bucket count per band is 2^bits ≫ executor count, so the band-bucket
     * join shuffles on high-cardinality keys. */
-  private[graft] def bandSigs(df: DataFrame, bands: Int, bits: Int): DataFrame = {
+  private[graft] def bandSigs(df: DataFrame, bands: Int, bits: Int,
+      dim: Int = 64): DataFrame = {
     import df.sparkSession.implicits._
     require(bits <= 30, "band value must fit an int")
-    val planes = hyperplanes(bands * bits, 64)
+    // dim defaults to the embeddings store's width; parametric since r16
+    // so graph-derived vectors (fastRpVectors, dim 8) band with the same
+    // machinery — the deterministic hyperplane family extends to any dim
+    val planes = hyperplanes(bands * bits, dim)
     val sigs = array((0 until bands).map { k =>
       val bv = (0 until bits).map { t =>
         when(vecDot($"u", typedLit(planes(k * bits + t).toSeq)) >= 0, 1 << t).otherwise(0)

@@ -131,4 +131,129 @@ object PerplexityStream {
     import docs.sparkSession.implicits._
     docs.map(scoreDoc(_, m))
   }
+
+  // --- T19c serving leg (r16, VERDICT r15 #5): the trigram model ---------
+
+  case class Scored3(doc_id: Long, mean_logprob: Double, n_trigrams: Long)
+
+  /** The capped trigram artifact — one more backoff level than KnModel,
+    * same bounded-collect discipline:
+    *  - `trigramLp`: 6dp log10 P for the cap highest-count trigrams;
+    *  - `lam12`: context backoff weight D·N1+(w1w2·)/c(w1w2·);
+    *  - `p2mid`: the MIDDLE KN level P_kn(w3|w2) for capped (w2,w3);
+    *  - `lamMid`: middle backoff weight D·N1+(w2·*)/N1+(·w2·);
+    *  - `pcont`/`pUnk`: T19's continuation-unigram floor, reused.
+    * Serving backoff for a trigram the table misses:
+    * P = λ12(w1w2)·P_kn(w3|w2), falling to λmid(w2)·Pcont(w3), with
+    * λ = 1 for unseen contexts (no evidence — full mass downward) and
+    * Pcont = pUnk for an unseen word. As with KnModel, none of the
+    * backoff paths fire on the training corpus itself; the spec pins
+    * the uncapped fold bit-identical to t_kn3_logprob. */
+  case class Kn3Model(trigramLp: Map[(String, String, String), Double],
+      lam12: Map[(String, String), Double],
+      p2mid: Map[(String, String), Double],
+      lamMid: Map[String, Double],
+      pcont: Map[String, Double], pUnk: Double)
+
+  /** Train from a batch corpus off T19c's OWN stats frames
+    * (TextOps.kn3Stats + the shared bigram floor) — every shipped number
+    * is computed by the same expressions the distributed scorer
+    * evaluates. Collects are bounded by the caps. */
+  def trainTrigram(docs: DataFrame, d: Double = 0.75,
+      trigramCap: Int = 200000, ctxCap: Int = 100000,
+      vocabCap: Int = 50000): Kn3Model = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (cf3, ctx, cc, mid) = TextOps.kn3Stats(docs)
+    val (_, _, suf, tot) = TextOps.knStats(docs)
+    val totRow = tot.first()
+    val n1all = if (totRow.isNullAt(0)) 0.0 else totRow.getDouble(0)
+    require(n1all > 0.0,
+      "degenerate training corpus: no bigram was observed")
+    val sufR = suf.select($"w2".as("w3"), $"n1w2".as("n1w3"))
+    val tl = cf3.join(ctx, Seq("w1", "w2")).join(cc, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(sufR, "w3")
+      .crossJoin(broadcast(tot))
+      .select($"w1", $"w2", $"w3", $"c3",
+        round(log10(TextOps.kn3P(d)), 6).as("lp"))
+      .orderBy($"c3".desc, $"w1", $"w2", $"w3")
+      .limit(trigramCap)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(4))
+      .toMap
+    val l12 = ctx
+      .select($"w1", $"w2", $"c12",
+        (lit(d) * $"n12".cast("double") / $"c12".cast("double")).as("lam"))
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(ctxCap)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    // the middle level P_kn(w3|w2) — the same sub-expression kn3P nests
+    val p2 = cc.join(mid, Seq("w2")).join(sufR, "w3")
+      .crossJoin(broadcast(tot))
+      .select($"w2", $"w3", $"cc23",
+        (($"cc23".cast("double") - lit(d)) / $"ccmid".cast("double") +
+          lit(d) * $"nsucc2".cast("double") / $"ccmid".cast("double") *
+          ($"n1w3".cast("double") / $"n1all")).as("p2"))
+      .orderBy($"cc23".desc, $"w2", $"w3")
+      .limit(ctxCap)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    val lm = mid
+      .select($"w2", $"ccmid",
+        (lit(d) * $"nsucc2".cast("double") / $"ccmid".cast("double")).as("lam"))
+      .orderBy($"ccmid".desc, $"w2")
+      .limit(vocabCap)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(2))
+      .toMap
+    val pc = suf
+      .select($"w2", $"n1w2",
+        ($"n1w2".cast("double") / lit(n1all)).as("pc"))
+      .orderBy($"n1w2".desc, $"w2")
+      .limit(vocabCap)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(2))
+      .toMap
+    Kn3Model(tl, l12, p2, lm, pc, 1.0 / n1all)
+  }
+
+  /** The trigram scalar fold — bit-identical float discipline to
+    * T19c's distributed aggregation on observed trigrams. */
+  private[graft] def scoreDoc3(dc: Doc, m: Kn3Model): Scored3 = {
+    val ws = dc.text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (ws.length < 3) Scored3(dc.doc_id, 0.0, 0L)
+    else {
+      val tris = (0 until ws.length - 2).map(i => (ws(i), ws(i + 1), ws(i + 2)))
+      var acc = java.math.BigDecimal.ZERO
+      var n = 0L
+      tris.groupBy(identity).foreach { case ((w1, w2, w3), occ) =>
+        val lp = m.trigramLp.getOrElse((w1, w2, w3), {
+          val lam = m.lam12.getOrElse((w1, w2), 1.0)
+          val p2 = m.p2mid.getOrElse((w2, w3), {
+            m.lamMid.getOrElse(w2, 1.0) * m.pcont.getOrElse(w3, m.pUnk)
+          })
+          round6(math.log10(lam * p2))
+        })
+        n += occ.length
+        acc = acc.add(java.math.BigDecimal.valueOf(round6(occ.length * lp))
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+      }
+      Scored3(dc.doc_id, acc.doubleValue / n, n)
+    }
+  }
+
+  /** Batch twin of the trigram stream. */
+  def batchTrigramScores(docs: Dataset[Doc], m: Kn3Model): Dataset[Scored3] = {
+    import docs.sparkSession.implicits._
+    docs.map(scoreDoc3(_, m))
+  }
+
+  /** Streaming trigram form: one scored row per arriving document. */
+  def trigram(docs: Dataset[Doc], m: Kn3Model): Dataset[Scored3] = {
+    import docs.sparkSession.implicits._
+    docs.map(scoreDoc3(_, m))
+  }
 }
