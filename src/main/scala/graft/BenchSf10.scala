@@ -76,9 +76,9 @@ object BenchSf10 {
       Thread.sleep(1000)
     }
 
-    def runOnce(name: String): Double = {
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      val dt = try {
+      try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -86,6 +86,10 @@ object BenchSf10 {
         System.err.println(s"[benchsf10] $name failed: ${e.getMessage}")
         -1.0
       }
+    }
+
+    def runOnce(name: String): Double = {
+      val dt = timeOne(name)
       settle() // untimed: the next measurement starts on a quiet JVM
       dt
     }
@@ -109,8 +113,26 @@ object BenchSf10 {
     // the settled JVM the settle() step guarantees), so a burst costs
     // ONE entry, not the window.
     case class Entry(name: String, repsS: Seq[Double],
-        cpuPre: Double, memPre: Double, cpuPost: Double, memPost: Double)
-    val results = names.map { n =>
+        cpuPre: Double, memPre: Double, cpuPost: Double, memPost: Double,
+        memoizedAfter: Option[String] = None)
+    // r16 (VERDICT r15 #6): the G21/G22 loop is FUSED and session-
+    // memoized, but settle() clears the memo between entries — so the
+    // r15 deck paid the full fused pass TWICE (445.2 + 492.2 s for one
+    // loop's information) and round totals double-counted it. When both
+    // entries are in the run they now time as a UNIT per rep: reach pays
+    // the cold fused pass, harmonic is the memoized second read off the
+    // same warm session (no settle in between — that IS the serving
+    // economics ProbeFused measured: 675.8 s cold + 8.4 s memoized),
+    // and the artifact attributes it via "memoized_after".
+    val fusedPair = Seq("g_reach_profile", "g_harmonic_all")
+    val groups: Seq[Seq[String]] =
+      if (fusedPair.forall(names.contains))
+        names.filterNot(_ == "g_harmonic_all").map {
+          case "g_reach_profile" => fusedPair
+          case n => Seq(n)
+        }
+      else names.map(Seq(_))
+    val results = groups.flatMap { grp =>
       val cpuPre = Sentinels.cpu(spark)
       val memPre = mem.run()
       // the mem sentinel just streamed 1 GiB — give GC its moment so
@@ -119,10 +141,20 @@ object BenchSf10 {
       // mask it, GRAFT_SF10_REPS=1 would not)
       System.gc()
       Thread.sleep(1000)
-      val ts = Seq.fill(reps)(runOnce(n))
+      // each rep times the whole group in order and settles only AFTER
+      // it — a later group member reads the session the earlier one
+      // warmed (single-name groups degrade to the old per-entry shape)
+      val repTs: Seq[Seq[Double]] = Seq.fill(reps) {
+        val ts = grp.map(timeOne)
+        settle()
+        ts
+      }
       val cpuPost = Sentinels.cpu(spark)
       val memPost = mem.run()
-      Entry(n, ts, cpuPre, memPre, cpuPost, memPost)
+      grp.zipWithIndex.map { case (n, i) =>
+        Entry(n, repTs.map(_(i)), cpuPre, memPre, cpuPost, memPost,
+          memoizedAfter = if (i > 0) Some(grp.head) else None)
+      }
     }
     // quiet verdict is SELF-REFERENCED: the window's best stamp is what
     // this host does undisturbed; an entry whose worst stamp exceeds it
@@ -144,18 +176,30 @@ object BenchSf10 {
         math.max(e.memPre, e.memPost) <= memRef * qf
       cpuOk && memOk
     }
+    // ADVICE r15 #4: the self-referenced quiet verdict cannot see a
+    // co-tenant load that is STEADY across the whole window (it raises
+    // the reference and every entry reads quiet). Compare the window's
+    // own minimum against the known undisturbed host stamps (the r12
+    // quiet band: cpu 0.196 s, mem 0.037 s/MiB-norm — the values every
+    // burst adjudication since r12 has cited), overridable per host.
+    val cpuAbs = sys.env.get("GRAFT_CPU_REF_ABS").map(_.toDouble).getOrElse(0.196)
+    val memAbs = sys.env.get("GRAFT_MEM_REF_ABS").map(_.toDouble).getOrElse(0.037)
+    val windowQuiet = cpuRef <= cpuAbs * qf &&
+      (memRef == 0.0 || memRef <= memAbs * qf)
     val qs = results.map { e =>
       val v = if (e.repsS.exists(_ < 0)) -1.0 else e.repsS.min
       val repsJson = e.repsS.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val attr = e.memoizedAfter
+        .map(a => s""","memoized_after":"$a"""").getOrElse("")
       "\"" + e.name + "\":{" +
         f""""secs":$v%.3f,"reps":$repsJson,""" +
         f""""cpu_pre":${e.cpuPre}%.3f,"cpu_post":${e.cpuPost}%.3f,""" +
         f""""mem_pre":${e.memPre}%.3f,"mem_post":${e.memPost}%.3f,""" +
-        s""""quiet":${quiet(e)}}"""
+        s""""quiet":${quiet(e)}$attr}"""
     }.mkString("{", ",", "}")
     val total = results.map(e => if (e.repsS.exists(_ < 0)) -1.0 else e.repsS.min)
       .filter(_ >= 0).sum
-    println(f"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"cpu_ref":$cpuRef%.3f,"mem_ref":$memRef%.3f,"metric":"total","unit":"sec","value":$total%.3f}""")
+    println(f"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"cpu_ref":$cpuRef%.3f,"mem_ref":$memRef%.3f,"cpu_ref_abs":$cpuAbs%.3f,"mem_ref_abs":$memAbs%.3f,"window_quiet":$windowQuiet,"metric":"total","unit":"sec","value":$total%.3f}""")
     spark.stop()
   }
 }
