@@ -5,10 +5,11 @@ import graft.operators.GraphOps
 
 /** Early-exit probe for G24 (r16, VERDICT r15 #4): at a given sweep
   * budget, how many sweeps does louvainOf actually execute before the
-  * two-consecutive-no-op fixpoint check fires, and what does the exit
-  * save vs paying the whole budget? Reports executed counts per budget
-  * and wall time; the exit ≡ full-chain parity is spec-pinned
-  * (Wave16Spec), so this probe only measures.
+  * even-period cycle detector fires (fixpoints are period-2 cycles;
+  * the corpus orbits a small limit cycle instead of converging), and
+  * what does the exit save vs paying the whole budget? Reports executed
+  * counts per budget and wall time; exit ≡ full-chain parity is
+  * spec-pinned (Wave16Spec), so this probe only measures.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.ProbeLouvainExit [budgets...]
   */

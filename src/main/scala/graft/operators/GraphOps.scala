@@ -2252,44 +2252,86 @@ object GraphOps {
 
   /** The G24 sweep loop, returning (labels, sweeps actually executed).
     *
-    * Early exit (r16, VERDICT r15 #4): the loop stops once TWO
-    * consecutive sweeps leave the labeling unchanged. One unchanged
-    * sweep is NOT a fixpoint here — direction alternation means sweep i
-    * only proves the parity-i move class has no gain; the opposite
-    * parity could still move (and on the bridged-triangle fixture it
-    * does). Two consecutive no-ops cover both parities, so every later
-    * sweep replays identically and the truncated loop returns EXACTLY
-    * the full chain's labels — the oracle keeps replaying the full
-    * fixed chain and hash-match is preserved by construction.
-    * Change detection is the G21 register-checksum pattern: one
+    * Early exit (r16, VERDICT r15 #4): general EVEN-PERIOD cycle
+    * detection with exact fast-forward. The synchronous update is a
+    * deterministic map of (labeling, sweep parity), so if the state
+    * after sweep i equals the state after sweep j with i−j EVEN (same
+    * parity phase), every later sweep replays the window [j, i) forever
+    * — the budget's final state is state(j + ((budget − j) mod (i−j))),
+    * which the loop already holds. Returning exactly that frame keeps
+    * the truncated loop bit-identical to the full chain, so the oracle
+    * keeps replaying the full fixed chain and hash-match is preserved
+    * by construction. This subsumes the converged case (s_{i} = s_{i−1}
+    * = s_{i−2} is a period-2 cycle) AND the oscillation class a plain
+    * no-move rule misses: measured at sf0.001, the corpus labeling
+    * never reaches a fixpoint — from sweep ~20 a ~6-node limit cycle
+    * keeps moved > 0 forever (ProbeLouvainExit burned the full budget
+    * 40 AND 100) — so a fixpoint-only exit would never fire on real
+    * corpora. Odd-period matches are ignored: the parity phase differs,
+    * so recurrence is not implied.
+    *
+    * State identity is the G21 register-checksum pattern: one
     * bit_xor(xxhash64(v, lbl)) scan of the eager-checkpointed label
     * frame per sweep (node-sized, order-independent, no long-SUM
-    * ANSI-overflow risk). */
+    * ANSI-overflow risk); the detection window keeps the last
+    * `cycleWindow` checkpointed frames alive, which is the loop's
+    * existing memory profile (every sweep's checkpoint lives until the
+    * session clears anyway). */
   private[graft] def louvainCounted(edges: DataFrame, sweeps: Int,
       degOverride: Option[DataFrame] = None,
       mOverride: Option[DataFrame] = None,
-      earlyExit: Boolean = true): (DataFrame, Int) = {
+      earlyExit: Boolean = true, cycleWindow: Int = 12): (DataFrame, Int) = {
     val st = louvainSetup(edges, degOverride, mOverride)
     var labels = st.init
     def chkOf(df: DataFrame): Long = {
       val r = df.agg(expr("bit_xor(xxhash64(v, lbl))")).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    var prevChk = if (earlyExit) chkOf(labels) else 0L
-    var run = 0
+    // (post-sweep index, checksum, frame) for the last `cycleWindow` sweeps
+    var hist = Vector.empty[(Int, Long, DataFrame)]
+    var result: Option[DataFrame] = None
     var executed = 0
     var i = 0
-    while (i < sweeps && (!earlyExit || run < 2)) {
+    while (i < sweeps && result.isEmpty) {
       labels = louvainSweep(st, labels, i)
       executed += 1
       if (earlyExit) {
         val chk = chkOf(labels)
-        if (chk == prevChk) run += 1 else run = 0
-        prevChk = chk
+        hist.find { case (j, cj, _) =>
+          cj == chk && (executed - j) % 2 == 0
+        }.foreach { case (j, _, _) =>
+          val p = executed - j
+          // s_budget = s_{j + ((budget − j) mod p)}; the target index is
+          // always in [j, executed), i.e. inside the retained window
+          val target = j + ((sweeps - j) % p)
+          result = Some(hist.find(_._1 == target).get._3)
+        }
+        hist = (hist :+ ((executed, chk, labels))).takeRight(cycleWindow)
       }
       i += 1
     }
-    (labels, executed)
+    (result.getOrElse(labels), executed)
+  }
+
+  /** localCheckpoint + STATS RESET (r16). Dataset.localCheckpoint copies
+    * the optimized plan's statistics into the checkpointed LogicalRDD,
+    * so an iterative loop whose next round references its state frame k
+    * times COMPOUNDS sizeInBytes k-fold per round: the stat is a BigInt
+    * of ~k^round digits, and past ~12 Louvain sweeps (k≈4) the DRIVER
+    * livelocks in BigInteger.multiply during planning — measured on
+    * this host: digits 57→262→1080→4351→17438 across budgets 2→10
+    * (StatsProbe), and a budget-40 ProbeLouvainExit burned 18 CPU-min
+    * inside ToomCook3 without finishing sweep ~15. Rebuilding the frame
+    * from the checkpointed RDD resets stats to the scan default; result
+    * frames are plan-independent (hash-match unaffected), runtime
+    * broadcast decisions stay with AQE, and the node-sized Row
+    * conversion is noise next to the sweep's arc join. The fixed-budget
+    * loops (5 sweeps, k^5 digits) never tripped this — the r16
+    * early-exit makes LARGE budgets meaningful, so the loop now has to
+    * survive them. */
+  private[graft] def checkpointFlat(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
   /** Shared per-level frames for the sweep loop. */
@@ -2307,7 +2349,7 @@ object GraphOps {
         arcs.groupBy($"src".as("v")).agg(sum($"weight").as("kv"))), "v")
     val mDf = mOverride.getOrElse(
       edges.agg(sum($"weight").cast("double").as("m")))
-    val init = deg.select($"v", $"v".as("lbl")).localCheckpoint(eager = true)
+    val init = checkpointFlat(deg.select($"v", $"v".as("lbl")))
     LouvainFrames(arcs, deg, mDf, init)
   }
 
@@ -2339,11 +2381,10 @@ object GraphOps {
               .cast("double") / (lit(2.0) * $"m")) *
             ($"kv".cast("double") / $"m"), 6) + lit(0.0)).as("gain"),
         when($"c" === $"cur", 0).otherwise(1).as("nc"))
-    sc.groupBy($"v")
+    checkpointFlat(sc.groupBy($"v")
       .agg(min(struct((-$"gain").as("ng"), $"nc".as("nc"), $"c".as("c")))
         .as("b"))
-      .select($"v", $"b.c".as("lbl"))
-      .localCheckpoint(eager = true)
+      .select($"v", $"b.c".as("lbl")))
   }
 
   // G24c — per-sweep Louvain convergence readout (`g_louvain_trace`,

@@ -184,6 +184,22 @@ class Wave16Spec extends SparkSpecBase {
       "exit fired later than fixpoint+2")
   }
 
+  test("louvain: corpus limit cycle detected and fast-forwarded ≡ the full chain") {
+    // the sf0.001 corpus never reaches a fixpoint — from ~sweep 20 a
+    // ~6-node even-period limit cycle keeps moved > 0 forever — so the
+    // exit must detect the CYCLE and return the exact state the full
+    // chain would land on at the budget
+    val e = GraphOps.edgesUnsorted(spark, sfDir)
+    val budget = 40
+    val (early, nEarly) = GraphOps.louvainCounted(e, budget)
+    val (full, nFull) = GraphOps.louvainCounted(e, budget, earlyExit = false)
+    assert(nFull == budget)
+    assert(nEarly < budget, s"cycle never detected: ran $nEarly of $budget")
+    assert(early.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet,
+      "fast-forwarded labels diverged from the full chain")
+  }
+
   test("louvain trace: q matches modularityScoreOf within rounding and moved hits 0 at fixpoint") {
     val e = bridgedTriangles
     val trace = GraphOps.louvainTraceOf(e, 6).collect()
