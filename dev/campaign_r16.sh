@@ -21,15 +21,18 @@ done
 SPARK_DRIVER_MEM=64g dev/run_main.sh graft.BenchOne g_louvain_trace /root/repo/target/sf1 2 \
   >> /tmp/benchone_r16.out 2>>/tmp/benchone_r16.err
 
-echo "[campaign] 3/5 louvain early-exit probe (sf10, budget 10)" >&2
-SPARK_DRIVER_MEM=64g SPARK_GRAFT_SF_DIR=/root/repo/target/sf10 \
-  dev/run_main.sh graft.ProbeLouvainExit 10 \
-  > /tmp/probelouvainexit_r16.out 2>/tmp/probelouvainexit_r16.err
-
-echo "[campaign] 4/5 sf10 extended set (fused pair now timed as a unit)" >&2
+echo "[campaign] 3/5 sf10 extended set (fused pair now timed as a unit)" >&2
 SPARK_DRIVER_MEM=64g SPARK_GRAFT_SF_DIR=/root/repo/target/sf10 \
   dev/run_main.sh graft.BenchSf10 > /tmp/benchsf10_r16.out 2>/tmp/benchsf10_r16.err
 grep '"metric"' /tmp/benchsf10_r16.out | tail -1 > BENCH_SF10_EXT_r16.json
+
+echo "[campaign] 4/5 louvain cycle-exit probe (sf1 budget 40, then sf10 budget 40)" >&2
+SPARK_DRIVER_MEM=64g SPARK_GRAFT_SF_DIR=/root/repo/target/sf1 \
+  dev/run_main.sh graft.ProbeLouvainExit 40 \
+  > /tmp/probelouvainexit_r16.out 2>/tmp/probelouvainexit_r16.err
+SPARK_DRIVER_MEM=64g SPARK_GRAFT_SF_DIR=/root/repo/target/sf10 \
+  dev/run_main.sh graft.ProbeLouvainExit 40 \
+  >> /tmp/probelouvainexit_r16.out 2>>/tmp/probelouvainexit_r16.err
 
 echo "[campaign] 5/5 done"
 echo DONE > /tmp/campaign_r16.done

@@ -68,12 +68,21 @@ object BenchSf10 {
     // async cleanup. A blocking unpersist + an explicit GC between
     // timed regions makes reps independent and lets the sentinels
     // measure the HOST, which is their job.
-    def settle(): Unit = {
+    def settle(): Unit = try {
       Caches.clearAll()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
       Thread.sleep(1000)
+    } catch { case e: Throwable =>
+      // r16: an executor OOM can kill the SparkContext mid-deck; settle()
+      // then threw on the stopped context UNCAUGHT and the whole artifact
+      // was lost (the r16 first window died this way — g_reach_profile
+      // OOM'd at 64g, every completed entry's timing evaporated). Swallow:
+      // the remaining entries fail fast in timeOne and the JSON still
+      // prints with the completed entries' numbers.
+      System.err.println(s"[benchsf10] settle failed: ${e.getMessage}")
+      Caches.reset()
     }
 
     def timeOne(name: String): Double = {
@@ -132,8 +141,12 @@ object BenchSf10 {
           case n => Seq(n)
         }
       else names.map(Seq(_))
+    // sentinel stamps survive a dead context too (same rationale as the
+    // settle guard): -1 marks "unstampable", which also reads as loud
+    def cpuSafe(): Double =
+      try Sentinels.cpu(spark) catch { case _: Throwable => -1.0 }
     val results = groups.flatMap { grp =>
-      val cpuPre = Sentinels.cpu(spark)
+      val cpuPre = cpuSafe()
       val memPre = mem.run()
       // the mem sentinel just streamed 1 GiB — give GC its moment so
       // rep 1 doesn't start on sentinel-induced churn (the r14 settle
@@ -149,7 +162,7 @@ object BenchSf10 {
         settle()
         ts
       }
-      val cpuPost = Sentinels.cpu(spark)
+      val cpuPost = cpuSafe()
       val memPost = mem.run()
       grp.zipWithIndex.map { case (n, i) =>
         Entry(n, repTs.map(_(i)), cpuPre, memPre, cpuPost, memPost,
@@ -167,7 +180,8 @@ object BenchSf10 {
     // pre-stamp 8.5× ref, first rep 2.1× its second) stays flagged and
     // the ordinary-jitter false positives clear (qf parsed up front,
     // before the timed loop)
-    val cpuRef = results.flatMap(e => Seq(e.cpuPre, e.cpuPost)).min
+    val cpuRef = results.flatMap(e => Seq(e.cpuPre, e.cpuPost))
+      .filter(_ > 0.0) match { case s if s.isEmpty => -1.0 case s => s.min }
     val memRef = results.flatMap(e => Seq(e.memPre, e.memPost))
       .filter(_ > 0.0) match { case s if s.isEmpty => 0.0 case s => s.min }
     def quiet(e: Entry): Boolean = {
@@ -184,7 +198,7 @@ object BenchSf10 {
     // burst adjudication since r12 has cited), overridable per host.
     val cpuAbs = sys.env.get("GRAFT_CPU_REF_ABS").map(_.toDouble).getOrElse(0.196)
     val memAbs = sys.env.get("GRAFT_MEM_REF_ABS").map(_.toDouble).getOrElse(0.037)
-    val windowQuiet = cpuRef <= cpuAbs * qf &&
+    val windowQuiet = cpuRef > 0.0 && cpuRef <= cpuAbs * qf &&
       (memRef == 0.0 || memRef <= memAbs * qf)
     val qs = results.map { e =>
       val v = if (e.repsS.exists(_ < 0)) -1.0 else e.repsS.min

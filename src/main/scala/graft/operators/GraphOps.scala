@@ -2294,6 +2294,9 @@ object GraphOps {
     var i = 0
     while (i < sweeps && result.isEmpty) {
       labels = louvainSweep(st, labels, i)
+      // periodic stats reset (see flatStats) — bounds the checkpoint
+      // stats compounding without paying the Row round-trip every sweep
+      if ((i + 1) % flatEvery == 0) labels = flatStats(labels)
       executed += 1
       if (earlyExit) {
         val chk = chkOf(labels)
@@ -2329,10 +2332,22 @@ object GraphOps {
     * loops (5 sweeps, k^5 digits) never tripped this — the r16
     * early-exit makes LARGE budgets meaningful, so the loop now has to
     * survive them. */
-  private[graft] def checkpointFlat(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(eager = true)
+  private[graft] def checkpointFlat(df: DataFrame): DataFrame =
+    flatStats(df.localCheckpoint(eager = true))
+
+  /** Stats reset on an ALREADY-checkpointed frame (no second
+    * checkpoint): rebuild from the checkpointed RDD. The Row round-trip
+    * is paid once per consumption of THIS frame, so the loops apply it
+    * every [[flatEvery]] sweeps rather than every sweep — digit growth
+    * between flattens is bounded (≤ 4^flatEvery × base ≈ a few hundred
+    * digits, BigInt-cheap) and the conversion overhead amortizes to
+    * ~1/flatEvery of the r16-initial every-sweep form (which cost the
+    * 5-sweep entry ~16%: builder g_louvain 13.0 → 15.1 s before this
+    * amortization). */
+  private[graft] def flatStats(ck: DataFrame): DataFrame =
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+
+  private[graft] val flatEvery = 4
 
   /** Shared per-level frames for the sweep loop. */
   private[graft] case class LouvainFrames(arcs: DataFrame, deg: DataFrame,
@@ -2381,10 +2396,11 @@ object GraphOps {
               .cast("double") / (lit(2.0) * $"m")) *
             ($"kv".cast("double") / $"m"), 6) + lit(0.0)).as("gain"),
         when($"c" === $"cur", 0).otherwise(1).as("nc"))
-    checkpointFlat(sc.groupBy($"v")
+    sc.groupBy($"v")
       .agg(min(struct((-$"gain").as("ng"), $"nc".as("nc"), $"c".as("c")))
         .as("b"))
-      .select($"v", $"b.c".as("lbl")))
+      .select($"v", $"b.c".as("lbl"))
+      .localCheckpoint(eager = true)
   }
 
   // G24c — per-sweep Louvain convergence readout (`g_louvain_trace`,
@@ -2414,6 +2430,7 @@ object GraphOps {
     for (i <- 0 until sweeps) {
       val prev = labels
       labels = louvainSweep(st, labels, i)
+      if ((i + 1) % flatEvery == 0) labels = flatStats(labels)
       val moved = labels
         .join(prev.select($"v", $"lbl".as("plbl")), "v")
         .filter($"lbl" =!= $"plbl").count()
