@@ -113,8 +113,8 @@ object Bench {
     // climber), its coarsened two-level form, the
     // tokenize→curriculum→pack training-artifact composition
     "g_louvain", "g_louvain_multi", "p_tokenize_shards",
-    // r16: FastRP graph embeddings (the G→V bridge)
-    "g_fastrp")
+    // r16: FastRP graph embeddings (the G→V bridge), trigram KN scorer
+    "g_fastrp", "t_kn3_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,9 +27,9 @@ object BenchSf10 {
     // r13: HyperANF distance profile (standing record 379.3 s, §5 r13)
     "g_reach_profile",
     // r14: HyperBall harmonic centrality (the same loop + per-node state;
-    // r15 fused the two into one pass — each entry HERE still times the
-    // full fused loop cold because settle() clears the memo; ProbeFused
-    // measures the shared-session win)
+    // r15 fused the two into one pass; r16 times the pair as a GROUP —
+    // reach cold, harmonic as the memoized second read, attributed via
+    // "memoized_after" in the artifact)
     "g_harmonic_all",
     // r15: one-level deterministic Louvain (5 synchronous ΔQ sweeps)
     "g_louvain")
