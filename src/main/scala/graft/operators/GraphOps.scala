@@ -1763,18 +1763,42 @@ object GraphOps {
     var auth = edP.select($"p".as("id")).distinct()
       .withColumn("v", lit(1.0)).localCheckpoint(eager = true)
     for (_ <- 0 until iters) {
-      val rawA = edU.join(hub.select($"id".as("u"), $"v"), "u")
-        .groupBy($"p").agg(sum($"v").as("raw"))
-        .localCheckpoint(eager = true) // feeds the max agg AND the divide
-      val rawH = edP.join(auth.select($"id".as("p"), $"v"), "p")
-        .groupBy($"u").agg(sum($"v").as("raw"))
-        .localCheckpoint(eager = true)
+      // r17 (guide §2.6): the Jacobi update's two legs are independent —
+      // rawA reads only hub_t, rawH only auth_t — so their eager
+      // materializations are submitted concurrently instead of back to
+      // back; the scheduler backfills the second job into the first
+      // job's straggler tail. Results are the exact same frames (each
+      // job's internal reduction order is untouched), only the driver's
+      // submission order changes.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val (hubT, authT) = (hub, auth)
+      val fA = Future {
+        edU.join(hubT.select($"id".as("u"), $"v"), "u")
+          .groupBy($"p").agg(sum($"v").as("raw"))
+          .localCheckpoint(eager = true) // feeds the max agg AND the divide
+      }
+      val fH = Future {
+        edP.join(authT.select($"id".as("p"), $"v"), "p")
+          .groupBy($"u").agg(sum($"v").as("raw"))
+          .localCheckpoint(eager = true)
+      }
+      val rawA = Await.result(fA, Duration.Inf)
+      val rawH = Await.result(fH, Duration.Inf)
+      // r17: the normalized frames stay LAZY — each is consumed exactly
+      // once (the next round's join; the final round's auth by the
+      // contract projection), so an eager checkpoint here bought no
+      // reuse and cost one materialization job per frame per round
+      // (2 × iters jobs, measured 88 jobs → 52 at sf0.1). Lineage stays
+      // bounded: the division hangs one broadcast-scalar node off the
+      // ALREADY-checkpointed raw frame, so plan depth per round is
+      // constant and the BigInt stats hazard (checkpointFlat scaladoc)
+      // cannot compound — rawA/rawH reset the chain every round.
       auth = rawA.crossJoin(broadcast(rawA.agg(max($"raw").as("mx"))))
         .select($"p".as("id"), ($"raw" / $"mx").as("v"))
-        .localCheckpoint(eager = true)
       hub = rawH.crossJoin(broadcast(rawH.agg(max($"raw").as("mx"))))
         .select($"u".as("id"), ($"raw" / $"mx").as("v"))
-        .localCheckpoint(eager = true)
     }
     auth.select($"id".as("part"), round($"v", 6).as("authority"))
   }
@@ -2246,7 +2270,7 @@ object GraphOps {
     * correction is load-bearing. */
   private[graft] def louvainOf(edges: DataFrame, sweeps: Int,
       degOverride: Option[DataFrame] = None,
-      mOverride: Option[DataFrame] = None,
+      mOverride: Option[Double] = None,
       earlyExit: Boolean = true): DataFrame =
     louvainCounted(edges, sweeps, degOverride, mOverride, earlyExit)._1
 
@@ -2279,7 +2303,7 @@ object GraphOps {
     * session clears anyway). */
   private[graft] def louvainCounted(edges: DataFrame, sweeps: Int,
       degOverride: Option[DataFrame] = None,
-      mOverride: Option[DataFrame] = None,
+      mOverride: Option[Double] = None,
       earlyExit: Boolean = true, cycleWindow: Int = 12): (DataFrame, Int) = {
     val st = louvainSetup(edges, degOverride, mOverride)
     var labels = st.init
@@ -2349,23 +2373,31 @@ object GraphOps {
 
   private[graft] val flatEvery = 4
 
-  /** Shared per-level frames for the sweep loop. */
+  /** Shared per-level frames for the sweep loop. `m` is the total edge
+    * weight as ONE driver double (r17): it is a single scalar consumed
+    * only inside gain expressions, so collecting it once at setup and
+    * inlining `lit(m)` removes the per-sweep broadcast-aggregate subquery
+    * (2 AQE stages × sweeps) the old 1-row `crossJoin(broadcast(mDf))`
+    * form paid — same IEEE double, same expression shape, bit-identical
+    * gains (guide §2.4: the cheapest exchange is the one not planned). */
   private[graft] case class LouvainFrames(arcs: DataFrame, deg: DataFrame,
-      mDf: DataFrame, init: DataFrame)
+      m: Double, init: DataFrame)
 
   private def louvainSetup(edges: DataFrame,
       degOverride: Option[DataFrame],
-      mOverride: Option[DataFrame]): LouvainFrames = {
+      mOverride: Option[Double]): LouvainFrames = {
     val s = edges.sparkSession
     import s.implicits._
     val arcs = loopArcs(edges, withWeight = true)
     val deg = partitionedCheckpoint(
       degOverride.map(_.select($"v", $"kv")).getOrElse(
         arcs.groupBy($"src".as("v")).agg(sum($"weight").as("kv"))), "v")
-    val mDf = mOverride.getOrElse(
-      edges.agg(sum($"weight").cast("double").as("m")))
+    val m = mOverride.getOrElse {
+      val r = edges.agg(sum($"weight").cast("double").as("m")).first()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0) // empty graph: no gain row ever evaluates
+    }
     val init = checkpointFlat(deg.select($"v", $"v".as("lbl")))
-    LouvainFrames(arcs, deg, mDf, init)
+    LouvainFrames(arcs, deg, m, init)
   }
 
   /** ONE synchronous ΔQ sweep (parity `i` sets the direction-alternation
@@ -2380,21 +2412,27 @@ object GraphOps {
     val kvc = st.arcs.join(labels, $"src" === $"v")
       .groupBy($"dst", $"lbl").agg(sum($"weight").as("kvc"))
       .select($"dst".as("v"), $"lbl".as("c"), $"kvc")
+    // r17: no (v, c) dedup before the argmax. The only duplicate the
+    // union can create is the stay row (v, cur, 0) colliding with a real
+    // (v, cur, kvc ≥ 1) vote; gain is strictly increasing in kvc with
+    // (v, c) fixed, and both rows carry the same (nc, c) tie-break, so
+    // the min-struct argmax below already selects exactly the row the
+    // old groupBy(v, c).agg(max(kvc)) kept — bit-identical labels, one
+    // exchange per sweep removed (guide §2.4).
     val cand = kvc
       .unionByName(labels.select($"v", $"lbl".as("c"), lit(0L).as("kvc")))
-      .groupBy($"v", $"c").agg(max($"kvc").as("kvc"))
+    val m = lit(st.m)
     val sc = cand
       .join(labels.select($"v", $"lbl".as("cur")), "v")
       .join(st.deg, "v")
       .join(kt.select($"lbl".as("c"), $"ktot"), "c")
-      .crossJoin(broadcast(st.mDf))
       .filter(if (i % 2 == 0) $"c" <= $"cur" else $"c" >= $"cur")
       .select($"v", $"c",
         (round(
-          $"kvc".cast("double") / $"m" -
+          $"kvc".cast("double") / m -
             (($"ktot" - when($"c" === $"cur", $"kv").otherwise(0L))
-              .cast("double") / (lit(2.0) * $"m")) *
-            ($"kv".cast("double") / $"m"), 6) + lit(0.0)).as("gain"),
+              .cast("double") / (lit(2.0) * m)) *
+            ($"kv".cast("double") / m), 6) + lit(0.0)).as("gain"),
         when($"c" === $"cur", 0).otherwise(1).as("nc"))
     sc.groupBy($"v")
       .agg(min(struct((-$"gain").as("ng"), $"nc".as("nc"), $"c".as("c")))
@@ -2444,11 +2482,11 @@ object GraphOps {
         .agg(coalesce(sum($"kt" * $"kt"), lit(0L))).first().getLong(0)
       stats += ((i + 1, moved, sw, sk2))
     }
+    val m = lit(st.m)
     stats.toSeq.toDF("sweep", "moved", "sw", "sk2")
-      .crossJoin(broadcast(st.mDf))
       .select($"sweep".cast("long").as("sweep"), $"moved",
-        (round($"sw".cast("double") / $"m" -
-          $"sk2".cast("double") / (lit(4.0) * $"m" * $"m"), 6) + lit(0.0))
+        (round($"sw".cast("double") / m -
+          $"sk2".cast("double") / (lit(4.0) * m * m), 6) + lit(0.0))
           .as("q"))
       .orderBy($"sweep")
   }
@@ -2495,7 +2533,8 @@ object GraphOps {
       levels: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val mDf = edges.agg(sum($"weight").cast("double").as("m"))
+    val mRow = edges.agg(sum($"weight").cast("double").as("m")).first()
+    val m = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
     var assign = louvainOf(edges, sweeps).localCheckpoint(eager = true)
     var curEdges = edges
     var curDeg = edges.select($"src".as("v"), $"weight")
@@ -2513,7 +2552,7 @@ object GraphOps {
         .localCheckpoint(eager = true)
       val deg2 = curLbl.join(curDeg, "v").groupBy($"lbl")
         .agg(sum($"kv").as("kv")).select($"lbl".as("v"), $"kv")
-      val l2 = louvainOf(e2, sweeps, Some(deg2), Some(mDf))
+      val l2 = louvainOf(e2, sweeps, Some(deg2), Some(m))
         .localCheckpoint(eager = true)
       assign = assign
         .join(l2.select($"v".as("c0"), $"lbl".as("c2")), $"lbl" === $"c0")
