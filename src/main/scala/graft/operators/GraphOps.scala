@@ -1617,11 +1617,15 @@ object GraphOps {
       steps: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val arcs = loopArcs(edges, withWeight = false)
+    // r17: the mirrored arc frame is consumed ONCE (building adj), so the
+    // loopArcs checkpoint bought no reuse — one arc-sized materialization
+    // + exchange removed; the adjacency checkpoint is the loop's layout.
+    val base = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
     // sorted adjacency arrays, partitioned like the arcs: the per-hop
     // join shuffles only the frontier
     val adj = partitionedCheckpoint(
-      arcs.groupBy($"src")
+      base.groupBy($"src")
         .agg(sort_array(collect_list($"dst")).as("nbrs"),
           count(lit(1)).as("deg")), "src")
     val verts = adj.select($"src".as("v"))
@@ -1679,9 +1683,12 @@ object GraphOps {
       steps: Int, wReturn: Long, wCommon: Long, wOut: Long): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val arcs = loopArcs(edges, withWeight = false)
+    // r17: same single-consumer argument as randomWalksOf — skip the
+    // loopArcs checkpoint, aggregate the lazy mirror straight into adj.
+    val base = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
     val adj = partitionedCheckpoint(
-      arcs.groupBy($"src")
+      base.groupBy($"src")
         .agg(sort_array(collect_list($"dst")).as("nbrs")), "src")
     val verts = adj.select($"src".as("v"))
     var cur = verts
@@ -2609,19 +2616,30 @@ object GraphOps {
       scale: Long = 1000000L): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val arcs = loopArcs(edges, withWeight = false)
-    val deg = arcs.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // r17: ONE arc-sized checkpoint instead of two. The old shape built
+    // loopArcs (checkpoint #1: mirror + repartition + materialize) and
+    // then re-checkpointed the same arcs joined with degree (#2). The
+    // mirror is a cheap union of two cached-edge scans, so derive both
+    // deg and the degree-annotated checkpoint straight from it — the
+    // only arc-sized materialization left is arcsD itself. Same rows,
+    // same partitioning, bit-identical chain.
+    val base = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+    val deg = base.groupBy($"src").agg(count(lit(1)).as("deg"))
     // destination degree rides the arc checkpoint so the per-round agg
     // needs no post-agg join back to the degree frame
     val arcsD = partitionedCheckpoint(
-      arcs.join(deg.select($"src".as("dst"), $"deg".as("dd")), "dst"), "src")
+      base.join(deg.select($"src".as("dst"), $"deg".as("dd")), "dst"), "src")
     def initCol(k: Int) = {
       val h = TextOps.h64(concat(
         lit("frp:"), $"src".cast("string"), lit(":"), lit(k).cast("string")))
       when(h % 6 === 0, lit(scale)).when(h % 6 === 1, lit(-scale))
         .otherwise(lit(0L)).as(s"x$k")
     }
-    var x = deg.select($"src".as("v") +: (0 until dim).map(initCol): _*)
+    // node set = distinct mirrored sources ≡ the old deg keys, read off
+    // the already-materialized checkpoint instead of a second deg pass
+    var x = arcsD.select($"src").distinct()
+      .select($"src".as("v") +: (0 until dim).map(initCol): _*)
       .localCheckpoint(eager = true)
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to rounds) {

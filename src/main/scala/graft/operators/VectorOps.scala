@@ -389,8 +389,17 @@ object VectorOps {
       pqIters: Int, rerank: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val cents = VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, kmIters)
-    val books = VecPQ.train(e.select($"vec_id", $"u"), m, ksub, pqIters)
+    // r17 (guide §2.6): the coarse-cell k-means and the PQ codebook
+    // trainings are independent driver loops of small blocking jobs —
+    // run them concurrently so each loop's jobs backfill the other's
+    // scheduling gaps. Each training's own computation is untouched.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fCents = Future(VecCluster.kmeans(e.select($"vec_id", $"u"), nCells, kmIters))
+    val fBooks = Future(VecPQ.train(e.select($"vec_id", $"u"), m, ksub, pqIters))
+    val cents = Await.result(fCents, Duration.Inf)
+    val books = Await.result(fBooks, Duration.Inf)
     val qRow = e.filter($"vec_id" === queryId)
       .select($"u", $"v", $"nrm").collect()
     if (cents.isEmpty || books.isEmpty || qRow.isEmpty)
@@ -807,8 +816,17 @@ object VectorOps {
       .select($"query_id", $"vec_id")
     // IVF/PQ/IVFPQ: train on the corpus (the store, never the panel);
     // one coded pass carries cell + codes + every query's ADC score
-    val cents = VecCluster.kmeans(corpus.select($"vec_id", $"u"), nCells, kmIters)
-    val books = VecPQ.train(corpus.select($"vec_id", $"u"), m, ksub, pqIters)
+    // r17: independent trainings run concurrently (ivfpqAnnOn's argument)
+    val fCents = scala.concurrent.Future(
+      VecCluster.kmeans(corpus.select($"vec_id", $"u"), nCells, kmIters))(
+      scala.concurrent.ExecutionContext.global)
+    val fBooks = scala.concurrent.Future(
+      VecPQ.train(corpus.select($"vec_id", $"u"), m, ksub, pqIters))(
+      scala.concurrent.ExecutionContext.global)
+    val cents = scala.concurrent.Await.result(fCents,
+      scala.concurrent.duration.Duration.Inf)
+    val books = scala.concurrent.Await.result(fBooks,
+      scala.concurrent.duration.Duration.Inf)
     val qUnit = e.filter($"vec_id" < nQueries)
       .select($"vec_id", $"u").as[(Long, Seq[Double])].collect()
       .sortBy(_._1) // bounded driver state: the panel
