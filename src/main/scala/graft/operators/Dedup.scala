@@ -661,13 +661,17 @@ object Dedup {
     while (changed > 0) {
       val nbrMin = arcs.join(labels, $"dst" === $"node")
         .groupBy($"src").agg(min($"lbl").as("nlbl"))
+      // r17: the convergence test used to JOIN next back against labels
+      // (one extra join + count job per iteration). The new label is a
+      // pure function of the old row, so carry a changed flag through
+      // the same projection and count it off the checkpoint — identical
+      // label chain, identical change counts, one scan instead of a join.
       val next = labels.join(nbrMin, $"node" === $"src", "left")
-        .select($"node", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .withColumn("nlbl2", least($"lbl", coalesce($"nlbl", $"lbl")))
+        .select($"node", $"nlbl2".as("newlbl"), ($"nlbl2" =!= $"lbl").as("chg"))
         .localCheckpoint(eager = true)
-      changed = next.as("n")
-        .join(labels.select($"node", $"lbl".as("old")), "node")
-        .filter($"lbl" =!= $"old").count()
-      labels = next
+      changed = next.filter($"chg").count()
+      labels = next.select($"node", $"newlbl".as("lbl"))
     }
     ids.join(labels.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))

@@ -188,13 +188,17 @@ object GraphOps {
     val verts = deg.select($"src".as("v")).localCheckpoint(eager = true)
     var ranks = verts.select($"v", lit(1.0).as("rank"))
       .localCheckpoint(eager = true)
-    for (_ <- 0 until iters) {
+    // r17: rank state is consumed once per round, so checkpoint every
+    // SECOND round (the communitiesOf cadence argument) — bit-identical,
+    // one node-sized materialization job saved per skipped round.
+    for (i <- 0 until iters) {
       val contribs = arcsD.join(ranks, $"src" === $"v")
         .groupBy($"dst").agg(sum($"rank" / $"deg").as("msg"))
       ranks = verts
         .join(contribs, $"v" === $"dst", "left")
         .select($"v", (lit(0.15) + lit(0.85) * coalesce($"msg", lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true)
+      if (i % 2 == 1 || i == iters - 1)
+        ranks = ranks.localCheckpoint(eager = true)
     }
     ranks.select($"v".as("part"), round($"rank", 6).as("rank"))
       .orderBy($"rank".desc, $"part")
@@ -223,13 +227,15 @@ object GraphOps {
     val verts = wdeg.select($"src".as("v")).localCheckpoint(eager = true)
     var ranks = verts.select($"v", lit(1.0).as("rank"))
       .localCheckpoint(eager = true)
-    for (_ <- 0 until iters) {
+    // r17: same cadence-2 checkpoint as pageRankDF (single consumer)
+    for (i <- 0 until iters) {
       val contribs = arcsD.join(ranks, $"src" === $"v")
         .groupBy($"dst").agg(sum($"rank" * $"rw").as("msg"))
       ranks = verts
         .join(contribs, $"v" === $"dst", "left")
         .select($"v", (lit(0.15) + lit(damp) * coalesce($"msg", lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true)
+      if (i % 2 == 1 || i == iters - 1)
+        ranks = ranks.localCheckpoint(eager = true)
     }
     ranks.select($"v".as("part"), round($"rank", 6).as("rank"))
   }
@@ -642,7 +648,11 @@ object GraphOps {
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
-        val bad = deg.filter($"d" < k).select($"a").localCheckpoint()
+        // r17: bad stays LAZY — it is a narrow filter over the already-
+        // checkpointed degree frame (node-sized, no shuffle), so its
+        // three consumers (emptiness probe, peel join, anti-join) re-run
+        // a cheap scan instead of paying a materialization job per round
+        val bad = deg.filter($"d" < k).select($"a")
         if (bad.isEmpty) converged = true
         else {
           // arcs OUT OF the peeled set, credited to the surviving endpoint
@@ -879,14 +889,18 @@ object GraphOps {
     var levels = Vector(frontier)
     var visited = frontier.select($"s", $"v").localCheckpoint(eager = true)
     var d = 1
-    while (d <= maxDepth && !frontier.isEmpty) {
+    var frontierEmpty = false // seed frontier is non-empty by construction
+    while (d <= maxDepth && !frontierEmpty) {
       val next = frontier.join(arcs, $"v" === $"src")
         .groupBy($"s", $"dst").agg(sum($"sigma").as("sigma"))
         .select($"s", $"dst".as("v"), $"sigma")
         .join(visited, Seq("s", "v"), "left_anti")
         .select($"s", $"v", $"sigma", lit(d).as("dist"))
         .localCheckpoint(eager = true)
-      if (!next.isEmpty) {
+      // r17: one emptiness probe per level, not two — the old loop asked
+      // isEmpty here AND again at the while-condition on the same frame
+      frontierEmpty = next.isEmpty
+      if (!frontierEmpty) {
         levels = levels :+ next
         visited = visited.unionAll(next.select($"s", $"v"))
           .localCheckpoint(eager = true)
@@ -1232,14 +1246,24 @@ object GraphOps {
     import s.implicits._
     val arcs = loopArcs(edges, withWeight = true)
     var labels = lpaStart(arcs, initialLabels)
-    for (_ <- 0 until iters) {
+    // r17: checkpoint every SECOND round instead of every round. The
+    // label frame is consumed exactly once per round (the next vote
+    // join), so chaining two rounds into one lazy plan is bit-identical
+    // and drops one node-sized materialization job per skipped round;
+    // the intermediate round's shuffles still materialize once inside
+    // the larger job (stage-granular recovery unchanged). Plan depth is
+    // bounded at two rounds per checkpoint, so neither planning time nor
+    // the checkpoint-stats compounding hazard (checkpointFlat scaladoc:
+    // it needs state referenced >1× per round to bite) can grow.
+    for (i <- 0 until iters) {
       val votes = arcs.join(labels, $"src" === $"v")
         .groupBy($"dst", $"lbl").agg(sum($"weight").as("vote"))
       labels = votes
         .groupBy($"dst")
         .agg(min(struct((-$"vote").as("nv"), $"lbl".as("lbl"))).as("m"))
         .select($"dst".as("v"), $"m.lbl".as("lbl"))
-        .localCheckpoint(eager = true)
+      if (i % 2 == 1 || i == iters - 1)
+        labels = labels.localCheckpoint(eager = true)
     }
     labels
   }
@@ -1525,14 +1549,16 @@ object GraphOps {
     val seedTp = seeds.select($"v".as("dst"), lit(tp).as("tp"))
     var ranks = verts.select($"v", $"pv".as("rank"))
       .localCheckpoint(eager = true)
-    for (_ <- 0 until iters) {
+    // r17: same cadence-2 checkpoint as pageRankDF (single consumer)
+    for (i <- 0 until iters) {
       ranks = arcsD.join(ranks, $"src" === $"v")
         .groupBy($"dst")
         .agg(sum($"rank" * $"rdeg").as("msg"))
         .join(broadcast(seedTp), Seq("dst"), "left")
         .select($"dst".as("v"),
           (coalesce($"tp", lit(0.0)) + lit(0.85) * $"msg").as("rank"))
-        .localCheckpoint(eager = true)
+      if (i % 2 == 1 || i == iters - 1)
+        ranks = ranks.localCheckpoint(eager = true)
     }
     ranks.select($"v".as("part"), round($"rank", 6).as("ppr"))
   }
