@@ -272,7 +272,19 @@ object Bench {
     // metric/value leading, a short tail window truncated the headline
     // total right out of BENCH_r09.json. The summary scalars now trail the
     // queries map so whatever survives a tail cut is the part that matters.
-    println(f"""{"queries":$qs,"sf":"$sfDir","sentinel_pre":$sentinelPre%.3f,"sentinel_post":$sentinelPost%.3f,"sentinel_mem_pre":$memPre%.3f,"sentinel_mem_post":$memPost%.3f,"metric":"total","unit":"sec","value":$total%.3f}""")
+    val line = f"""{"queries":$qs,"sf":"$sfDir","sentinel_pre":$sentinelPre%.3f,"sentinel_post":$sentinelPost%.3f,"sentinel_mem_pre":$memPre%.3f,"sentinel_mem_post":$memPost%.3f,"metric":"total","unit":"sec","value":$total%.3f}"""
+    println(line)
+    // r17 (VERDICT r16 #7): the driver captures the TAIL of stdout and
+    // has twice shipped a truncated per-query map (BENCH_r16.json:
+    // parsed null). Also write the full line to a file so the structured
+    // artifact survives any tail cut; best-effort — a read-only cwd must
+    // not fail the bench itself.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LAST.json")), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -2357,8 +2357,17 @@ object GraphOps {
       executed += 1
       if (earlyExit) {
         val chk = chkOf(labels)
-        hist.find { case (j, cj, _) =>
-          cj == chk && (executed - j) % 2 == 0
+        hist.find { case (j, cj, fj) =>
+          // r17 (ADVICE r16 #1): checksum equality is 64-bit evidence,
+          // not proof — CONFIRM the matched pair exactly before
+          // committing the fast-forward. Both frames carry exactly one
+          // row per node, so equal cardinality + empty one-way exceptAll
+          // ⇔ identical labelings. Fires at most once per run (and only
+          // on the first true match), so the extra scan is negligible;
+          // on a collision the loop just keeps sweeping — the oracle's
+          // full-chain behavior.
+          cj == chk && (executed - j) % 2 == 0 &&
+            labels.exceptAll(fj).isEmpty
         }.foreach { case (j, _, _) =>
           val p = executed - j
           // s_budget = s_{j + ((budget − j) mod p)}; the target index is
@@ -2568,7 +2577,15 @@ object GraphOps {
     import s.implicits._
     val mRow = edges.agg(sum($"weight").cast("double").as("m")).first()
     val m = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
-    var assign = louvainOf(edges, sweeps).localCheckpoint(eager = true)
+    // r17: louvainOf already returns a CHECKPOINTED frame (every sweep's
+    // labels come out of localCheckpoint), so the extra eager checkpoints
+    // the r15 shape stacked on assign/l2 were pure re-materializations;
+    // and e2 / the level composition are each consumed exactly once per
+    // level (e2 only feeds the next level's louvainSetup, whose loopArcs
+    // checkpoint materializes it inside its own arc layout), so their
+    // eager checkpoints bought no reuse either. Four materialization
+    // jobs removed per level; chain verified bit-identical at sf0.01.
+    var assign = louvainOf(edges, sweeps)
     var curEdges = edges
     var curDeg = edges.select($"src".as("v"), $"weight")
       .unionAll(edges.select($"dst".as("v"), $"weight"))
@@ -2582,15 +2599,12 @@ object GraphOps {
         .select(least($"ls", $"ld").as("src"),
           greatest($"ls", $"ld").as("dst"), $"weight")
         .groupBy($"src", $"dst").agg(sum($"weight").as("weight"))
-        .localCheckpoint(eager = true)
       val deg2 = curLbl.join(curDeg, "v").groupBy($"lbl")
         .agg(sum($"kv").as("kv")).select($"lbl".as("v"), $"kv")
       val l2 = louvainOf(e2, sweeps, Some(deg2), Some(m))
-        .localCheckpoint(eager = true)
       assign = assign
         .join(l2.select($"v".as("c0"), $"lbl".as("c2")), $"lbl" === $"c0")
         .select($"v", $"c2".as("lbl"))
-        .localCheckpoint(eager = true)
       curEdges = e2
       curDeg = deg2
       curLbl = l2
