@@ -184,7 +184,8 @@ object GraphOps {
     // the checkpoint so the 10 per-round joins shuffle only the rank
     // frame, never the arcs (a bare localCheckpoint loses it under AQE)
     val arcsD = partitionedCheckpoint(
-      arcs.join(deg, "src").select($"src", $"dst", $"deg"), "src")
+      arcs.join(deg, "src").select($"src", $"dst", $"deg"), "src",
+      sorted = true)
     val verts = deg.select($"src".as("v")).localCheckpoint(eager = true)
     var ranks = verts.select($"v", lit(1.0).as("rank"))
       .localCheckpoint(eager = true)
@@ -223,7 +224,8 @@ object GraphOps {
     val arcsD = partitionedCheckpoint(
       arcs.join(wdeg, "src")
         .select($"src", $"dst",
-          ($"weight".cast("double") / $"wdeg".cast("double")).as("rw")), "src")
+          ($"weight".cast("double") / $"wdeg".cast("double")).as("rw")), "src",
+      sorted = true)
     val verts = wdeg.select($"src".as("v")).localCheckpoint(eager = true)
     var ranks = verts.select($"v", lit(1.0).as("rank"))
       .localCheckpoint(eager = true)
@@ -812,7 +814,7 @@ object GraphOps {
     val arcs = partitionedCheckpoint(
       edges.select($"src", $"dst", cost.as("cost"))
         .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), cost.as("cost"))),
-      "src")
+      "src", sorted = true)
     // same landmark choice as G8: smallest nLandmarks node ids
     val landmarks = arcs.select($"src").distinct().as[Long]
       .orderBy($"src").limit(nLandmarks).collect().toSeq
@@ -921,17 +923,29 @@ object GraphOps {
       // checkpoint's hashpartitioning(src): only the level-sized delta
       // frame shuffles, where the dst-keyed join re-exchanged all 2|E|
       // arcs at EVERY backward level (the bulk of the 349 s sf10 cost).
-      val contrib = deltas // rows at lev+1: (s, w, σw, δw)
+      // r18: 3 joins/level → 2. The old backward level inner-joined the
+      // contributions onto levels(lev) and then LEFT-joined the result
+      // back onto levels(lev) to backfill delta = 0 rows. The backfill
+      // now rides the SAME aggregation as a union of zero terms: every
+      // real term is strictly positive (σ, σw ≥ 1, δw ≥ 0), and IEEE
+      // x + 0.0 == x for finite x ≥ 0, so summing {0.0} ∪ terms in any
+      // partial order is bit-identical to coalesce(Σ terms, 0.0); σ is
+      // an exact BIGINT equal on every row of a (s, v) group, so
+      // max(σ) ≡ the joined σ. One (s, v)-keyed join removed per level.
+      val terms = deltas // rows at lev+1: (s, w, σw, δw)
         .select($"s", $"v".as("w"), $"sigma".as("sw"), $"delta".as("dw"))
         .join(arcs, $"w" === $"src")
         .select($"s", $"dst".as("v"), $"sw", $"dw")
         .join(levels(lev).select($"s", $"v", $"sigma"), Seq("s", "v"))
+        .select($"s", $"v", $"sigma",
+          ($"sigma".cast("double") / $"sw".cast("double") *
+            (lit(1.0) + $"dw")).as("term"))
+      deltas = levels(lev)
+        .select($"s", $"v", $"sigma", lit(0.0).as("term"))
+        .unionAll(terms)
         .groupBy($"s", $"v")
-        .agg(sum($"sigma".cast("double") / $"sw".cast("double") *
-          (lit(1.0) + $"dw")).as("delta"))
-      deltas = levels(lev).select($"s", $"v", $"sigma")
-        .join(contrib.select($"s", $"v", $"delta"), Seq("s", "v"), "left")
-        .select($"s", $"v", $"sigma", coalesce($"delta", lit(0.0)).as("delta"))
+        .agg(max($"sigma").as("sigma"), sum($"term").as("delta"))
+        .select($"s", $"v", $"sigma", $"delta")
         .localCheckpoint(eager = true)
       acc = acc.unionAll(deltas)
     }
@@ -1161,7 +1175,24 @@ object GraphOps {
     * hashpartitioning(c, shuffle.partitions), and joins planned later
     * — WITH AQE on — reuse it: the checkpointed side gets a bare Sort,
     * no Exchange (PlanInvariantSpec pins this). */
-  private[graft] def partitionedCheckpoint(df: DataFrame, c: String): DataFrame = {
+  /** r18, `sorted = true`: the checkpoint additionally sorts each
+    * partition by the key and the recorded `outputOrdering` (Dataset
+    * .localCheckpoint preserves it in the LogicalRDD alongside the
+    * partitioning) lets EnsureRequirements drop the per-round Sort that
+    * every SortMergeJoin against this frame otherwise inserts — the
+    * measured per-iteration cost of EVERY arc-shaped loop frame (the
+    * round-body plan showed `Sort [src] ← Scan ExistingRDD` re-sorting
+    * 2|E| arcs per round; guide §2.4: establish the layout once).
+    * Bit-safety: the sort runs at checkpoint time over the exact row
+    * sequence the per-round SMJ sort consumed before (the stored
+    * repartition output), with the same SortExec — so every downstream
+    * join sees the identical row order and every post-join aggregation
+    * is bit-identical. Only frames whose consumers are key-joins or
+    * exact (integer/set) aggregations opt in; per-round STATE frames
+    * stay unsorted so direct double-sum scans over them keep their
+    * historical order. */
+  private[graft] def partitionedCheckpoint(df: DataFrame, c: String,
+      sorted: Boolean = false): DataFrame = {
     val s = df.sparkSession
     // r10 (ADVICE r9): the AQE override is scoped to a THROWAWAY child
     // session instead of mutating the caller's session conf — a set/
@@ -1193,8 +1224,9 @@ object GraphOps {
     val name = "graft_pc_" + java.util.UUID.randomUUID().toString.replace("-", "")
     df.createOrReplaceGlobalTempView(name)
     try {
-      val ck = s2.table(s"$gtDb.$name")
-        .repartition(col(c)).localCheckpoint(true)
+      val rep = s2.table(s"$gtDb.$name").repartition(col(c))
+      val ck = (if (sorted) rep.sortWithinPartitions(col(c)) else rep)
+        .localCheckpoint(true)
       ck.createOrReplaceGlobalTempView(s"${name}_ck")
       // Dataset creation analyzes eagerly, inlining the view's LogicalRDD
       // (with its recorded partitioning) into a frame bound to the
@@ -1216,7 +1248,7 @@ object GraphOps {
         .unionAll(edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
       else edges.select($"src", $"dst")
         .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
-    partitionedCheckpoint(base, "src")
+    partitionedCheckpoint(base, "src", sorted = true)
   }
 
   /** Round-0 label frame for the LPA loops: identity labels by default,
@@ -1544,7 +1576,8 @@ object GraphOps {
     // multiply).
     val arcsD = partitionedCheckpoint(
       arcs.join(deg, "src")
-        .select($"src", $"dst", (lit(1.0) / $"deg").as("rdeg")), "src")
+        .select($"src", $"dst", (lit(1.0) / $"deg").as("rdeg")), "src",
+      sorted = true)
     val tp = 0.15 * pv // one IEEE product, the oracle's 0.15 * pv.pv
     val seedTp = seeds.select($"v".as("dst"), lit(tp).as("tp"))
     var ranks = verts.select($"v", $"pv".as("rank"))
@@ -1653,7 +1686,7 @@ object GraphOps {
     val adj = partitionedCheckpoint(
       base.groupBy($"src")
         .agg(sort_array(collect_list($"dst")).as("nbrs"),
-          count(lit(1)).as("deg")), "src")
+          count(lit(1)).as("deg")), "src", sorted = true)
     val verts = adj.select($"src".as("v"))
     var cur = verts
       .select($"v".as("start"),
@@ -1715,7 +1748,8 @@ object GraphOps {
       .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
     val adj = partitionedCheckpoint(
       base.groupBy($"src")
-        .agg(sort_array(collect_list($"dst")).as("nbrs")), "src")
+        .agg(sort_array(collect_list($"dst")).as("nbrs")), "src",
+      sorted = true)
     val verts = adj.select($"src".as("v"))
     var cur = verts
       .select($"v".as("start"),
@@ -1789,8 +1823,8 @@ object GraphOps {
     // via partitionedCheckpoint (r9: a bare repartition+localCheckpoint
     // loses its partitioning under AQE): the per-round joins then
     // shuffle only the node-sized score frames, never the arc list
-    val edU = partitionedCheckpoint(ed.select($"u", $"p"), "u")
-    val edP = partitionedCheckpoint(ed.select($"u", $"p"), "p")
+    val edU = partitionedCheckpoint(ed.select($"u", $"p"), "u", sorted = true)
+    val edP = partitionedCheckpoint(ed.select($"u", $"p"), "p", sorted = true)
     var hub = edU.select($"u".as("id")).distinct()
       .withColumn("v", lit(1.0)).localCheckpoint(eager = true)
     var auth = edP.select($"p".as("id")).distinct()
@@ -2433,7 +2467,8 @@ object GraphOps {
     val arcs = loopArcs(edges, withWeight = true)
     val deg = partitionedCheckpoint(
       degOverride.map(_.select($"v", $"kv")).getOrElse(
-        arcs.groupBy($"src".as("v")).agg(sum($"weight").as("kv"))), "v")
+        arcs.groupBy($"src".as("v")).agg(sum($"weight").as("kv"))), "v",
+      sorted = true)
     val m = mOverride.getOrElse {
       val r = edges.agg(sum($"weight").cast("double").as("m")).first()
       if (r.isNullAt(0)) 0.0 else r.getDouble(0) // empty graph: no gain row ever evaluates
@@ -2669,7 +2704,8 @@ object GraphOps {
     // destination degree rides the arc checkpoint so the per-round agg
     // needs no post-agg join back to the degree frame
     val arcsD = partitionedCheckpoint(
-      base.join(deg.select($"src".as("dst"), $"deg".as("dd")), "dst"), "src")
+      base.join(deg.select($"src".as("dst"), $"deg".as("dd")), "dst"), "src",
+      sorted = true)
     def initCol(k: Int) = {
       val h = TextOps.h64(concat(
         lit("frp:"), $"src".cast("string"), lit(":"), lit(k).cast("string")))
