@@ -56,6 +56,13 @@ object GraftFunctions {
   def vecQuantSelfDot(v: Column, mx: Column): Column =
     GraftColumn.of(VecQuantSelfDot(GraftColumn.exprOf(v), GraftColumn.exprOf(mx)))
 
+  /** Register-max HLL union over serialized sketch images (the
+    * HyperANF/HyperBall hot-path replacement for hll_union_agg — see
+    * HllRegMaxUnionAgg for the parity contract). */
+  def hllRegMaxUnion(sk: Column, lgK: Int): Column =
+    GraftColumn.of(HllRegMaxUnionAgg(GraftColumn.exprOf(sk), lgK)
+      .toAggregateExpression())
+
   /** Bloom-filter membership probe of a long-typed column, codegen'd. */
   def bloomProbe(h: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
     GraftColumn.of(BloomProbe(GraftColumn.exprOf(h), filter))

@@ -2041,7 +2041,7 @@ object GraphOps {
         arcs.join(balls.select($"v".as("src"), $"sk"), "src")
           .select($"dst".as("v"), $"sk")
           .unionAll(balls.select($"v", $"sk"))
-          .groupBy($"v").agg(hll_union_agg($"sk").as("sk")), "v")
+          .groupBy($"v").agg(graft.functions.GraftFunctions.hllRegMaxUnion($"sk", lgConfigK).as("sk")), "v")
       balls.unpersist(blocking = false) // loop discipline: one live frame
       balls = nxt
       val (est, chk) = scalars(balls)
@@ -2111,7 +2111,8 @@ object GraphOps {
         arcs.join(balls.select($"v".as("src"), $"sk"), "src")
           .select($"dst".as("v"), $"sk")
           .unionAll(balls.select($"v", $"sk"))
-          .groupBy($"v").agg(hll_union_agg($"sk").as("sk"))
+          .groupBy($"v").agg(graft.functions.GraftFunctions
+            .hllRegMaxUnion($"sk", lgConfigK).as("sk"))
           .join(balls.select($"v", $"est".as("pe"), $"h"), "v")
           .select($"v", $"sk",
             hll_sketch_estimate($"sk").cast("double").as("est"), $"pe", $"h")
@@ -2181,7 +2182,8 @@ object GraphOps {
         arcs.join(balls.select($"v".as("src"), $"sk"), "src")
           .select($"dst".as("v"), $"sk")
           .unionAll(balls.select($"v", $"sk"))
-          .groupBy($"v").agg(hll_union_agg($"sk").as("sk"))
+          .groupBy($"v").agg(graft.functions.GraftFunctions
+            .hllRegMaxUnion($"sk", lgConfigK).as("sk"))
           .join(balls.select($"v", $"est".as("pe"), $"h"), "v")
           .select($"v", $"sk",
             hll_sketch_estimate($"sk").cast("double").as("est"), $"pe", $"h")
